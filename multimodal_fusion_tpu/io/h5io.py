@@ -1,0 +1,195 @@
+"""HDF5 per-patient storage layer.
+
+On-disk schema (kept byte-compatible with the reference so data produced for
+either stack is interchangeable; reference: ``downstream_survival/main.py:
+485-527``, ``build_hypergraph/README.md:58-75``,
+``vae/generate_reconstructed_wsi.py:79-96``)::
+
+    <patient>.h5
+    ├── wsi/
+    │   ├── features               [N, 1024] float32
+    │   ├── positions              [N, 2]    float32/int
+    │   └── reconstructed_features [N, 1024] float32 (written by the VAE)
+    ├── tma/<marker>/features      [M_k, 1024] float32   (8 markers)
+    ├── tma/<marker>/patches       optional raw patches
+    ├── clinical|pathological|blood|icd|tma_cell_density/
+    │   ├── val / ori_val          [D] float32
+    │   └── mask                   [D] float32 (1 = present)
+    └── hypergraph/
+        ├── wsi_super/{features,positions}
+        ├── tma/features
+        ├── edge_index             [2, E] int64
+        ├── edge_weights           [E]    float32
+        ├── group_labels           [V]    int64
+        └── similarity/{wsi_internal,wsi_tma}   cached similarity matrices
+            (+ JSON 'stats' attribute on the hypergraph group)
+
+Concurrency: h5py handles are not thread-safe; like the reference
+(``multimodal_dataset.py:27-29,465-518``) we guard each file with a per-path
+lock and retry reads with exponential backoff + jitter.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import threading
+import time
+from pathlib import Path
+from typing import Dict, Iterable, Optional
+
+import h5py
+import numpy as np
+
+from multimodal_fusion_tpu.channels import h5_path_for_channel
+
+_FILE_LOCKS: Dict[str, threading.Lock] = {}
+_FILE_LOCKS_GUARD = threading.Lock()
+
+
+def _lock_for(path: str) -> threading.Lock:
+    with _FILE_LOCKS_GUARD:
+        if path not in _FILE_LOCKS:
+            _FILE_LOCKS[path] = threading.Lock()
+        return _FILE_LOCKS[path]
+
+
+def read_channel(
+    h5_path: str | Path,
+    channel: str,
+    retries: int = 4,
+    backoff: float = 0.05,
+) -> np.ndarray:
+    """Read one channel (``group=dataset[=dataset]``) from a patient file."""
+    path = str(h5_path)
+    dset = h5_path_for_channel(channel)
+    last_err: Optional[Exception] = None
+    for attempt in range(retries):
+        try:
+            with _lock_for(path):
+                with h5py.File(path, "r") as f:
+                    return np.asarray(f[dset])
+        except (OSError, KeyError) as e:  # pragma: no cover - retry path
+            if isinstance(e, KeyError):
+                raise
+            last_err = e
+            time.sleep(backoff * (2**attempt) * (1 + random.random()))
+    raise OSError(f"failed to read {dset} from {path}: {last_err}")
+
+
+def has_channel(h5_path: str | Path, channel: str) -> bool:
+    path = str(h5_path)
+    with _lock_for(path):
+        with h5py.File(path, "r") as f:
+            return h5_path_for_channel(channel) in f
+
+
+def write_channel(
+    h5_path: str | Path,
+    channel: str,
+    data: np.ndarray,
+    compression: Optional[str] = "gzip",
+) -> None:
+    """Write/overwrite one channel dataset."""
+    path = str(h5_path)
+    dset = h5_path_for_channel(channel)
+    with _lock_for(path):
+        with h5py.File(path, "a") as f:
+            if dset in f:
+                del f[dset]
+            f.create_dataset(dset, data=np.asarray(data), compression=compression)
+
+
+class PatientH5:
+    """Convenience wrapper around one patient file."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+
+    def read(self, channel: str) -> np.ndarray:
+        return read_channel(self.path, channel)
+
+    def write(self, channel: str, data: np.ndarray) -> None:
+        write_channel(self.path, channel, data)
+
+    def has(self, channel: str) -> bool:
+        return has_channel(self.path, channel)
+
+    def channels(self) -> Dict[str, tuple]:
+        """Map of all dataset paths -> shapes."""
+        out: Dict[str, tuple] = {}
+
+        def visit(name, obj):
+            if isinstance(obj, h5py.Dataset):
+                out[name] = obj.shape
+
+        with _lock_for(str(self.path)):
+            with h5py.File(self.path, "r") as f:
+                f.visititems(visit)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Hypergraph group persistence (reference: preprocess_hypergraph.py:436-511)
+# ---------------------------------------------------------------------------
+
+HYPERGRAPH_KEYS = (
+    "wsi_super/features",
+    "wsi_super/positions",
+    "tma/features",
+    "edge_index",
+    "edge_weights",
+    "group_labels",
+)
+SIMILARITY_KEYS = ("similarity/wsi_internal", "similarity/wsi_tma")
+
+
+def write_hypergraph_group(
+    h5_path: str | Path,
+    arrays: Dict[str, np.ndarray],
+    stats: Optional[Dict] = None,
+    save_similarity: bool = True,
+) -> None:
+    """Write the ``hypergraph/`` group.
+
+    ``arrays`` maps relative keys (see ``HYPERGRAPH_KEYS``/``SIMILARITY_KEYS``)
+    to arrays.  ``stats`` is stored as a JSON string attribute, matching the
+    reference layout.
+    """
+    path = str(h5_path)
+    with _lock_for(path):
+        with h5py.File(path, "a") as f:
+            if "hypergraph" in f:
+                del f["hypergraph"]
+            grp = f.create_group("hypergraph")
+            for key, arr in arrays.items():
+                if not save_similarity and key.startswith("similarity/"):
+                    continue
+                grp.create_dataset(key, data=np.asarray(arr), compression="gzip")
+            if stats is not None:
+                grp.attrs["stats"] = json.dumps(stats)
+
+
+def read_hypergraph_group(
+    h5_path: str | Path, keys: Optional[Iterable[str]] = None
+) -> Dict[str, np.ndarray]:
+    """Read the ``hypergraph/`` group (all keys present, or a subset)."""
+    path = str(h5_path)
+    out: Dict[str, np.ndarray] = {}
+    with _lock_for(path):
+        with h5py.File(path, "r") as f:
+            if "hypergraph" not in f:
+                raise KeyError(f"no hypergraph group in {path}")
+            grp = f["hypergraph"]
+            if keys is None:
+                def visit(name, obj):
+                    if isinstance(obj, h5py.Dataset):
+                        out[name] = np.asarray(obj)
+                grp.visititems(visit)
+            else:
+                for key in keys:
+                    if key in grp:
+                        out[key] = np.asarray(grp[key])
+            if "stats" in grp.attrs:
+                out["__stats__"] = json.loads(grp.attrs["stats"])
+    return out

@@ -1,0 +1,22 @@
+from multimodal_fusion_tpu.ops.similarity import (  # noqa: F401
+    pairwise_sq_dists,
+    morphological_similarity,
+    spatial_similarity,
+    combined_similarity,
+    median_offdiag,
+)
+from multimodal_fusion_tpu.ops.masked import (  # noqa: F401
+    masked_softmax,
+    masked_mean,
+    masked_topk,
+)
+from multimodal_fusion_tpu.ops.kmeans import kmeans, kmeans_plus_plus_init  # noqa: F401
+from multimodal_fusion_tpu.ops.knn import knn_indices  # noqa: F401
+from multimodal_fusion_tpu.ops.losses import (  # noqa: F401
+    cross_entropy,
+    binary_cross_entropy,
+    rank1_svd_loss,
+    volume_loss,
+    clip_alignment_loss,
+    aucm_loss,
+)

@@ -1,0 +1,157 @@
+"""KMeans as pure XLA compute (matmul + argmin + segment-sum).
+
+Replaces sklearn ``KMeans(n_clusters, random_state=42, n_init=10)`` used by
+the hypergraph pipeline (reference: ``build_hypergraph/preprocess_hypergraph.py
+:150-151,299,320,391``).  Design notes:
+
+- kmeans++ greedy init (sklearn-style ``n_local_trials = 2 + floor(log k)``),
+  driven by a JAX PRNG key.  Parity with sklearn is *structural* (same
+  algorithm, deterministic given the key), not bitwise with MT19937 — see
+  SURVEY.md §7 "Hard parts".
+- Lloyd iterations run as a ``lax.scan`` with a fixed trip count; converged
+  runs freeze (centers stop moving), so extra iterations are no-ops instead of
+  dynamic control flow.
+- ``n_init`` restarts are vmapped and the lowest-inertia run wins — restarts
+  run as one batched kernel instead of a host loop.
+- Distances use the ||x||^2 - 2 x.c + ||c||^2 expansion: the hot op is a
+  [N,D]x[D,K] matmul on the MXU.
+- Supports a validity mask for padded point sets; padded rows never attract
+  centers and report assignment 0 with zero weight.
+- Empty clusters keep their previous center (sklearn relocates far points;
+  with the small K used here the difference is immaterial and documented).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class KMeansResult(NamedTuple):
+    centers: jax.Array  # [K, D]
+    labels: jax.Array  # [N] int32
+    inertia: jax.Array  # [] float32
+
+
+def _sq_dists_to_centers(x: jax.Array, centers: jax.Array) -> jax.Array:
+    x_sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    c_sq = jnp.sum(centers * centers, axis=-1)
+    xc = jnp.dot(x, centers.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(x_sq - 2.0 * xc + c_sq[None, :], 0.0)
+
+
+def kmeans_plus_plus_init(
+    key: jax.Array,
+    x: jax.Array,
+    k: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Greedy kmeans++ seeding. ``x`` [N,D] -> centers [K,D]."""
+    n = x.shape[0]
+    n_local_trials = 2 + int(math.log(max(k, 2)))
+    valid = mask if mask is not None else jnp.ones((n,), bool)
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+
+    key, sub = jax.random.split(key)
+    probs0 = valid.astype(jnp.float32)
+    first = jax.random.choice(sub, n, p=probs0 / jnp.sum(probs0))
+    centers0 = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(x[first])
+    d0 = jnp.sum((x - x[first]) ** 2, axis=-1)
+    d0 = jnp.where(valid, d0, 0.0)
+
+    def body(carry, inputs):
+        centers, closest_d = carry
+        subkey = inputs["key"]
+        i = inputs["i"]
+        pot = jnp.sum(closest_d)
+        p = jnp.where(valid, closest_d, 0.0)
+        p = p / jnp.maximum(jnp.sum(p), 1e-30)
+        cand_idx = jax.random.choice(subkey, n, shape=(n_local_trials,), p=p)
+        cand = x[cand_idx]  # [T, D]
+        d_cand = jax.vmap(lambda c: jnp.sum((x - c) ** 2, axis=-1))(cand)  # [T,N]
+        d_cand = jnp.minimum(d_cand, closest_d[None, :])
+        d_cand = jnp.where(valid[None, :], d_cand, 0.0)
+        pots = jnp.sum(d_cand, axis=1)
+        best = jnp.argmin(pots)
+        new_center = cand[best]
+        new_closest = d_cand[best]
+        centers = centers.at[i].set(new_center)
+        return (centers, new_closest), pot
+
+    keys = jax.random.split(key, k - 1) if k > 1 else jnp.zeros((0, 2), jnp.uint32)
+    idxs = jnp.arange(1, k)
+    if k > 1:
+        (centers, _), _ = jax.lax.scan(
+            body, (centers0, d0), {"key": keys, "i": idxs}
+        )
+    else:
+        centers = centers0
+    del big
+    return centers
+
+
+def _lloyd(
+    x: jax.Array,
+    centers: jax.Array,
+    weights: jax.Array,
+    n_iters: int,
+    tol: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fixed-trip-count Lloyd iterations; frozen once center shift < tol."""
+    k = centers.shape[0]
+
+    def step(carry, _):
+        centers, done = carry
+
+        def run(centers):
+            d = _sq_dists_to_centers(x, centers)
+            labels = jnp.argmin(d, axis=-1)
+            onehot = jax.nn.one_hot(labels, k, dtype=x.dtype) * weights[:, None]
+            counts = jnp.sum(onehot, axis=0)  # [K]
+            sums = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)
+            new_centers = jnp.where(
+                counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centers
+            )
+            shift = jnp.sum((new_centers - centers) ** 2)
+            return new_centers, shift <= tol
+
+        new_centers, now_done = jax.lax.cond(
+            done, lambda c: (c, jnp.asarray(True)), run, centers
+        )
+        return (new_centers, done | now_done), None
+
+    (centers, _), _ = jax.lax.scan(step, (centers, jnp.asarray(False)), None, length=n_iters)
+    d = _sq_dists_to_centers(x, centers)
+    labels = jnp.argmin(d, axis=-1)
+    inertia = jnp.sum(jnp.min(d, axis=-1) * weights)
+    return centers, labels, inertia
+
+
+@partial(jax.jit, static_argnames=("k", "n_iters", "n_init", "tol"))
+def kmeans(
+    key: jax.Array,
+    x: jax.Array,
+    k: int,
+    n_iters: int = 50,
+    n_init: int = 10,
+    tol: float = 1e-4,
+    mask: Optional[jax.Array] = None,
+) -> KMeansResult:
+    """KMeans with ``n_init`` batched restarts; best inertia wins.
+
+    ``mask`` marks valid rows of a padded ``x``; masked rows carry zero weight.
+    """
+    weights = (mask.astype(x.dtype) if mask is not None else jnp.ones((x.shape[0],), x.dtype))
+
+    def one_run(subkey):
+        init = kmeans_plus_plus_init(subkey, x, k, mask)
+        return _lloyd(x, init, weights, n_iters, tol)
+
+    keys = jax.random.split(key, n_init)
+    centers_all, labels_all, inertia_all = jax.vmap(one_run)(keys)
+    best = jnp.argmin(inertia_all)
+    return KMeansResult(centers_all[best], labels_all[best], inertia_all[best])

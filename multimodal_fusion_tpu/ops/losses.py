@@ -1,0 +1,237 @@
+"""Loss functions: classification, contrastive alignment, AUC surrogate.
+
+All are pure jittable functions over arrays; models compose them.
+
+References into the original stack:
+- rank-1 SVD loss: alignment/trainer.py:227-322 and
+  downstream_survival/models/svd_gate_random_clam.py:107-157 (identical math)
+- volume loss: alignment/trainer.py:157-225
+- CLIP bidirectional InfoNCE: downstream_survival/models/clip_gate_random_clam.py:40-88
+- AUCM min-max margin loss: libauc.losses.AUCMLoss as consumed by
+  downstream_survival/models/auc_clam.py:292-320
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Classification losses
+# ---------------------------------------------------------------------------
+
+def cross_entropy(
+    logits: jax.Array,
+    labels: jax.Array,
+    label_smoothing: float = 0.0,
+    reduction: str = "mean",
+) -> jax.Array:
+    """Softmax cross entropy with integer labels (torch.nn.CrossEntropyLoss)."""
+    n_classes = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(labels, n_classes, dtype=logits.dtype)
+    if label_smoothing > 0.0:
+        onehot = onehot * (1.0 - label_smoothing) + label_smoothing / n_classes
+    nll = -jnp.sum(onehot * logp, axis=-1)
+    if reduction == "mean":
+        return jnp.mean(nll)
+    if reduction == "sum":
+        return jnp.sum(nll)
+    return nll
+
+
+def binary_cross_entropy(probs: jax.Array, targets: jax.Array, eps: float = 1e-7) -> jax.Array:
+    """BCE on probabilities (torch.nn.functional.binary_cross_entropy)."""
+    p = jnp.clip(probs, eps, 1.0 - eps)
+    return -jnp.mean(targets * jnp.log(p) + (1.0 - targets) * jnp.log(1.0 - p))
+
+
+def mse_loss(pred: jax.Array, target: jax.Array, reduction: str = "mean") -> jax.Array:
+    d = (pred - target) ** 2
+    if reduction == "mean":
+        return jnp.mean(d)
+    if reduction == "sum":
+        return jnp.sum(d)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Rank-1 SVD alignment loss
+# ---------------------------------------------------------------------------
+
+def rank1_svd_loss(
+    features: jax.Array,
+    tau1: float,
+    tau2: float,
+    lambda1: float,
+    loss2_chunk_size: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Rank-1 spectral alignment loss.
+
+    ``features``: [B, D, M] — B samples, D feature dim, M modalities.
+
+    Per sample, L2-normalise each modality column, take the SVD and push all
+    spectral mass onto sigma_1 (loss1 = CE(S/tau1, class 0)); then InfoNCE over
+    dominant left-singular directions across the batch (loss2, optionally
+    chunked into groups of ``loss2_chunk_size``).
+
+    Returns (loss1 + lambda1*loss2, mean singular values [M]).
+    """
+    eps = 1e-8
+    norms = jnp.linalg.norm(features, axis=1, keepdims=True)  # [B,1,M]
+    feats = features / (norms + eps)
+
+    # Reduced SVD: we only consume S and U[:, :, 0]; identical to the
+    # reference's full_matrices=True for those outputs, at a fraction of cost.
+    U, S, _ = jnp.linalg.svd(feats, full_matrices=False)  # U:[B,D,M] S:[B,M]
+    svd_values = jnp.mean(S, axis=0)
+
+    loss1 = cross_entropy(S / tau1, jnp.zeros((S.shape[0],), jnp.int32))
+
+    U1 = U[:, :, 0]  # [B, D]
+    B = U1.shape[0]
+    if loss2_chunk_size is None or loss2_chunk_size >= B:
+        logits = jnp.dot(U1, U1.T, preferred_element_type=jnp.float32) / tau2
+        loss2 = cross_entropy(logits, jnp.arange(B))
+    else:
+        c = max(1, int(loss2_chunk_size))
+        full = (B // c) * c
+        total = jnp.asarray(0.0, U1.dtype)
+        if full > 0:
+            groups = U1[:full].reshape(-1, c, U1.shape[1])  # [G,c,D]
+            logits_gc = jnp.einsum("gxd,gyd->gxy", groups, groups) / tau2
+            targets = jnp.tile(jnp.arange(c), full // c)
+            total = total + cross_entropy(
+                logits_gc.reshape(-1, c), targets, reduction="sum"
+            )
+        if full < B:
+            tail = U1[full:]
+            logits_t = jnp.dot(tail, tail.T, preferred_element_type=jnp.float32) / tau2
+            total = total + cross_entropy(
+                logits_t, jnp.arange(tail.shape[0]), reduction="sum"
+            )
+        loss2 = total / B
+
+    return loss1 + lambda1 * loss2, svd_values
+
+
+def rank1_svd_loss_from_dict(
+    aligned: Dict[str, jax.Array],
+    tau1: float,
+    tau2: float,
+    lambda1: float,
+    loss2_chunk_size: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Stack a dict of per-modality [B, D] features (sorted keys) and apply
+    :func:`rank1_svd_loss`."""
+    feats = jnp.stack([aligned[k] for k in sorted(aligned)], axis=-1)  # [B,D,M]
+    return rank1_svd_loss(feats, tau1, tau2, lambda1, loss2_chunk_size)
+
+
+# ---------------------------------------------------------------------------
+# Gram-volume contrastive loss
+# ---------------------------------------------------------------------------
+
+def _pairwise_gram(anchor: jax.Array, others: Sequence[jax.Array]) -> jax.Array:
+    """G[b1, b2] = Gram matrix of [anchor[b1], others[0][b2], ...].
+
+    anchor [B1,D], each other [B2,D] -> G [B1,B2,K+1,K+1], K = len(others).
+    """
+    B1, B2 = anchor.shape[0], others[0].shape[0]
+    aa = jnp.einsum("bi,bi->b", anchor, anchor)  # [B1]
+    aa = jnp.broadcast_to(aa[:, None], (B1, B2))
+    a_o = [jnp.dot(anchor, o.T, preferred_element_type=jnp.float32) for o in others]
+    oo = [
+        [
+            jnp.broadcast_to(jnp.einsum("bi,bi->b", o1, o2)[None, :], (B1, B2))
+            for o2 in others
+        ]
+        for o1 in others
+    ]
+    row0 = jnp.stack([aa] + a_o, axis=-1)  # [B1,B2,K+1]
+    rows = [row0]
+    for i in range(len(others)):
+        rows.append(jnp.stack([a_o[i]] + oo[i], axis=-1))
+    return jnp.stack(rows, axis=-2)  # [B1,B2,K+1,K+1]
+
+
+def volume_loss(
+    feature_list: Sequence[jax.Array],
+    tau1: float,
+    label_smoothing: float = 0.1,
+) -> Tuple[jax.Array, jax.Array]:
+    """Bidirectional CE over negative Gram volumes.
+
+    vol(b1,b2) = sqrt(|det G(b1,b2)|); matching pairs (diagonal) should have
+    the *smallest* volume, so logits = -vol/tau1.  The eigenvalue monitor uses
+    eigh (float32 here; the reference escapes to float64 purely for logging).
+    """
+    anchor, others = feature_list[0], list(feature_list[1:])
+    G = _pairwise_gram(anchor, others)
+    evals = jnp.linalg.eigvalsh(G)  # [B1,B2,K+1] ascending
+    evals = jnp.maximum(evals, 0.0)
+    det = jnp.linalg.det(G)
+    vol = jnp.sqrt(jnp.abs(det))  # [B1,B2]
+
+    B = vol.shape[0]
+    targets = jnp.arange(B)
+    loss = 0.5 * (
+        cross_entropy(-vol / tau1, targets, label_smoothing=label_smoothing)
+        + cross_entropy(-vol.T / tau1, targets, label_smoothing=label_smoothing)
+    )
+    svd_values = jnp.sort(jnp.mean(evals, axis=(0, 1)))[::-1]
+    return loss, svd_values
+
+
+# ---------------------------------------------------------------------------
+# CLIP bidirectional InfoNCE
+# ---------------------------------------------------------------------------
+
+def clip_alignment_loss(
+    anchor: jax.Array,
+    other: jax.Array,
+    logit_scale: jax.Array,
+) -> jax.Array:
+    """Bidirectional InfoNCE between L2-normalised anchor/other [B, D]."""
+    a = anchor / (jnp.linalg.norm(anchor, axis=-1, keepdims=True) + 1e-8)
+    o = other / (jnp.linalg.norm(other, axis=-1, keepdims=True) + 1e-8)
+    logits = logit_scale * jnp.dot(a, o.T, preferred_element_type=jnp.float32)
+    targets = jnp.arange(a.shape[0])
+    return 0.5 * (cross_entropy(logits, targets) + cross_entropy(logits.T, targets))
+
+
+# ---------------------------------------------------------------------------
+# AUCM margin loss (libauc.losses.AUCMLoss semantics)
+# ---------------------------------------------------------------------------
+
+def aucm_loss(
+    y_pred: jax.Array,
+    y_true: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    alpha: jax.Array,
+    margin: float = 1.0,
+) -> jax.Array:
+    """AUC-margin min-max surrogate with learnable (a, b, alpha) scalars.
+
+    ``y_pred`` are score margins [N]; ``y_true`` binary labels [N].  The
+    positive ratio p is estimated from the batch, matching libauc's
+    imratio-free mode.
+    """
+    y = y_true.astype(y_pred.dtype)
+    pos = (y == 1).astype(y_pred.dtype)
+    neg = 1.0 - pos
+    p = jnp.mean(pos)
+    loss = (
+        (1.0 - p) * jnp.mean((y_pred - a) ** 2 * pos)
+        + p * jnp.mean((y_pred - b) ** 2 * neg)
+        + 2.0 * alpha * (
+            p * (1.0 - p) * margin
+            + jnp.mean(p * y_pred * neg - (1.0 - p) * y_pred * pos)
+        )
+        - p * (1.0 - p) * alpha**2
+    )
+    return jnp.squeeze(loss)

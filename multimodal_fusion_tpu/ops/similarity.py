@@ -1,0 +1,118 @@
+"""Pairwise similarity kernels.
+
+Math (reference: ``build_hypergraph/similarity_kernel.py:17-124``)::
+
+    kappa_h(i,j) = exp(-lambda_h * ||h_i - h_j||^2)   (morphological)
+    kappa_g(i,j) = exp(-lambda_g * ||g_i - g_j||^2)   (spatial)
+    kappa       = kappa_h * kappa_g
+
+Squared distances use the ``||a||^2 + ||b||^2 - 2 a.b`` expansion so the
+dominant cost is a single [N,D]x[D,N] matmul on the MXU.  All functions are
+jit-friendly (static shapes, optional validity masks for padded inputs).
+
+A fused Pallas kernel for the combined similarity lives in
+``ops/pallas_similarity.py``; these XLA versions are the reference/oracle
+implementations and the fallback on CPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sq_dists(a: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
+    """Pairwise squared L2 distances between rows of ``a`` [N,D] and ``b`` [M,D]."""
+    if b is None:
+        b = a
+    a_sq = jnp.sum(a * a, axis=-1, keepdims=True)  # [N,1]
+    b_sq = jnp.sum(b * b, axis=-1, keepdims=True)  # [M,1]
+    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)  # [N,M] on MXU
+    return a_sq + b_sq.T - 2.0 * ab
+
+
+@partial(jax.jit, static_argnames=())
+def morphological_similarity(features: jax.Array, lambda_h: float = 1.0) -> jax.Array:
+    """K_h = exp(-lambda_h * ||h_i - h_j||^2) for features [N,D] -> [N,N]."""
+    return jnp.exp(-lambda_h * pairwise_sq_dists(features))
+
+
+@partial(jax.jit, static_argnames=())
+def spatial_similarity(positions: jax.Array, lambda_g: float = 1.0) -> jax.Array:
+    """K_g = exp(-lambda_g * ||g_i - g_j||^2) for positions [N,2|3] -> [N,N]."""
+    return jnp.exp(-lambda_g * pairwise_sq_dists(positions))
+
+
+@partial(jax.jit, static_argnames=())
+def combined_similarity(
+    features: jax.Array,
+    positions: jax.Array,
+    lambda_h: float = 1.0,
+    lambda_g: float = 1.0,
+) -> jax.Array:
+    """K = K_h * K_g.  Fused as a single exp of the weighted sum of distances
+    (mathematically identical to the reference's product of exponentials but
+    one transcendental instead of two)."""
+    d_h = pairwise_sq_dists(features)
+    d_g = pairwise_sq_dists(positions)
+    return jnp.exp(-(lambda_h * d_h + lambda_g * d_g))
+
+
+def cross_similarity(
+    a: jax.Array, b: jax.Array, lam: float = 1.0
+) -> jax.Array:
+    """exp(-lam * ||a_i - b_j||^2) between two row sets [N,D] x [M,D] -> [N,M].
+
+    Used for WSI-super x TMA morphological similarity
+    (reference: preprocess_hypergraph.py:202-267, which loops rows in Python —
+    here a single batched kernel)."""
+    return jnp.exp(-lam * pairwise_sq_dists(a, b))
+
+
+def median_offdiag(K: jax.Array, n_valid: Optional[jax.Array] = None) -> jax.Array:
+    """Median of the off-diagonal entries of a [N,N] similarity matrix.
+
+    With padding, ``n_valid`` masks rows/cols >= n_valid out of the statistic
+    by replacing them with NaN and using ``nanmedian`` (exactly the reference's
+    median over the N*(N-1) off-diagonal entries when unpadded; reference:
+    similarity_kernel.py:183-186)."""
+    n = K.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+    if n_valid is None:
+        vals = jnp.where(eye, jnp.nan, K)
+    else:
+        idx = jnp.arange(n)
+        valid = (idx[:, None] < n_valid) & (idx[None, :] < n_valid)
+        vals = jnp.where(eye | ~valid, jnp.nan, K)
+    return jnp.nanmedian(vals)
+
+
+def threshold_edge_mask(
+    K: jax.Array,
+    threshold: jax.Array,
+    n_valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Boolean [N,N] mask of edges with similarity >= threshold.
+
+    The reference keeps self-loops and both (i,j)/(j,i) directions
+    (similarity_kernel.py:193-202 iterates the full N^2 grid), so no diagonal
+    or symmetry filtering happens here."""
+    mask = K >= threshold
+    if n_valid is not None:
+        idx = jnp.arange(K.shape[0])
+        valid = (idx[:, None] < n_valid) & (idx[None, :] < n_valid)
+        mask = mask & valid
+    return mask
+
+
+def mean_pool(features: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+    """Global mean feature [1,D] (reference: similarity_kernel.py:214-238)."""
+    if mask is None:
+        return jnp.mean(features, axis=0, keepdims=True)
+    w = mask.astype(features.dtype)[:, None]
+    return jnp.sum(features * w, axis=0, keepdims=True) / jnp.maximum(
+        jnp.sum(w), 1.0
+    )

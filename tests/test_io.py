@@ -1,0 +1,96 @@
+import json
+
+import numpy as np
+
+from multimodal_fusion_tpu.config import Configs, ModelConfig, model_size_dims
+from multimodal_fusion_tpu.io.h5io import (
+    PatientH5,
+    read_channel,
+    write_channel,
+    read_hypergraph_group,
+    write_hypergraph_group,
+)
+from multimodal_fusion_tpu.io.fixtures import make_synthetic_dataset, make_alignment_npz_fixtures
+
+
+def test_h5_roundtrip(tmp_path, rng):
+    p = tmp_path / "x.h5"
+    feats = rng.standard_normal((10, 8)).astype(np.float32)
+    write_channel(p, "wsi=features", feats)
+    write_channel(p, "tma=cd3=features", feats[:2])
+    got = read_channel(p, "wsi=features")
+    np.testing.assert_array_equal(got, feats)
+    ph = PatientH5(p)
+    assert ph.has("tma=cd3=features")
+    assert not ph.has("clinical=val")
+    assert ph.channels()["wsi/features"] == (10, 8)
+
+
+def test_hypergraph_group_roundtrip(tmp_path, rng):
+    p = tmp_path / "x.h5"
+    arrays = {
+        "wsi_super/features": rng.standard_normal((5, 8)).astype(np.float32),
+        "edge_index": np.array([[0, 1], [1, 0]], np.int64),
+        "edge_weights": np.array([0.5, 0.5], np.float32),
+        "similarity/wsi_internal": rng.standard_normal((5, 5)).astype(np.float32),
+    }
+    write_hypergraph_group(p, arrays, stats={"n_edges": 2})
+    out = read_hypergraph_group(p)
+    np.testing.assert_array_equal(out["edge_index"], arrays["edge_index"])
+    assert out["__stats__"]["n_edges"] == 2
+    # similarity excluded
+    write_hypergraph_group(p, arrays, save_similarity=False)
+    out2 = read_hypergraph_group(p)
+    assert "similarity/wsi_internal" not in out2
+
+
+def test_fixture_dataset(tmp_path):
+    csv_path = make_synthetic_dataset(tmp_path, n_patients=3, feature_dim=32)
+    lines = csv_path.read_text().strip().split("\n")
+    assert lines[0] == "patient_id,case_id,label,h5_file_path"
+    assert len(lines) == 4
+    rel = lines[1].split(",")[-1]
+    f = read_channel(tmp_path / rel, "wsi=features")
+    assert f.shape[1] == 32
+    assert read_channel(tmp_path / rel, "clinical=val").shape == (1, 16)
+
+
+def test_alignment_npz_fixture(tmp_path):
+    paths = make_alignment_npz_fixtures(tmp_path, n_cores=4, patches_per_core=2, feature_dim=16)
+    assert len(paths) == 8
+    d = np.load(paths["cd3"])
+    keys = list(d.keys())
+    assert len(keys) == 4
+    assert keys[0].startswith("cd3_block")
+    assert d[keys[0]].shape == (2, 16)
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = Configs()
+    cfg.model_config.model_type = "clam"
+    cfg.model_config.extra["custom_flag"] = 7
+    cfg.experiment_config.target_channels = ["wsi=features"]
+    path = tmp_path / "configs_test.json"
+    cfg.save(path)
+    loaded = Configs.load(path)
+    assert loaded.model_config.model_type == "clam"
+    assert loaded.model_config.get("custom_flag") == 7
+    assert loaded.experiment_config.target_channels == ["wsi=features"]
+    # raw JSON keeps reference's top-level shape
+    raw = json.loads(path.read_text())
+    assert set(raw) == {"experiment_config", "model_config"}
+
+
+def test_model_size_dims():
+    assert model_size_dims(1024, "64*32") == (1024, 64, 32)
+    assert model_size_dims(512, "small") == (512, 512, 256)
+    import pytest
+
+    with pytest.raises(ValueError):
+        model_size_dims(1024, "7*3")
+
+
+def test_model_config_get_defaults():
+    mc = ModelConfig(model_type="clam")
+    assert mc.get("alignment_channels", ["a"]) == ["a"]
+    assert mc.get("nonexistent", 5) == 5

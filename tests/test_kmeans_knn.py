@@ -1,0 +1,92 @@
+"""KMeans/KNN kernels: structural parity with sklearn on well-separated data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodal_fusion_tpu.ops.kmeans import kmeans, kmeans_plus_plus_init
+from multimodal_fusion_tpu.ops.knn import knn_indices, knn_edges
+
+
+def _blobs(rng, k=4, per=20, d=8, spread=0.05):
+    centers = rng.standard_normal((k, d)) * 5.0
+    pts = np.concatenate([c + spread * rng.standard_normal((per, d)) for c in centers])
+    return pts.astype(np.float32), np.repeat(np.arange(k), per)
+
+
+def test_kmeans_recovers_blobs(rng):
+    x, true = _blobs(rng)
+    res = kmeans(jax.random.key(0), jnp.asarray(x), k=4, n_init=4)
+    labels = np.asarray(res.labels)
+    # each true cluster maps to exactly one predicted cluster
+    for c in range(4):
+        assert len(np.unique(labels[true == c])) == 1
+    assert len(np.unique(labels)) == 4
+    assert float(res.inertia) < 1.0 * x.shape[0]
+
+
+def test_kmeans_matches_sklearn_inertia(rng):
+    from sklearn.cluster import KMeans as SkKMeans
+
+    x, _ = _blobs(rng, k=3, per=30, spread=0.5)
+    sk = SkKMeans(n_clusters=3, random_state=42, n_init=10).fit(x)
+    res = kmeans(jax.random.key(42), jnp.asarray(x), k=3, n_init=10)
+    # structural parity: same (near-optimal) solution quality
+    assert float(res.inertia) <= sk.inertia_ * 1.02
+
+
+def test_kmeans_masked_padding(rng):
+    x, _ = _blobs(rng, k=2, per=10, d=4, spread=0.1)
+    pad = np.full((12, 4), 100.0, np.float32)  # far-away garbage
+    xp = np.concatenate([x, pad])
+    mask = np.arange(32) < 20
+    res = kmeans(jax.random.key(1), jnp.asarray(xp), k=2, n_init=4, mask=jnp.asarray(mask))
+    res_ref = kmeans(jax.random.key(1), jnp.asarray(x), k=2, n_init=4)
+    got = np.sort(np.asarray(res.centers), axis=0)
+    want = np.sort(np.asarray(res_ref.centers), axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_kmeans_deterministic():
+    x = np.random.default_rng(7).standard_normal((50, 6)).astype(np.float32)
+    r1 = kmeans(jax.random.key(3), jnp.asarray(x), k=5)
+    r2 = kmeans(jax.random.key(3), jnp.asarray(x), k=5)
+    np.testing.assert_array_equal(np.asarray(r1.labels), np.asarray(r2.labels))
+
+
+def test_kmeans_plus_plus_picks_valid_rows(rng):
+    x = rng.standard_normal((30, 4)).astype(np.float32)
+    centers = kmeans_plus_plus_init(jax.random.key(0), jnp.asarray(x), 5)
+    c = np.asarray(centers)
+    # every center must be one of the input rows
+    for row in c:
+        assert np.min(np.abs(x - row).sum(1)) < 1e-6
+
+
+def test_knn_matches_sklearn(rng):
+    from sklearn.neighbors import NearestNeighbors
+
+    x = rng.standard_normal((40, 6)).astype(np.float32)
+    k = 5
+    sk = NearestNeighbors(n_neighbors=k, metric="euclidean").fit(x)
+    d_sk, i_sk = sk.kneighbors(x)
+    d, i = knn_indices(jnp.asarray(x), k)
+    # f32 ||a||^2+||b||^2-2ab expansion loses ~1e-1 absolute near-zero
+    np.testing.assert_allclose(np.asarray(d), d_sk, rtol=2e-2, atol=2e-1)
+    # indices may differ on exact ties; compare distance-sorted sets
+    assert (np.sort(np.asarray(i), 1) == np.sort(i_sk, 1)).mean() > 0.99
+
+
+def test_knn_masked(rng):
+    x = rng.standard_normal((10, 3)).astype(np.float32)
+    xp = np.concatenate([x, np.zeros((6, 3), np.float32)])
+    mask = np.arange(16) < 10
+    d, i = knn_indices(jnp.asarray(xp), 3, mask=jnp.asarray(mask))
+    assert (np.asarray(i)[:10] < 10).all()
+
+
+def test_knn_edges_shape():
+    idx = jnp.asarray([[0, 1], [1, 0], [2, 1]])
+    e = np.asarray(knn_edges(idx))
+    assert e.shape == (6, 2)
+    assert (e[:, 0] == [0, 0, 1, 1, 2, 2]).all()

@@ -1,0 +1,160 @@
+"""Loss functions vs NumPy oracles (math transcribed from the reference:
+alignment/trainer.py:157-322, svd_gate_random_clam.py:107-157)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from multimodal_fusion_tpu.ops.losses import (
+    cross_entropy,
+    binary_cross_entropy,
+    rank1_svd_loss,
+    volume_loss,
+    clip_alignment_loss,
+    aucm_loss,
+)
+
+
+def np_ce(logits, labels, smoothing=0.0, reduction="mean"):
+    logits = logits - logits.max(-1, keepdims=True)
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    n = logits.shape[-1]
+    onehot = np.eye(n)[labels]
+    if smoothing:
+        onehot = onehot * (1 - smoothing) + smoothing / n
+    nll = -(onehot * logp).sum(-1)
+    return nll.mean() if reduction == "mean" else nll.sum()
+
+
+def test_cross_entropy(rng):
+    logits = rng.standard_normal((7, 4)).astype(np.float32)
+    labels = rng.integers(0, 4, 7)
+    got = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+    assert abs(got - np_ce(logits, labels)) < 1e-5
+    got_s = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels), label_smoothing=0.1))
+    assert abs(got_s - np_ce(logits, labels, 0.1)) < 1e-5
+
+
+def test_bce(rng):
+    p = rng.random(10).astype(np.float32)
+    t = rng.integers(0, 2, 10).astype(np.float32)
+    want = -(t * np.log(p) + (1 - t) * np.log(1 - p)).mean()
+    got = float(binary_cross_entropy(jnp.asarray(p), jnp.asarray(t)))
+    assert abs(got - want) < 1e-4
+
+
+def _np_rank1(features, tau1, tau2, lambda1, chunk=None):
+    """NumPy oracle of the rank-1 loss."""
+    eps = 1e-8
+    f = features / (np.linalg.norm(features, axis=1, keepdims=True) + eps)
+    U, S, _ = np.linalg.svd(f, full_matrices=False)
+    loss1 = np_ce(S / tau1, np.zeros(S.shape[0], int))
+    U1 = U[:, :, 0]
+    B = U1.shape[0]
+    # sign convention: U1 sign is arbitrary but U1@U1.T is NOT sign invariant
+    # per-row... it is invariant only under global sign flips per-sample:
+    # (s_i U1_i)·(s_j U1_j) differs. The reference relies on torch's SVD sign
+    # convention. For the oracle we align signs with the JAX output upstream,
+    # so here we just compute with numpy's own convention and the test uses
+    # sign-aligned inputs (rank-1 dominated, positive first component).
+    if chunk is None or chunk >= B:
+        loss2 = np_ce(U1 @ U1.T / tau2, np.arange(B))
+    else:
+        c = chunk
+        full = (B // c) * c
+        tot = 0.0
+        if full:
+            g = U1[:full].reshape(-1, c, U1.shape[1])
+            lg = np.einsum("gxd,gyd->gxy", g, g) / tau2
+            tg = np.tile(np.arange(c), full // c)
+            tot += np_ce(lg.reshape(-1, c), tg, reduction="sum")
+        if full < B:
+            t = U1[full:]
+            tot += np_ce(t @ t.T / tau2, np.arange(t.shape[0]), reduction="sum")
+        loss2 = tot / B
+    return loss1 + lambda1 * loss2, S.mean(0)
+
+
+def _sign_canonical_features(rng, B=6, D=16, M=3):
+    """Features whose dominant singular direction is unambiguous in sign
+    (strictly positive entries) so torch/numpy/jax SVD agree up to rounding."""
+    base = np.abs(rng.standard_normal((B, D, 1))) + 0.5
+    f = base + 0.05 * rng.standard_normal((B, D, M))
+    return np.abs(f).astype(np.float32)
+
+
+def test_rank1_svd_loss_matches_oracle(rng):
+    f = _sign_canonical_features(rng)
+    want, want_s = _np_rank1(f, 0.1, 0.1, 1.0)
+    got, got_s = rank1_svd_loss(jnp.asarray(f), 0.1, 0.1, 1.0)
+    assert abs(float(got) - want) < 1e-3
+    np.testing.assert_allclose(np.asarray(got_s), want_s, rtol=1e-4, atol=1e-4)
+
+
+def test_rank1_svd_loss_chunked(rng):
+    f = _sign_canonical_features(rng, B=7)
+    want, _ = _np_rank1(f, 0.1, 0.2, 0.5, chunk=3)
+    got, _ = rank1_svd_loss(jnp.asarray(f), 0.1, 0.2, 0.5, loss2_chunk_size=3)
+    assert abs(float(got) - want) < 1e-3
+
+
+def test_rank1_chunk_equals_full_when_chunk_big(rng):
+    f = _sign_canonical_features(rng, B=5)
+    a, _ = rank1_svd_loss(jnp.asarray(f), 0.1, 0.1, 1.0, loss2_chunk_size=None)
+    b, _ = rank1_svd_loss(jnp.asarray(f), 0.1, 0.1, 1.0, loss2_chunk_size=99)
+    assert abs(float(a) - float(b)) < 1e-6
+
+
+def _np_volume(feats, tau1):
+    """NumPy oracle of the volume loss (reference trainer.py:157-225)."""
+    anchor, others = feats[0], feats[1:]
+    B1, B2 = anchor.shape[0], others[0].shape[0]
+    K = len(others)
+    G = np.zeros((B1, B2, K + 1, K + 1))
+    for b1 in range(B1):
+        for b2 in range(B2):
+            vecs = [anchor[b1]] + [o[b2] for o in others]
+            G[b1, b2] = np.array([[u @ v for v in vecs] for u in vecs])
+    vol = np.sqrt(np.abs(np.linalg.det(G)))
+    targets = np.arange(B1)
+    loss = 0.5 * (
+        np_ce(-vol / tau1, targets, smoothing=0.1)
+        + np_ce(-vol.T / tau1, targets, smoothing=0.1)
+    )
+    return loss
+
+
+def test_volume_loss_matches_oracle(rng):
+    feats = [rng.standard_normal((5, 6)).astype(np.float32) * 0.5 for _ in range(3)]
+    want = _np_volume(feats, 0.1)
+    got, evals = volume_loss([jnp.asarray(f) for f in feats], 0.1)
+    assert abs(float(got) - want) < 1e-3
+    assert evals.shape == (3,)
+    e = np.asarray(evals)
+    assert (e[:-1] >= e[1:] - 1e-6).all()  # descending
+
+
+def test_clip_loss_perfect_alignment_low(rng):
+    x = rng.standard_normal((8, 16)).astype(np.float32)
+    y = rng.standard_normal((8, 16)).astype(np.float32)
+    aligned = float(clip_alignment_loss(jnp.asarray(x), jnp.asarray(x), jnp.asarray(1 / 0.07)))
+    random = float(clip_alignment_loss(jnp.asarray(x), jnp.asarray(y), jnp.asarray(1 / 0.07)))
+    assert aligned < random
+
+
+def test_aucm_loss_oracle(rng):
+    pred = rng.standard_normal(12).astype(np.float32)
+    y = rng.integers(0, 2, 12)
+    a, b, alpha, m = 0.3, -0.2, 0.5, 1.0
+    pos = (y == 1).astype(np.float64)
+    neg = 1 - pos
+    p = pos.mean()
+    want = (
+        (1 - p) * np.mean((pred - a) ** 2 * pos)
+        + p * np.mean((pred - b) ** 2 * neg)
+        + 2 * alpha * (p * (1 - p) * m + np.mean(p * pred * neg - (1 - p) * pred * pos))
+        - p * (1 - p) * alpha**2
+    )
+    got = float(
+        aucm_loss(jnp.asarray(pred), jnp.asarray(y), jnp.asarray(a), jnp.asarray(b), jnp.asarray(alpha), m)
+    )
+    assert abs(got - want) < 1e-4

@@ -1,0 +1,87 @@
+"""Similarity kernels vs NumPy oracles (math transcribed from
+reference build_hypergraph/similarity_kernel.py:17-124)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from multimodal_fusion_tpu.ops.similarity import (
+    pairwise_sq_dists,
+    morphological_similarity,
+    spatial_similarity,
+    combined_similarity,
+    cross_similarity,
+    median_offdiag,
+    threshold_edge_mask,
+    mean_pool,
+)
+
+
+def _np_sq_dists(a, b):
+    return ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+
+
+def test_pairwise_sq_dists(rng):
+    a = rng.standard_normal((17, 8)).astype(np.float32)
+    b = rng.standard_normal((9, 8)).astype(np.float32)
+    got = np.asarray(pairwise_sq_dists(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, _np_sq_dists(a, b), rtol=1e-4, atol=1e-4)
+
+
+def test_morphological_similarity(rng):
+    x = rng.standard_normal((12, 16)).astype(np.float32) * 0.3
+    lam = 0.7
+    want = np.exp(-lam * _np_sq_dists(x, x))
+    got = np.asarray(morphological_similarity(jnp.asarray(x), lam))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_combined_equals_product(rng):
+    f = rng.standard_normal((10, 8)).astype(np.float32) * 0.3
+    p = rng.standard_normal((10, 2)).astype(np.float32)
+    kh = np.asarray(morphological_similarity(jnp.asarray(f), 0.5))
+    kg = np.asarray(spatial_similarity(jnp.asarray(p), 0.2))
+    k = np.asarray(combined_similarity(jnp.asarray(f), jnp.asarray(p), 0.5, 0.2))
+    np.testing.assert_allclose(k, kh * kg, rtol=1e-4, atol=1e-5)
+
+
+def test_cross_similarity(rng):
+    a = rng.standard_normal((6, 8)).astype(np.float32) * 0.2
+    b = rng.standard_normal((4, 8)).astype(np.float32) * 0.2
+    want = np.exp(-1.3 * _np_sq_dists(a, b))
+    got = np.asarray(cross_similarity(jnp.asarray(a), jnp.asarray(b), 1.3))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_median_offdiag(rng):
+    x = rng.standard_normal((9, 4)).astype(np.float32) * 0.3
+    K = np.asarray(morphological_similarity(jnp.asarray(x), 1.0))
+    want = np.median(K[~np.eye(9, dtype=bool)])
+    got = float(median_offdiag(jnp.asarray(K)))
+    assert abs(got - want) < 1e-5
+
+
+def test_median_offdiag_padded(rng):
+    x = rng.standard_normal((6, 4)).astype(np.float32) * 0.3
+    K6 = np.asarray(morphological_similarity(jnp.asarray(x), 1.0))
+    want = np.median(K6[~np.eye(6, dtype=bool)])
+    # pad to 10 with garbage
+    Kp = np.full((10, 10), 7.7, np.float32)
+    Kp[:6, :6] = K6
+    got = float(median_offdiag(jnp.asarray(Kp), n_valid=jnp.asarray(6)))
+    assert abs(got - want) < 1e-5
+
+
+def test_threshold_edge_mask_keeps_diag_and_both_directions(rng):
+    x = rng.standard_normal((7, 4)).astype(np.float32)
+    K = np.asarray(morphological_similarity(jnp.asarray(x), 1.0))
+    thr = float(np.median(K[~np.eye(7, dtype=bool)]))
+    m = np.asarray(threshold_edge_mask(jnp.asarray(K), thr))
+    assert m.diagonal().all()  # self-similarity 1.0 >= thr
+    np.testing.assert_array_equal(m, K >= thr)
+
+
+def test_mean_pool_masked(rng):
+    x = rng.standard_normal((8, 5)).astype(np.float32)
+    mask = np.array([1, 1, 1, 0, 0, 0, 0, 0], bool)
+    got = np.asarray(mean_pool(jnp.asarray(x), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, x[:3].mean(0, keepdims=True), rtol=1e-5, atol=1e-6)

@@ -63,10 +63,10 @@ def test_kmeans_plus_plus_picks_valid_rows(rng):
         assert np.min(np.abs(x - row).sum(1)) < 1e-6
 
 
-def test_knn_matches_sklearn(rng):
+def test_knn_matches_sklearn():
     from sklearn.neighbors import NearestNeighbors
 
-    x = rng.standard_normal((40, 6)).astype(np.float32)
+    x = np.random.default_rng(123).standard_normal((40, 6)).astype(np.float32)
     k = 5
     sk = NearestNeighbors(n_neighbors=k, metric="euclidean").fit(x)
     d_sk, i_sk = sk.kneighbors(x)

@@ -1,0 +1,337 @@
+"""SVD/CLIP gate-random CLAM family — the flagship fusion models.
+
+Reference semantics:
+- SVDGateRandomClam: downstream_survival/models/svd_gate_random_clam.py:8-315
+- SVDGateRandomClamDetach: svd_gate_random_clam_detach.py:8-140
+- ClipGateRandomClam: clip_gate_random_clam.py:7-122
+- ClipGateRandomClamDetach: clip_gate_random_clam_detach.py:8
+- DeepSuperviseSVDGateRandomClam(+Detach): deep_supervise_svd_gate_random*.py
+
+Behavioural-parity notes (SURVEY.md §7 "known reference bugs"):
+- ``gated_forward`` in the reference overwrites the per-channel TCP losses
+  each iteration and then adds the value to itself, so the returned losses
+  equal 2x the LAST (sorted) channel's loss.  We replicate that exactly.
+- ``loss_fn`` sums every result key ending in ``_loss`` — which double-counts
+  ``total_inst_loss`` (already folded into ``clam_loss``) and includes
+  ``random_partial_loss`` on top of the hinge term.  Replicated exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from multimodal_fusion_tpu.config import ModelConfig
+from multimodal_fusion_tpu.models.base import Case, Result
+from multimodal_fusion_tpu.models.clam_mlp import CLAM_CHANNELS, ClamMLP
+from multimodal_fusion_tpu.models.common import dropout, split_keys, torch_linear
+from multimodal_fusion_tpu.ops.losses import cross_entropy, rank1_svd_loss
+
+
+class TCPClassifier(nnx.Module):
+    """Linear -> ReLU -> Dropout -> Linear (reference svd_gate_random_clam.py:44-49)."""
+
+    def __init__(self, in_dim: int, hidden: int, n_classes: int, rate: float, rngs: nnx.Rngs):
+        self.fc1 = torch_linear(in_dim, hidden, rngs)
+        self.fc2 = torch_linear(hidden, n_classes, rngs)
+        self.rate = rate
+
+    def __call__(self, x, *, key=None, train=False):
+        h = jax.nn.relu(self.fc1(x))
+        h = dropout(h, self.rate, key, train)
+        return self.fc2(h)
+
+
+class TCPConfidence(nnx.Module):
+    """Linear -> Linear -> Linear -> Dropout (reference :51-56; no nonlinearity)."""
+
+    def __init__(self, in_dim: int, h1: int, h2: int, rate: float, rngs: nnx.Rngs):
+        self.fc1 = torch_linear(in_dim, h1, rngs)
+        self.fc2 = torch_linear(h1, h2, rngs)
+        self.fc3 = torch_linear(h2, 1, rngs)
+        self.rate = rate
+
+    def __call__(self, x, *, key=None, train=False):
+        out = self.fc3(self.fc2(self.fc1(x)))
+        return dropout(out, self.rate, key, train)
+
+
+class AlignmentStack(nnx.Module):
+    """num_layers stacked Linear(out_dim, out_dim), no nonlinearity
+    (reference :63-68)."""
+
+    def __init__(self, dim: int, num_layers: int, rngs: nnx.Rngs):
+        self.layers = nnx.List([torch_linear(dim, dim, rngs) for _ in range(num_layers)])
+
+    def __call__(self, x):
+        for l in self.layers:
+            x = l(x)
+        return x
+
+
+class SVDGateRandomClam(ClamMLP):
+    def __init__(self, config: ModelConfig, rngs: nnx.Rngs):
+        super().__init__(config, rngs)
+        self.enable_dynamic_gate = config.get("enable_dynamic_gate", True)
+        self.enable_svd = config.get("enable_svd", True)
+        self.enable_random_loss = config.get("enable_random_loss", True)
+        self.weight_random_loss = config.get("weight_random_loss", 0.1)
+        self.return_svd_features = config.get("return_svd_features", False)
+
+        if self.enable_dynamic_gate:
+            self.tcp_classifiers = nnx.Dict({
+                ch: TCPClassifier(self.output_dim, self.size[1], self.n_classes, self.dropout_rate, rngs)
+                for ch in self.used_modality
+            })
+            self.tcp_confidence = nnx.Dict({
+                ch: TCPConfidence(self.output_dim, self.size[1], self.size[2], self.dropout_rate, rngs)
+                for ch in self.used_modality
+            })
+        if self.enable_svd:
+            align_chs = config.get("alignment_channels") or self.used_modality
+            self.alignment_channels = sorted(align_chs)
+            self.tau1 = config.get("tau1", 0.1)
+            self.tau2 = config.get("tau2", 0.1)
+            self.lambda1 = config.get("lambda1", 1.0)
+            self.lambda2 = config.get("lambda2", 0.1)
+            self.loss2_chunk_size = config.get("loss2_chunk_size")
+            num_layers = config.get("alignment_layer_num", 2)
+            self.alignment_layers = nnx.Dict({
+                ch: AlignmentStack(self.output_dim, num_layers, rngs)
+                for ch in self.alignment_channels
+            })
+
+    # ------------------------------------------------------------------
+
+    def gated_forward(
+        self, features: Dict[str, jax.Array], label, *, key=None, train=False
+    ) -> Tuple[Dict[str, jax.Array], jax.Array, jax.Array]:
+        """TCP dynamic gate.  NOTE: loss accumulation intentionally replicates
+        the reference bug — per-channel losses overwrite, then double; the
+        returned losses are 2x the last sorted channel's
+        (reference svd_gate_random_clam.py:74-89)."""
+        labels = jnp.asarray(label)[None]
+        gated: Dict[str, jax.Array] = {}
+        logits_loss = jnp.asarray(0.0)
+        confidence_loss = jnp.asarray(0.0)
+        keys = split_keys(key, 2 * len(features))
+        for i, ch in enumerate(sorted(features)):
+            feat = features[ch]
+            logits = self.tcp_classifiers[ch](feat, key=keys[2 * i], train=train)
+            logits_loss = cross_entropy(logits, labels)  # overwrite (ref bug)
+            confidence = self.tcp_confidence[ch](feat, key=keys[2 * i + 1], train=train)
+            pred = jax.nn.softmax(logits, axis=1)
+            p_target = pred[jnp.arange(labels.shape[0]), labels]
+            confidence_loss = jnp.mean((confidence.reshape(-1) - p_target) ** 2)
+            gated[ch] = feat * confidence
+            logits_loss = logits_loss + logits_loss  # double (ref bug)
+            confidence_loss = confidence_loss + confidence_loss
+        return gated, logits_loss, confidence_loss
+
+    def align_forward(self, features: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        return {ch: self.alignment_layers[ch](features[ch]) for ch in sorted(features)}
+
+    def _random_partial_loss(
+        self, features: Dict[str, jax.Array], label, key
+    ) -> jax.Array:
+        """Randomly zero 1..M-1 modalities, refuse the rest, CE on the partial
+        fusion (reference :244-255)."""
+        keys_sorted = sorted(features)
+        M = len(keys_sorted)
+        k1, k2 = jax.random.split(key)
+        r = jax.random.randint(k1, (), 1, M)  # drop count in [1, M-1]
+        ranks = jnp.argsort(jax.random.permutation(k2, M))
+        keep = (ranks >= r).astype(features[keys_sorted[0]].dtype)  # [M]
+        h_partial = jnp.concatenate(
+            [features[ch] * keep[i] for i, ch in enumerate(keys_sorted)], axis=1
+        )
+        logits = self.fusion_prediction(self._fusion_input(h_partial))
+        return self.base_loss(logits, jnp.asarray(label)[None])
+
+    def _fusion_input(self, h: jax.Array) -> jax.Array:
+        """Hook for detach variants (identity here)."""
+        return h
+
+    def _final_features(
+        self, features: Dict[str, jax.Array], *, key=None, drop_prob: Optional[float] = None
+    ) -> jax.Array:
+        return jnp.concatenate([features[ch] for ch in sorted(features)], axis=1)
+
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        case: Case,
+        label,
+        *,
+        key=None,
+        train: bool = False,
+        drop_prob: Optional[float] = None,
+    ) -> Result:
+        k_branch, k_gate, k_rand, k_drop = split_keys(key, 4)
+        features, aux = self.compute_branch_features(case, label, key=k_branch, train=train)
+        aux.update(self._deep_supervise(features, label))
+
+        if self.enable_svd:
+            if self.return_svd_features:
+                original = dict(features)
+                aligned = self.align_forward(features)
+                return {"features": original, "aligned_features": aligned}
+            features = self.align_forward(features)
+            # stash for the window-level SVD group loss: [M, output_dim]
+            aux["aligned_features_stack"] = jnp.stack(
+                [features[ch][0] for ch in sorted(features)], axis=0
+            )
+        if self.enable_dynamic_gate:
+            features, gll, gcl = self.gated_forward(features, label, key=k_gate, train=train)
+            aux["gated_gated_logits_loss"] = gll
+            aux["gated_gated_confidence_loss"] = gcl
+
+        if self.enable_random_loss and train:
+            aux["random_partial_loss"] = self._random_partial_loss(features, label, k_rand)
+
+        h = self._final_features(features, key=k_drop, drop_prob=None if train else drop_prob)
+        logits = self.fusion_prediction(self._fusion_input(h))
+        probs, preds = self.classify(logits)
+        aux["Y_prob"] = probs
+        aux["Y_hat"] = preds
+        return self.make_result(logits, probs, preds, **aux)
+
+    def _deep_supervise(self, features, label) -> Result:
+        """Overridden by the deep-supervise subclass."""
+        return {}
+
+    # ------------------------------------------------------------------
+
+    def loss_fn(self, logits, labels, result):
+        """base CE + sum of every '*_loss' result entry + MoFe hinge
+        (reference :269-281, quirks preserved — see module docstring)."""
+        total = jnp.asarray(0.0)
+        for k, v in result.items():
+            if k.endswith("_loss"):
+                total = total + v
+        base = self.base_loss(logits, labels)
+        if self.enable_random_loss and "random_partial_loss" in result:
+            total = total + jnp.maximum(base - result["random_partial_loss"], 0.0)
+        return base + total
+
+    def has_group_loss(self) -> bool:
+        return self.enable_svd
+
+    def group_loss_fn(self, window_results: Result) -> jax.Array:
+        """Rank-1 SVD loss over the accumulation window
+        (reference :283-303)."""
+        if not self.enable_svd:
+            return jnp.asarray(0.0)
+        stack = window_results["aligned_features_stack"]  # [G, M, D]
+        feats = jnp.transpose(stack, (0, 2, 1))  # [G, D, M]
+        loss, _ = rank1_svd_loss(
+            feats, self.tau1, self.tau2, self.lambda1, self.loss2_chunk_size
+        )
+        return loss
+
+
+class SVDGateRandomClamDetach(SVDGateRandomClam):
+    """Detached CLAM features; fusion head trained on stop-gradient features;
+    inference-time random modality zeroing via ``drop_prob``
+    (reference svd_gate_random_clam_detach.py:8-140)."""
+
+    def compute_branch_features(self, case, label, *, key=None, train=False):
+        features, aux = super().compute_branch_features(case, label, key=key, train=train)
+        for ch in CLAM_CHANNELS:
+            if ch in features:
+                features[ch] = jax.lax.stop_gradient(features[ch])
+        return features, aux
+
+    def _fusion_input(self, h):
+        return jax.lax.stop_gradient(h)
+
+    def _final_features(self, features, *, key=None, drop_prob=None):
+        if drop_prob is None or key is None:
+            return super()._final_features(features)
+        keys_sorted = sorted(features)
+        drops = jax.random.uniform(key, (len(keys_sorted),)) < drop_prob
+        return jnp.concatenate(
+            [
+                jnp.where(drops[i], jnp.zeros_like(features[ch]), features[ch])
+                for i, ch in enumerate(keys_sorted)
+            ],
+            axis=1,
+        )
+
+
+class ClipGateRandomClam(SVDGateRandomClam):
+    """CLIP group loss instead of SVD: learnable logit scale, anchor = last
+    sorted modality, bidirectional InfoNCE vs each other modality
+    (reference clip_gate_random_clam.py:7-122)."""
+
+    def __init__(self, config: ModelConfig, rngs: nnx.Rngs):
+        super().__init__(config, rngs)
+        self.enable_clip = config.get("enable_clip", True)
+        init_tau = float(config.get("clip_init_tau", 0.07))
+        self.clip_logit_scale = nnx.Param(jnp.log(jnp.asarray(1.0 / init_tau)))
+        self.clip_anchor_idx = -1
+
+    def has_group_loss(self) -> bool:
+        return self.enable_clip
+
+    def group_loss_fn(self, window_results: Result) -> jax.Array:
+        if not self.enable_clip:
+            return jnp.asarray(0.0)
+        stack = window_results["aligned_features_stack"]  # [G, M, D]
+        feats = jnp.transpose(stack, (0, 2, 1))  # [G, D, M]
+        tau = jnp.exp(-self.clip_logit_scale.value)
+        feats = feats / (jnp.linalg.norm(feats, axis=1, keepdims=True) + 1e-12)
+        B, _, M = feats.shape
+        anchor = feats[:, :, self.clip_anchor_idx]
+        target = jnp.arange(B)
+        total = jnp.asarray(0.0)
+        cnt = 0
+        for m in range(M):
+            if m == M + self.clip_anchor_idx or m == self.clip_anchor_idx:
+                continue
+            other = feats[:, :, m]
+            logits_xy = jnp.dot(anchor, other.T, preferred_element_type=jnp.float32) / tau
+            total = total + cross_entropy(logits_xy, target) + cross_entropy(logits_xy.T, target)
+            cnt += 1
+        return total / max(cnt, 1)
+
+
+class ClipGateRandomClamDetach(SVDGateRandomClamDetach, ClipGateRandomClam):
+    """Detach forward + CLIP group loss (reference clip_gate_random_clam_detach.py)."""
+
+
+class DeepSuperviseSVDGateRandomClam(SVDGateRandomClam):
+    """Adds per-tabular-modality supervised classifier heads
+    (reference deep_supervise_svd_gate_random.py:8-137)."""
+
+    def __init__(self, config: ModelConfig, rngs: nnx.Rngs):
+        super().__init__(config, rngs)
+        self.ds_classifiers = nnx.Dict({
+            ch: TCPClassifier(self.output_dim, self.size[1], self.n_classes, self.dropout_rate, rngs)
+            for ch in self.used_modality
+        })
+
+    def _deep_supervise(self, features, label) -> Result:
+        out: Result = {}
+        labels = jnp.asarray(label)[None]
+        for ch in self.used_modality:
+            if ch in CLAM_CHANNELS:
+                continue  # reference applies heads on tabular branches only
+            logits = self.ds_classifiers[ch](features[ch])
+            out[f"{ch}_logits"] = logits
+            out[f"{ch}_logits_loss"] = cross_entropy(logits, labels)
+        return out
+
+
+class DeepSuperviseSVDGateRandomClamDetach(
+    SVDGateRandomClamDetach, DeepSuperviseSVDGateRandomClam
+):
+    """Detach variant (reference deep_supervise_svd_gate_random_detach.py)."""
+
+    def _deep_supervise(self, features, label) -> Result:
+        detached = {k: jax.lax.stop_gradient(v) for k, v in features.items()}
+        return DeepSuperviseSVDGateRandomClam._deep_supervise(self, detached, label)

@@ -1,0 +1,12 @@
+from multimodal_fusion_tpu.hypergraph.build import (  # noqa: F401
+    aggregate_wsi_super_patches,
+    compute_wsi_tma_similarity,
+    group_by_similarity,
+    build_hypergraph_knn_kmeans,
+    process_single_file,
+    process_dataset,
+    rebuild_hypergraph_from_similarity,
+    batch_rebuild_hypergraph,
+    save_hypergraph,
+    load_similarity_matrices,
+)

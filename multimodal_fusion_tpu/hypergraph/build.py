@@ -1,0 +1,501 @@
+"""Hypergraph construction pipeline.
+
+Reference: ``build_hypergraph/preprocess_hypergraph.py`` (991 LoC) and
+``build_hypergraph/similarity_kernel.py``.  Stages per patient file:
+
+1. aggregate WSI patches into super-patches (combined similarity for stats,
+   KMeans on raw features, per-cluster mean pooling)      [:87-199]
+2. WSI-super x TMA morphological similarity               [:202-267]
+3. similarity-row grouping (KMeans or KNN)                [:270-332]
+4. KNN + KMeans-clique hypergraph over concat(super,TMA)  [:335-433]
+5. persist hypergraph/ + cached similarity matrices       [:436-511]
+
+plus the fast ``rebuild_*`` paths that re-enter stages 1/3/4 from cached
+similarity matrices (:758-990).
+
+TPU-native notes:
+- all O(N^2 D) work (similarity, KMeans, KNN, cosine weights) runs as
+  batched XLA matmul kernels from ``ops``; the reference's Python row/edge
+  loops are gone;
+- KMeans is the JAX kmeans++ implementation (structural parity with
+  sklearn's seeded KMeans; see ops/kmeans.py docstring);
+- edge dedup uses canonical sorted order (the reference's Python ``set``
+  iteration order is nondeterministic — SURVEY.md §7); parity tests sort
+  both sides.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from multimodal_fusion_tpu.io.h5io import _lock_for, write_hypergraph_group
+from multimodal_fusion_tpu.ops.kmeans import kmeans
+from multimodal_fusion_tpu.ops.knn import knn_indices
+from multimodal_fusion_tpu.ops.similarity import combined_similarity, cross_similarity
+
+
+# ---------------------------------------------------------------------------
+# IO helpers (reference :31-84)
+# ---------------------------------------------------------------------------
+
+def load_wsi_data(h5_path: str | Path) -> Tuple[np.ndarray, np.ndarray]:
+    with _lock_for(str(h5_path)):
+        with h5py.File(h5_path, "r") as f:
+            if "wsi/features" not in f:
+                raise ValueError(f"WSI features not found in {h5_path}")
+            feats = np.asarray(f["wsi/features"], np.float32)
+            if "wsi/positions" in f:
+                pos = np.asarray(f["wsi/positions"], np.float32)
+            else:
+                pos = np.zeros((feats.shape[0], 2), np.float32)
+    return feats, pos
+
+
+def load_tma_data(h5_path: str | Path) -> Optional[np.ndarray]:
+    """Flat ``tma/features`` if present; otherwise concat of the per-marker
+    ``tma/<marker>/features`` datasets in sorted marker order (extension —
+    the reference only reads the flat layout)."""
+    with _lock_for(str(h5_path)):
+        with h5py.File(h5_path, "r") as f:
+            if "tma" not in f:
+                return None
+            tma = f["tma"]
+            if "features" in tma and isinstance(tma["features"], h5py.Dataset):
+                return np.asarray(tma["features"], np.float32)
+            parts = []
+            for marker in sorted(tma.keys()):
+                grp = tma[marker]
+                if isinstance(grp, h5py.Group) and "features" in grp:
+                    parts.append(np.asarray(grp["features"], np.float32))
+            return np.concatenate(parts, axis=0) if parts else None
+
+
+def load_similarity_matrices(h5_path: str | Path):
+    with _lock_for(str(h5_path)):
+        with h5py.File(h5_path, "r") as f:
+            wsi = wsitma = None
+            if "hypergraph/similarity/wsi_internal" in f:
+                wsi = np.asarray(f["hypergraph/similarity/wsi_internal"], np.float32)
+            if "hypergraph/similarity/wsi_tma" in f:
+                wsitma = np.asarray(f["hypergraph/similarity/wsi_tma"], np.float32)
+    return wsi, wsitma
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: WSI super-patch aggregation (reference :87-199)
+# ---------------------------------------------------------------------------
+
+def _matrix_stats(K: np.ndarray) -> Dict[str, float]:
+    return {
+        "mean": float(K.mean()),
+        "std": float(K.std()),
+        "min": float(K.min()),
+        "max": float(K.max()),
+        "median": float(np.median(K)),
+    }
+
+
+def aggregate_wsi_super_patches(
+    wsi_features: np.ndarray,
+    wsi_positions: np.ndarray,
+    num_super_patches: int,
+    lambda_h: float = 1.0,
+    lambda_g: float = 1.0,
+    seed: int = 42,
+    wsi_similarity_matrix: Optional[np.ndarray] = None,
+    compute_similarity: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, Dict, Optional[np.ndarray]]:
+    """KMeans over raw features; per-cluster mean features/positions; intra-
+    cluster similarity statistics from the (cached) combined similarity."""
+    feats = jnp.asarray(wsi_features)
+    n = feats.shape[0]
+
+    if wsi_similarity_matrix is not None:
+        K_wsi = np.asarray(wsi_similarity_matrix)
+    elif compute_similarity:
+        K_wsi = np.asarray(
+            combined_similarity(feats, jnp.asarray(wsi_positions), lambda_h, lambda_g)
+        )
+    else:
+        K_wsi = None
+
+    res = kmeans(jax.random.key(seed), feats, k=num_super_patches, n_init=10)
+    labels = np.asarray(res.labels)
+
+    onehot = jax.nn.one_hot(res.labels, num_super_patches, dtype=feats.dtype)  # [N,K]
+    counts = jnp.sum(onehot, axis=0)
+    if bool(jnp.any(counts == 0)):
+        raise ValueError("empty cluster in super-patch aggregation")
+    sp_feats = np.asarray(jnp.dot(onehot.T, feats) / counts[:, None])
+    sp_pos = np.asarray(
+        jnp.dot(onehot.T, jnp.asarray(wsi_positions)) / counts[:, None]
+    )
+
+    stats: Dict = {
+        "num_original_patches": int(n),
+        "num_super_patches": int(num_super_patches),
+    }
+    if K_wsi is not None:
+        # intra-cluster mean off-diagonal similarity, averaged over clusters
+        intra = []
+        for c in range(num_super_patches):
+            idx = np.where(labels == c)[0]
+            if len(idx) > 1:
+                sub = K_wsi[np.ix_(idx, idx)]
+                off = sub[~np.eye(len(idx), dtype=bool)]
+                if off.size:
+                    intra.append(float(off.mean()))
+        stats["avg_intra_cluster_similarity"] = float(np.mean(intra)) if intra else 0.0
+        stats["wsi_similarity_matrix_stats"] = _matrix_stats(K_wsi)
+    return sp_feats, sp_pos, stats, K_wsi
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: cross-modal similarity (reference :202-267)
+# ---------------------------------------------------------------------------
+
+def compute_wsi_tma_similarity(
+    wsi_super_features: np.ndarray,
+    tma_features: np.ndarray,
+    lambda_h: float = 1.0,
+) -> Tuple[np.ndarray, Dict]:
+    """Morphological-only similarity (spatial makes no sense cross-modal).
+    One batched kernel instead of the reference's per-row loop."""
+    sim = np.asarray(
+        cross_similarity(jnp.asarray(wsi_super_features), jnp.asarray(tma_features), lambda_h)
+    )
+    return sim, _matrix_stats(sim)
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: similarity grouping (reference :270-332)
+# ---------------------------------------------------------------------------
+
+def group_by_similarity(
+    similarity_matrix: np.ndarray,
+    num_groups: int,
+    method: str = "kmeans",
+    seed: int = 42,
+) -> Tuple[np.ndarray, Dict]:
+    if method == "kmeans":
+        res = kmeans(jax.random.key(seed), jnp.asarray(similarity_matrix), k=num_groups, n_init=10)
+        labels = np.asarray(res.labels)
+        stats = {
+            "method": "kmeans",
+            "num_groups": int(num_groups),
+            "group_sizes": [int((labels == i).sum()) for i in range(num_groups)],
+        }
+        return labels, stats
+    if method == "knn":
+        k = min(num_groups, similarity_matrix.shape[1])
+        # nearest TMA column per row under cosine distance of similarity rows
+        rows = similarity_matrix / (
+            np.linalg.norm(similarity_matrix, axis=1, keepdims=True) + 1e-12
+        )
+        cols = similarity_matrix.T / (
+            np.linalg.norm(similarity_matrix.T, axis=1, keepdims=True) + 1e-12
+        )
+        cos = rows @ cols.T if rows.shape[1] == cols.shape[1] else None
+        if cos is None:
+            raise ValueError("knn grouping requires square-compatible similarity")
+        most_similar = np.argmax(cos, axis=1).astype(np.float32).reshape(-1, 1)
+        res = kmeans(jax.random.key(seed), jnp.asarray(most_similar), k=num_groups, n_init=10)
+        labels = np.asarray(res.labels)
+        stats = {
+            "method": "knn",
+            "num_groups": int(num_groups),
+            "k": int(k),
+            "group_sizes": [int((labels == i).sum()) for i in range(num_groups)],
+        }
+        return labels, stats
+    raise ValueError(f"Unknown grouping method: {method}")
+
+
+# ---------------------------------------------------------------------------
+# Stage 4: KNN + KMeans hypergraph (reference :335-433)
+# ---------------------------------------------------------------------------
+
+def build_hypergraph_knn_kmeans(
+    wsi_super_features: np.ndarray,
+    tma_features: np.ndarray,
+    group_labels: Optional[np.ndarray] = None,
+    k: int = 5,
+    num_hyperedges: int = 10,
+    seed: int = 42,
+) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    all_feats = np.concatenate([wsi_super_features, tma_features], axis=0)
+    n_total = all_feats.shape[0]
+    fa = jnp.asarray(all_feats)
+
+    # KNN edges (k+1 with self in slot 0, then dropped — sklearn semantics)
+    _, idx = knn_indices(fa, min(k + 1, n_total))
+    idx = np.asarray(idx)
+    src = np.repeat(np.arange(n_total), idx.shape[1] - 1)
+    dst = idx[:, 1:].reshape(-1)
+    knn_pairs = np.stack([src, dst], axis=1)
+
+    # KMeans hyperedges -> clique expansion
+    res = kmeans(jax.random.key(seed), fa, k=num_hyperedges, n_init=10)
+    he_labels = np.asarray(res.labels)
+    clique_pairs = []
+    for he in range(num_hyperedges):
+        nodes = np.where(he_labels == he)[0]
+        if len(nodes) > 1:
+            a, b = np.meshgrid(nodes, nodes, indexing="ij")
+            sel = a != b
+            clique_pairs.append(np.stack([a[sel], b[sel]], axis=1))
+    pairs = (
+        np.concatenate([knn_pairs] + clique_pairs, axis=0)
+        if clique_pairs
+        else knn_pairs
+    )
+
+    # canonical dedup: undirected sorted pairs, lexicographically ordered
+    und = np.sort(pairs, axis=1)
+    und = np.unique(und, axis=0)
+
+    if und.size == 0:
+        return (
+            np.empty((2, 0), np.int64),
+            np.empty((0,), np.float32),
+            {"num_nodes": int(n_total), "num_edges": 0},
+        )
+
+    # cosine edge weights, batched (reference loops edges in Python)
+    norm = all_feats / (np.linalg.norm(all_feats, axis=1, keepdims=True) + 1e-12)
+    w = np.einsum("ed,ed->e", norm[und[:, 0]], norm[und[:, 1]])
+    w = np.maximum(w, 0.0).astype(np.float32)
+
+    edge_index = und.T.astype(np.int64)
+    stats = {
+        "num_nodes": int(n_total),
+        "num_wsi_super_patches": int(wsi_super_features.shape[0]),
+        "num_tma_patches": int(tma_features.shape[0]),
+        "num_edges": int(und.shape[0]),
+        "num_hyperedges": int(num_hyperedges),
+        "k": int(k),
+    }
+    return edge_index, w, stats
+
+
+# ---------------------------------------------------------------------------
+# Stage 5 + drivers (reference :436-678, :758-990)
+# ---------------------------------------------------------------------------
+
+def save_hypergraph(
+    h5_path,
+    sp_feats,
+    sp_pos,
+    tma_features,
+    edge_index,
+    edge_weights,
+    group_labels,
+    stats,
+    wsi_similarity_matrix=None,
+    wsi_tma_similarity_matrix=None,
+):
+    arrays = {
+        "wsi_super/features": sp_feats,
+        "wsi_super/positions": sp_pos,
+        "tma/features": tma_features,
+        "edge_index": edge_index,
+        "edge_weights": edge_weights,
+        "group_labels": np.asarray(group_labels, np.int64),
+    }
+    if wsi_similarity_matrix is not None:
+        arrays["similarity/wsi_internal"] = wsi_similarity_matrix
+    if wsi_tma_similarity_matrix is not None:
+        arrays["similarity/wsi_tma"] = wsi_tma_similarity_matrix
+    write_hypergraph_group(h5_path, arrays, stats=stats)
+
+
+def process_single_file(
+    h5_path,
+    num_wsi_super_patches: int = 100,
+    num_groups: int = 10,
+    hypergraph_k: int = 5,
+    num_hyperedges: int = 10,
+    lambda_h: float = 1.0,
+    lambda_g: float = 1.0,
+    seed: int = 42,
+    save_similarity: bool = True,
+) -> Dict:
+    wsi_features, wsi_positions = load_wsi_data(h5_path)
+    tma_features = load_tma_data(h5_path)
+    if tma_features is None:
+        return {"status": "skipped", "reason": "no_tma"}
+
+    sp_feats, sp_pos, wsi_stats, K_wsi = aggregate_wsi_super_patches(
+        wsi_features, wsi_positions, num_wsi_super_patches, lambda_h, lambda_g, seed
+    )
+    sim, sim_stats = compute_wsi_tma_similarity(sp_feats, tma_features, lambda_h)
+    group_labels, group_stats = group_by_similarity(sim, num_groups, "kmeans", seed)
+    edge_index, edge_weights, hg_stats = build_hypergraph_knn_kmeans(
+        sp_feats, tma_features, group_labels, hypergraph_k, num_hyperedges, seed
+    )
+    all_stats = {
+        "wsi_aggregation": wsi_stats,
+        "similarity": sim_stats,
+        "grouping": group_stats,
+        "hypergraph": hg_stats,
+    }
+    save_hypergraph(
+        h5_path, sp_feats, sp_pos, tma_features, edge_index, edge_weights,
+        group_labels, all_stats,
+        wsi_similarity_matrix=K_wsi if save_similarity else None,
+        wsi_tma_similarity_matrix=sim if save_similarity else None,
+    )
+    all_stats["num_patches_processed"] = int(wsi_features.shape[0])
+    return all_stats
+
+
+def process_dataset(
+    csv_path,
+    data_root_dir,
+    num_wsi_super_patches: int = 100,
+    num_groups: int = 10,
+    hypergraph_k: int = 5,
+    num_hyperedges: int = 10,
+    lambda_h: float = 1.0,
+    lambda_g: float = 1.0,
+    output_stats_path=None,
+    seed: int = 42,
+    save_similarity: bool = True,
+):
+    df = pd.read_csv(csv_path)
+    if "h5_file_path" not in df.columns:
+        raise ValueError("CSV must contain 'h5_file_path' column")
+    all_stats = []
+    t0 = time.time()
+    total_patches = 0
+    for idx, row in df.iterrows():
+        h5_path = os.path.join(str(data_root_dir), row["h5_file_path"])
+        if not os.path.exists(h5_path):
+            continue
+        try:
+            stats = process_single_file(
+                h5_path, num_wsi_super_patches, num_groups, hypergraph_k,
+                num_hyperedges, lambda_h, lambda_g, seed, save_similarity,
+            )
+            stats["case_id"] = str(row.get("case_id", f"case_{idx}"))
+            stats["h5_path"] = row["h5_file_path"]
+            total_patches += stats.get("num_patches_processed", 0)
+            all_stats.append(stats)
+        except Exception as e:  # error-isolated per file, like the reference
+            all_stats.append({"case_id": str(row.get("case_id", idx)), "error": str(e)})
+    elapsed = time.time() - t0
+    summary = {
+        "files": len(all_stats),
+        "total_patches": total_patches,
+        "elapsed_s": elapsed,
+        "patches_per_sec": total_patches / elapsed if elapsed > 0 else 0.0,
+    }
+    if output_stats_path:
+        Path(output_stats_path).write_text(
+            json.dumps({"summary": summary, "files": all_stats}, indent=2)
+        )
+    return all_stats, summary
+
+
+def rebuild_hypergraph_from_similarity(
+    h5_path,
+    num_wsi_super_patches: Optional[int] = None,
+    num_groups: Optional[int] = None,
+    hypergraph_k: int = 5,
+    num_hyperedges: int = 10,
+    threshold_median_ratio: Optional[float] = None,
+    seed: int = 42,
+) -> Dict:
+    """Fast re-tuning from cached similarity matrices (reference :758-916)."""
+    wsi_features, wsi_positions = load_wsi_data(h5_path)
+    tma_features = load_tma_data(h5_path)
+    if tma_features is None:
+        raise ValueError("TMA features not found")
+    wsi_sim, wsi_tma_sim = load_similarity_matrices(h5_path)
+    if wsi_sim is None:
+        wsi_sim = np.asarray(
+            combined_similarity(jnp.asarray(wsi_features), jnp.asarray(wsi_positions), 1.0, 1.0)
+        )
+
+    wsi_stats: Dict = {}
+    if num_wsi_super_patches is not None:
+        sp_feats, sp_pos, wsi_stats, _ = aggregate_wsi_super_patches(
+            wsi_features, wsi_positions, num_wsi_super_patches,
+            seed=seed, wsi_similarity_matrix=wsi_sim,
+        )
+        sim, sim_stats = compute_wsi_tma_similarity(sp_feats, tma_features)
+    else:
+        with _lock_for(str(h5_path)):
+            with h5py.File(h5_path, "r") as f:
+                if "hypergraph/wsi_super/features" not in f:
+                    raise ValueError("wsi_super not found and num_wsi_super_patches not given")
+                sp_feats = np.asarray(f["hypergraph/wsi_super/features"], np.float32)
+                sp_pos = np.asarray(f["hypergraph/wsi_super/positions"], np.float32)
+        if wsi_tma_sim is not None and wsi_tma_sim.shape[0] == sp_feats.shape[0]:
+            sim = wsi_tma_sim
+            sim_stats = _matrix_stats(sim)
+        else:
+            sim, sim_stats = compute_wsi_tma_similarity(sp_feats, tma_features)
+
+    if num_groups is not None:
+        group_labels, group_stats = group_by_similarity(sim, num_groups, "kmeans", seed)
+    else:
+        with _lock_for(str(h5_path)):
+            with h5py.File(h5_path, "r") as f:
+                if "hypergraph/group_labels" not in f:
+                    raise ValueError("group labels not found and num_groups not given")
+                group_labels = np.asarray(f["hypergraph/group_labels"])
+        group_stats = {"method": "existing", "num_groups": int(len(np.unique(group_labels)))}
+
+    edge_index, edge_weights, hg_stats = build_hypergraph_knn_kmeans(
+        sp_feats, tma_features, group_labels, hypergraph_k, num_hyperedges, seed
+    )
+    if threshold_median_ratio is not None:
+        median_w = float(np.median(edge_weights)) if edge_weights.size else 0.0
+        threshold = median_w * threshold_median_ratio
+        mask = edge_weights >= threshold
+        edge_index = edge_index[:, mask]
+        edge_weights = edge_weights[mask]
+        hg_stats["num_edges_after_threshold"] = int(edge_weights.shape[0])
+        hg_stats["threshold"] = threshold
+        hg_stats["threshold_ratio"] = threshold_median_ratio
+
+    all_stats = {
+        "wsi_aggregation": wsi_stats,
+        "similarity": sim_stats,
+        "grouping": group_stats,
+        "hypergraph": hg_stats,
+    }
+    save_hypergraph(
+        h5_path, sp_feats, sp_pos, tma_features, edge_index, edge_weights,
+        group_labels, all_stats,
+        wsi_similarity_matrix=wsi_sim, wsi_tma_similarity_matrix=sim,
+    )
+    return all_stats
+
+
+def batch_rebuild_hypergraph(csv_path, data_root_dir, **kwargs):
+    """Rebuild across a dataset CSV (reference :919-990)."""
+    df = pd.read_csv(csv_path)
+    out = []
+    for idx, row in df.iterrows():
+        h5_path = os.path.join(str(data_root_dir), row["h5_file_path"])
+        if not os.path.exists(h5_path):
+            continue
+        try:
+            stats = rebuild_hypergraph_from_similarity(h5_path, **kwargs)
+            stats["case_id"] = str(row.get("case_id", f"case_{idx}"))
+            out.append(stats)
+        except Exception as e:
+            out.append({"case_id": str(row.get("case_id", idx)), "error": str(e)})
+    return out

@@ -149,12 +149,15 @@ def write_hypergraph_group(
     arrays: Dict[str, np.ndarray],
     stats: Optional[Dict] = None,
     save_similarity: bool = True,
+    compression: Optional[str] = None,
 ) -> None:
     """Write the ``hypergraph/`` group.
 
     ``arrays`` maps relative keys (see ``HYPERGRAPH_KEYS``/``SIMILARITY_KEYS``)
     to arrays.  ``stats`` is stored as a JSON string attribute, matching the
-    reference layout.
+    reference layout.  Datasets are uncompressed by default (the reference
+    writes plain datasets; gzip on the [N,N] similarity cache would dominate
+    build time).
     """
     path = str(h5_path)
     with _lock_for(path):
@@ -165,7 +168,7 @@ def write_hypergraph_group(
             for key, arr in arrays.items():
                 if not save_similarity and key.startswith("similarity/"):
                     continue
-                grp.create_dataset(key, data=np.asarray(arr), compression="gzip")
+                grp.create_dataset(key, data=np.asarray(arr), compression=compression)
             if stats is not None:
                 grp.attrs["stats"] = json.dumps(stats)
 

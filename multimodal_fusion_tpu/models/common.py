@@ -16,21 +16,25 @@ from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import nnx
 
 
 def torch_linear(in_dim: int, out_dim: int, rngs: nnx.Rngs) -> nnx.Linear:
-    """nnx.Linear with torch.nn.Linear's default init scale."""
+    """nnx.Linear with torch.nn.Linear's default init scale.
+
+    Init values are drawn on host via numpy seeded from the nnx key —
+    deterministic given the key, and avoids compiling one tiny XLA kernel
+    per layer at model construction (which dominated model-create time)."""
     bound = 1.0 / (in_dim**0.5)
 
-    def kernel_init(key, shape, dtype):
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-    def bias_init(key, shape, dtype):
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    def _np_uniform(key, shape, dtype):
+        seed = np.asarray(jax.random.key_data(key)).ravel()
+        rng = np.random.default_rng(seed.astype(np.uint32))
+        return jnp.asarray(rng.uniform(-bound, bound, shape), dtype)
 
     return nnx.Linear(
-        in_dim, out_dim, kernel_init=kernel_init, bias_init=bias_init, rngs=rngs
+        in_dim, out_dim, kernel_init=_np_uniform, bias_init=_np_uniform, rngs=rngs
     )
 
 

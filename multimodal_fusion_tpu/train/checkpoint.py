@@ -1,0 +1,78 @@
+"""Checkpoint save/load: nnx state trees <-> npz files.
+
+Replaces the reference's three torch.save flavours (SURVEY.md §5).  Static
+model shapes mean load is a plain tree-restore — no shape reconstruction from
+checkpoint weights (the reference's eval-side hack, trainer.py:1072-1105,
+is designed away).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import nnx
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save_state(path: str | Path, state, extra: Optional[Dict[str, Any]] = None) -> None:
+    """Save an nnx.State (or any pytree of arrays) plus optional scalar extras."""
+    flat = _flatten(nnx.to_pure_dict(state) if isinstance(state, nnx.State) else state)
+    if extra:
+        for k, v in extra.items():
+            flat[f"__extra__/{k}"] = np.asarray(v)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_state(path: str | Path, state):
+    """Restore arrays into a template state tree (same structure as saved).
+
+    Returns (new_state, extras dict)."""
+    data = np.load(path, allow_pickle=False)
+    extras = {}
+    arrays = {}
+    for k in data.files:
+        if k.startswith("__extra__/"):
+            extras[k[len("__extra__/"):]] = data[k]
+        else:
+            arrays[k] = data[k]
+
+    template = nnx.to_pure_dict(state) if isinstance(state, nnx.State) else state
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    for path, leaf in leaves_with_path:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if key not in arrays:
+            raise KeyError(f"checkpoint missing key {key}")
+        arr = arrays[key]
+        if arr.shape != np.shape(leaf):
+            raise ValueError(f"shape mismatch for {key}: {arr.shape} vs {np.shape(leaf)}")
+        new_leaves.append(arr)
+    new_tree = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    if isinstance(state, nnx.State):
+        new_state = jax.tree.map(lambda x: x, state)  # copy structure
+        nnx.replace_by_pure_dict(new_state, new_tree)
+        return new_state, extras
+    return new_tree, extras
+
+
+def save_model(path: str | Path, model: nnx.Module, extra: Optional[Dict[str, Any]] = None) -> None:
+    save_state(path, nnx.state(model), extra)
+
+
+def load_model(path: str | Path, model: nnx.Module) -> Dict[str, Any]:
+    """Load a checkpoint into an existing model in place; returns extras."""
+    state = nnx.state(model)
+    new_state, extras = load_state(path, state)
+    nnx.update(model, new_state)
+    return extras

@@ -1,0 +1,50 @@
+"""Evaluation metrics (host-side numpy; tiny N).
+
+AUROC matches torchmetrics binary AUROC (rank statistic with tie handling)
+as used by the reference (``downstream_survival/trainer.py:845-875``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def binary_auroc(probs_pos: np.ndarray, labels: np.ndarray) -> float:
+    """AUROC via the Mann-Whitney U statistic with midranks for ties."""
+    probs_pos = np.asarray(probs_pos, np.float64)
+    labels = np.asarray(labels)
+    n_pos = int((labels == 1).sum())
+    n_neg = int((labels == 0).sum())
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    order = np.argsort(probs_pos, kind="mergesort")
+    ranks = np.empty_like(order, dtype=np.float64)
+    sorted_p = probs_pos[order]
+    i = 0
+    r = 1.0
+    while i < len(sorted_p):
+        j = i
+        while j + 1 < len(sorted_p) and sorted_p[j + 1] == sorted_p[i]:
+            j += 1
+        midrank = (r + r + (j - i)) / 2.0
+        ranks[order[i : j + 1]] = midrank
+        r += j - i + 1
+        i = j + 1
+    sum_pos = ranks[labels == 1].sum()
+    return float((sum_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+
+
+def accuracy(preds: np.ndarray, labels: np.ndarray) -> float:
+    return float((np.asarray(preds) == np.asarray(labels)).mean())
+
+
+def per_class_accuracy(preds: np.ndarray, labels: np.ndarray, n_classes: int) -> Dict[int, float]:
+    out = {}
+    preds = np.asarray(preds)
+    labels = np.asarray(labels)
+    for c in range(n_classes):
+        sel = labels == c
+        out[c] = float((preds[sel] == c).mean()) if sel.any() else float("nan")
+    return out

@@ -1,0 +1,319 @@
+"""K-fold survival trainer.
+
+Reference semantics (``downstream_survival/trainer.py:580-1185``) mapped to
+TPU-native execution:
+
+- the reference's per-case Python loop with gradient accumulation over
+  ``batch_size`` micro-steps becomes ONE jitted, vmapped **window step**:
+  all cases of an accumulation window are padded to a shared bucket, the
+  window loss is ``(sum per-case losses + group_loss) / G`` (reference
+  trainer.py:799-831), and a single optimizer update fires per window;
+- group losses (SVD/CLIP/AUCM) consume the stacked window results instead of
+  stateful model lists;
+- early stopping on configurable metric (auc/acc/loss, mode max/min) with
+  ``stop_epoch`` minimum (reference :487-578);
+- per-fold checkpoints, final val+test evaluation with AUROC, per-patient
+  probability dump;
+- eval path supports ``drop_prob`` modality dropout (reference :966-1042).
+"""
+
+from __future__ import annotations
+
+import inspect
+import json
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from multimodal_fusion_tpu.config import Configs
+from multimodal_fusion_tpu.data.batching import make_window
+from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
+from multimodal_fusion_tpu.data.splits import FoldSplit, WeightedRandomSampler, save_fold_split
+from multimodal_fusion_tpu.models.factory import ModelFactory
+from multimodal_fusion_tpu.train.checkpoint import load_state, save_state
+from multimodal_fusion_tpu.train.metrics import accuracy, binary_auroc
+from multimodal_fusion_tpu.train.optim import LRSchedule, make_optimizer
+
+
+class EarlyStopping:
+    def __init__(self, patience=20, stop_epoch=50, mode="max", min_delta=0.0):
+        self.patience = patience
+        self.stop_epoch = stop_epoch
+        self.mode = mode
+        self.min_delta = min_delta
+        self.counter = 0
+        self.best_score = -np.inf if mode == "max" else np.inf
+        self.early_stop = False
+
+    def step(self, epoch: int, score: float) -> bool:
+        """Returns True when this epoch improved (caller saves checkpoint)."""
+        if self.mode == "max":
+            better = score > self.best_score + self.min_delta
+        else:
+            better = score < self.best_score - self.min_delta
+        if better:
+            self.best_score = score
+            self.counter = 0
+            return True
+        self.counter += 1
+        if self.counter >= self.patience and epoch > self.stop_epoch:
+            self.early_stop = True
+        return False
+
+
+class SurvivalTrainer:
+    def __init__(self, configs: Configs, log_dir: str | Path):
+        self.configs = configs
+        self.exp = configs.experiment_config
+        self.log_dir = Path(log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # jitted step builders
+    # ------------------------------------------------------------------
+
+    def _build_model(self, fold_idx: int):
+        model = ModelFactory.create_model(self.configs.model_config, seed=self.exp.seed + fold_idx)
+        graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+        self._supports_drop_prob = "drop_prob" in inspect.signature(model.__call__).parameters
+        return model, graphdef, params, rest
+
+    def _make_train_step(self, model, graphdef, tx):
+        has_group = model.has_group_loss()
+
+        @jax.jit
+        def train_step(params, rest, opt_state, window, keys, lr):
+            labels = window["label"]
+            G = labels.shape[0]
+
+            def loss_fn(params):
+                def one(channels, masks, label, key):
+                    m = nnx.merge(graphdef, params, rest)
+                    case = {"channels": channels, "masks": masks}
+                    res = m(case, label, key=key, train=True)
+                    loss = m.loss_fn(res["logits"], label[None], res)
+                    _, _, new_rest = nnx.split(m, nnx.Param, ...)
+                    return loss, res, new_rest
+
+                losses, results, new_rests = jax.vmap(one)(
+                    window["channels"], window["masks"], labels, keys
+                )
+                total = jnp.sum(losses)
+                if has_group:
+                    m = nnx.merge(graphdef, params, rest)
+                    gr = dict(results)
+                    gr["label"] = labels
+                    total = total + m.group_loss_fn(gr)
+                return total / G, (results, new_rests, jnp.mean(losses))
+
+            grads, (results, new_rests, mean_loss) = jax.grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(params, updates)
+            new_rest = jax.tree.map(lambda x: jnp.mean(x, axis=0), new_rests)
+            return params, new_rest, opt_state, mean_loss, results
+
+        return train_step
+
+    def _make_eval_step(self, model, graphdef, drop_prob: Optional[float] = None):
+        use_drop = drop_prob is not None and self._supports_drop_prob
+
+        @jax.jit
+        def eval_step(params, rest, window, keys):
+            def one(channels, masks, label, key):
+                m = nnx.merge(graphdef, params, rest)
+                case = {"channels": channels, "masks": masks}
+                if use_drop:
+                    res = m(case, label, key=key, train=False, drop_prob=drop_prob)
+                else:
+                    res = m(case, label, train=False)
+                loss = m.loss_fn(res["logits"], label[None], res)
+                return res["logits"], res["probabilities"], res["predictions"], loss
+
+            return jax.vmap(one)(
+                window["channels"], window["masks"], window["label"], keys
+            )
+
+        return eval_step
+
+    # ------------------------------------------------------------------
+    # epoch loops
+    # ------------------------------------------------------------------
+
+    def _windows(self, dataset, indices: Sequence[int], G: int):
+        """Yield stacked window batches of <= G cases."""
+        case_ids = [dataset.case_ids[i] for i in indices]
+        for start in range(0, len(case_ids), G):
+            chunk = case_ids[start : start + G]
+            raws, labels = [], []
+            for cid in chunk:
+                raw, label = dataset.get_case(cid)
+                raws.append(raw)
+                labels.append(label)
+            yield chunk, make_window(raws, labels)
+
+    def _evaluate(self, dataset, indices, eval_step, params, rest, key) -> Dict[str, Any]:
+        all_probs, all_preds, all_labels, all_loss, patient_ids = [], [], [], [], []
+        G = min(self.exp.batch_size, 16)
+        for chunk, window in self._windows(dataset, indices, G):
+            n = window["label"].shape[0]
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, n)
+            logits, probs, preds, losses = eval_step(params, rest, window, keys)
+            all_probs.append(np.asarray(probs[:, 0, :]))
+            all_preds.append(np.asarray(preds).reshape(n))
+            all_labels.append(np.asarray(window["label"]))
+            all_loss.append(np.asarray(losses))
+            patient_ids.extend(chunk)
+        probs = np.concatenate(all_probs)
+        preds = np.concatenate(all_preds)
+        labels = np.concatenate(all_labels)
+        loss = float(np.concatenate(all_loss).mean())
+        return {
+            "auc": binary_auroc(probs[:, 1], labels),
+            "acc": accuracy(preds, labels),
+            "loss": loss,
+            "probs": probs,
+            "preds": preds,
+            "labels": labels,
+            "patient_ids": patient_ids,
+        }
+
+    # ------------------------------------------------------------------
+
+    def train_fold(
+        self, dataset: MultimodalDataset, split: FoldSplit, fold_idx: int
+    ) -> Dict[str, Any]:
+        exp = self.exp
+        save_fold_split(split, dataset.case_ids, self.log_dir / f"splits_{fold_idx}.csv")
+
+        model, graphdef, params, rest = self._build_model(fold_idx)
+        tx = make_optimizer(exp.optimizer, exp.weight_decay)
+        opt_state = tx.init(params)
+        train_step = self._make_train_step(model, graphdef, tx)
+        eval_step = self._make_eval_step(model, graphdef)
+        schedule = LRSchedule(exp.lr, exp.scheduler_params if exp.scheduler else None)
+        if exp.scheduler:
+            schedule.config.setdefault("type", exp.scheduler)
+            schedule.kind = schedule.config.get("type")
+
+        train_labels = dataset.labels[split.train_idx]
+        sampler = (
+            WeightedRandomSampler(train_labels, exp.seed + fold_idx)
+            if exp.weighted_sampling
+            else None
+        )
+        shuffle_rng = np.random.default_rng(exp.seed + fold_idx)
+        stopper = EarlyStopping(
+            patience=exp.patience,
+            stop_epoch=exp.min_epochs,
+            mode=exp.monitor_mode,
+        )
+        ckpt_path = self.log_dir / f"s_{fold_idx}_checkpoint.npz"
+        key = jax.random.key(exp.seed * 1000 + fold_idx)
+        history: List[Dict[str, float]] = []
+
+        for epoch in range(exp.max_epochs):
+            t0 = time.time()
+            if sampler is not None:
+                order = split.train_idx[sampler.sample_epoch()]
+            else:
+                order = shuffle_rng.permutation(split.train_idx)
+            lr = schedule.lr_for_epoch(epoch)
+            epoch_losses = []
+            for _, window in self._windows(dataset, order, exp.batch_size):
+                n = window["label"].shape[0]
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, n)
+                params, rest, opt_state, mean_loss, _ = train_step(
+                    params, rest, opt_state, window, keys, lr
+                )
+                epoch_losses.append(float(mean_loss))
+
+            key, sub = jax.random.split(key)
+            val = self._evaluate(dataset, split.val_idx, eval_step, params, rest, sub)
+            metric = val[exp.monitor_metric]
+            schedule.plateau_step(val["loss"])
+            improved = stopper.step(epoch, metric)
+            if improved:
+                save_state(ckpt_path, {"params": params, "rest": rest})
+            history.append(
+                {
+                    "epoch": epoch,
+                    "lr": lr,
+                    "train_loss": float(np.mean(epoch_losses)) if epoch_losses else float("nan"),
+                    "val_loss": val["loss"],
+                    "val_auc": val["auc"],
+                    "val_acc": val["acc"],
+                    "time_s": time.time() - t0,
+                }
+            )
+            if exp.get("verbose", True):
+                h = history[-1]
+                print(
+                    f"fold {fold_idx} epoch {epoch}: train_loss={h['train_loss']:.4f} "
+                    f"val_loss={h['val_loss']:.4f} val_auc={h['val_auc']:.4f}"
+                )
+            if stopper.early_stop:
+                break
+
+        # restore best checkpoint
+        if ckpt_path.exists():
+            restored, _ = load_state(ckpt_path, {"params": params, "rest": rest})
+            params, rest = restored["params"], restored["rest"]
+
+        key, k1, k2 = jax.random.split(key, 3)
+        val = self._evaluate(dataset, split.val_idx, eval_step, params, rest, k1)
+        test = self._evaluate(dataset, split.test_idx, eval_step, params, rest, k2)
+
+        # per-patient probability dump (reference trainer.py:1013)
+        patient_results = {
+            pid: {"prob": test["probs"][i].tolist(), "label": int(test["labels"][i])}
+            for i, pid in enumerate(test["patient_ids"])
+        }
+        summary = {
+            "fold": fold_idx,
+            "val_auc": val["auc"],
+            "val_acc": val["acc"],
+            "test_auc": test["auc"],
+            "test_acc": test["acc"],
+            "history": history,
+        }
+        (self.log_dir / f"fold_{fold_idx}_summary.json").write_text(
+            json.dumps({**summary, "patient_results": patient_results}, indent=2)
+        )
+        self._fold_state = (model, graphdef, params, rest)
+        return summary
+
+    # ------------------------------------------------------------------
+
+    def evaluate_fold(
+        self,
+        dataset: MultimodalDataset,
+        split: FoldSplit,
+        fold_idx: int,
+        checkpoint_path: Optional[str | Path] = None,
+        drop_prob: Optional[float] = None,
+        seed: int = 0,
+    ) -> Dict[str, Any]:
+        """Eval-only path: load a fold checkpoint, evaluate the test split
+        under optional modality-dropout (reference trainer.py:1044-1169)."""
+        model, graphdef, params, rest = self._build_model(fold_idx)
+        path = Path(checkpoint_path or self.log_dir / f"s_{fold_idx}_checkpoint.npz")
+        restored, _ = load_state(path, {"params": params, "rest": rest})
+        params, rest = restored["params"], restored["rest"]
+        eval_step = self._make_eval_step(model, graphdef, drop_prob=drop_prob)
+        res = self._evaluate(
+            dataset, split.test_idx, eval_step, params, rest, jax.random.key(seed)
+        )
+        return {k: res[k] for k in ("auc", "acc", "loss", "patient_ids")} | {
+            "probs": res["probs"].tolist(),
+            "labels": res["labels"].tolist(),
+        }

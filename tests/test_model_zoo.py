@@ -1,0 +1,164 @@
+"""Every registered model: forward pass, result-dict contract, losses,
+group losses, determinism, and padding invariance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_fusion_tpu.config import ModelConfig
+from multimodal_fusion_tpu.models.factory import MODEL_REGISTRY, ModelFactory
+
+D = 32
+TAB_DIM = 8
+
+
+def make_config(model_type):
+    return ModelConfig(
+        model_type=model_type,
+        n_classes=2,
+        input_dim=D,
+        model_size="32*16",
+        dropout=0.25,
+        output_dim=D,
+        channels_used_in_model=[
+            "wsi=features",
+            "tma=cd3=features",
+            "tma=cd8=features",
+            "clinical=val",
+            "clinical=mask",
+        ],
+        channel_input_dims={"clinical=val": TAB_DIM},
+        loss2_chunk_size=None,
+    )
+
+
+def make_case(n_wsi=24, n_valid_wsi=20, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "channels": {
+            "wsi=features": jnp.asarray(rng.standard_normal((n_wsi, D)), jnp.float32),
+            "tma=cd3=features": jnp.asarray(rng.standard_normal((4, D)), jnp.float32),
+            "tma=cd8=features": jnp.asarray(rng.standard_normal((4, D)), jnp.float32),
+            "clinical=val": jnp.asarray(rng.standard_normal((1, TAB_DIM)), jnp.float32),
+            "clinical=mask": jnp.ones((1, TAB_DIM), jnp.float32),
+        },
+        "masks": {
+            "wsi=features": jnp.arange(n_wsi) < n_valid_wsi,
+            "tma=cd3=features": jnp.ones(4, bool),
+            "tma=cd8=features": jnp.arange(4) < 3,
+        },
+    }
+
+
+# Model families that concatenate raw channels on the instance axis and thus
+# need uniform feature dims (same constraint as the reference).
+UNIFORM_DIM_FAMILY = {
+    "gate_shared_mil", "gate_mil", "gate_auc_mil", "gate_mil_detach",
+    "mil", "clam", "auc_clam",
+}
+
+
+def make_gate_config(model_type):
+    cfg = make_config(model_type)
+    cfg.channels_used_in_model = ["wsi=features", "tma=cd3=features", "tma=cd8=features"]
+    cfg.channel_input_dims = {}
+    return cfg
+
+
+@pytest.mark.parametrize("model_type", sorted(MODEL_REGISTRY))
+def test_forward_contract(model_type):
+    cfg = (
+        make_gate_config(model_type)
+        if model_type in UNIFORM_DIM_FAMILY
+        else make_config(model_type)
+    )
+    if model_type == "mfmf":
+        # default sequence expects wsi=reconstructed_features; the test case
+        # has no reconstructed channel, so configure a 2-block sequence
+        cfg.fusion_blocks_sequence = [
+            {"q": "other", "kv": "tma"},
+            {"q": "result", "kv": "wsi"},
+        ]
+    model = ModelFactory.create_model(cfg, seed=0)
+    case = make_case()
+    label = jnp.asarray(1)
+    res = model(case, label, key=jax.random.key(0), train=True)
+    assert res["logits"].shape == (1, 2)
+    assert res["probabilities"].shape == (1, 2)
+    np.testing.assert_allclose(float(jnp.sum(res["probabilities"])), 1.0, rtol=1e-5)
+    loss = model.loss_fn(res["logits"], label[None], res)
+    assert np.isfinite(float(loss))
+    if model.has_group_loss():
+        win = jax.tree.map(lambda x: jnp.stack([x] * 4), res)
+        win["label"] = jnp.asarray([0, 1, 0, 1])
+        g = model.group_loss_fn(win)
+        assert np.isfinite(float(g))
+    # eval path
+    res_e = model(case, label, train=False)
+    assert np.isfinite(float(res_e["logits"][0, 0]))
+
+
+@pytest.mark.parametrize("model_type", ["svd_gate_random_clam", "clam_mlp", "clam"])
+def test_eval_deterministic(model_type):
+    cfg = make_gate_config(model_type) if model_type in UNIFORM_DIM_FAMILY else make_config(model_type)
+    model = ModelFactory.create_model(cfg, seed=0)
+    case = make_case()
+    r1 = model(case, jnp.asarray(0), train=False)
+    r2 = model(case, jnp.asarray(0), train=False)
+    np.testing.assert_array_equal(np.asarray(r1["logits"]), np.asarray(r2["logits"]))
+
+
+@pytest.mark.parametrize("model_type", ["svd_gate_random_clam", "cust_omics"])
+def test_padding_invariance(model_type):
+    """Padding the wsi bag must not change eval outputs."""
+    cfg = make_config(model_type)
+    model = ModelFactory.create_model(cfg, seed=0)
+    case_small = make_case(n_wsi=20, n_valid_wsi=20, seed=3)
+    case_padded = make_case(n_wsi=40, n_valid_wsi=20, seed=99)
+    # identical valid content
+    feats = np.asarray(case_small["channels"]["wsi=features"])
+    padded = np.zeros((40, D), np.float32)
+    padded[:20] = feats
+    case_padded["channels"]["wsi=features"] = jnp.asarray(padded)
+    for ch in ("tma=cd3=features", "tma=cd8=features", "clinical=val", "clinical=mask"):
+        case_padded["channels"][ch] = case_small["channels"][ch]
+    case_padded["masks"]["tma=cd3=features"] = case_small["masks"]["tma=cd3=features"]
+    case_padded["masks"]["tma=cd8=features"] = case_small["masks"]["tma=cd8=features"]
+    r_small = model(case_small, jnp.asarray(1), train=False)
+    r_padded = model(case_padded, jnp.asarray(1), train=False)
+    np.testing.assert_allclose(
+        np.asarray(r_small["logits"]), np.asarray(r_padded["logits"]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_instance_loss_small_bag():
+    """k = min(inst_number, N): bags smaller than inst_number still work."""
+    cfg = make_gate_config("clam")
+    model = ModelFactory.create_model(cfg, seed=0)
+    case = make_case(n_wsi=24, n_valid_wsi=3)
+    res = model(case, jnp.asarray(0), train=False)
+    assert np.isfinite(float(res["total_inst_loss"]))
+
+
+def test_vmap_over_cases():
+    """Models must vmap over stacked cases (the trainer's batching path)."""
+    from flax import nnx
+
+    cfg = make_config("svd_gate_random_clam")
+    model = ModelFactory.create_model(cfg, seed=0)
+    graphdef, state = nnx.split(model)
+
+    cases = [make_case(seed=i) for i in range(3)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *cases)
+    labels = jnp.asarray([0, 1, 0])
+    keys = jax.random.split(jax.random.key(0), 3)
+
+    def fwd(case, label, key):
+        m = nnx.merge(graphdef, state)
+        res = m(case, label, key=key, train=True)
+        return res["logits"], res["aligned_features_stack"]
+
+    logits, stacks = jax.vmap(fwd)(batch, labels, keys)
+    assert logits.shape == (3, 1, 2)
+    assert stacks.shape == (3, 4, D)

@@ -1,0 +1,88 @@
+"""WSI patch dataset for the VAE.
+
+Reference: ``vae/dataset.py:21-363`` — wraps the multimodal dataset with
+``channels=['wsi=features']``, keeps only patients with a given label
+(default 'living'), builds a flat patch index with stochastic subsampling
+(>1000 patches -> 10%, >100 -> 20%, else all), supports full preload and
+``resample_patches()`` to reshuffle the subsample between epochs.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
+
+
+class WSIVAEDataset:
+    def __init__(
+        self,
+        csv_path,
+        data_root_dir,
+        label_filter: Optional[str] = "living",
+        use_all_data: bool = False,
+        preload: bool = True,
+        seed: int = 42,
+    ):
+        self.base = MultimodalDataset(
+            csv_path, data_root_dir, channels=["wsi=features"], preload_all=False
+        )
+        self.use_all_data = use_all_data
+        self.rng = random.Random(seed)
+        if label_filter is not None:
+            self.case_ids = [
+                c for c in self.base.case_ids if self.base.case_to_label[c] == label_filter
+            ]
+        else:
+            self.case_ids = list(self.base.case_ids)
+        self._features: Dict[str, np.ndarray] = {}
+        if preload:
+            for cid in self.case_ids:
+                raw, _ = self.base.get_case(cid)
+                self._features[cid] = raw["wsi=features"]
+        self.patch_index: List[Tuple[str, int]] = []
+        self.resample_patches()
+
+    def _case_features(self, cid: str) -> np.ndarray:
+        if cid in self._features:
+            return self._features[cid]
+        raw, _ = self.base.get_case(cid)
+        return raw["wsi=features"]
+
+    def resample_patches(self) -> None:
+        """Rebuild the flat patch index with the reference's sampling rules
+        (vae/dataset.py:219-233)."""
+        self.patch_index = []
+        for cid in self.case_ids:
+            n = self._case_features(cid).shape[0]
+            if self.use_all_data:
+                sel = range(n)
+            elif n > 1000:
+                sel = sorted(self.rng.sample(range(n), max(1, int(n * 0.1))))
+            elif n > 100:
+                sel = sorted(self.rng.sample(range(n), max(1, int(n * 0.2))))
+            else:
+                sel = range(n)
+            self.patch_index.extend((cid, i) for i in sel)
+
+    def __len__(self) -> int:
+        return len(self.patch_index)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        cid, pi = self.patch_index[idx]
+        return self._case_features(cid)[pi]
+
+    def batches(self, batch_size: int, shuffle_rng: Optional[np.random.Generator] = None):
+        """Yield [B, D] numpy batches (drops no remainder; final short batch
+        is padded by wrap-around to keep shapes static for jit)."""
+        order = np.arange(len(self))
+        if shuffle_rng is not None:
+            shuffle_rng.shuffle(order)
+        for start in range(0, len(order), batch_size):
+            idxs = order[start : start + batch_size]
+            if len(idxs) < batch_size:
+                idxs = np.concatenate([idxs, order[: batch_size - len(idxs)]])
+            yield np.stack([self[i] for i in idxs])

@@ -7,7 +7,10 @@ Must run before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the machine environment pins JAX_PLATFORMS=axon (TPU tunnel),
+# so a plain setdefault is not enough, and the axon plugin also overrides the
+# env var at import — the jax.config update below is the authoritative switch.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -21,6 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 # Persistent compilation cache: kmeans/model jits dominate suite wall-clock.
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 _cache_dir = Path(__file__).resolve().parents[1] / ".jax_cache"
 _cache_dir.mkdir(exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache_dir))

@@ -161,4 +161,4 @@ def test_vmap_over_cases():
 
     logits, stacks = jax.vmap(fwd)(batch, labels, keys)
     assert logits.shape == (3, 1, 2)
-    assert stacks.shape == (3, 4, D)
+    assert stacks.shape == (3, 3, D)  # 3 cases x 3 modalities (wsi, tma, clinical)

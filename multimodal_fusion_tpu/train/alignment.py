@@ -1,0 +1,263 @@
+"""Cross-modal alignment pretraining.
+
+Reference: ``alignment/trainer.py:24-810`` — step-based loop over recycled
+dataloader batches; rank-1 SVD or Gram-volume loss (+ loss_IM BCE vs global
+negatives when lambda2 > 0); AdamW over the alignment layers ONLY (the match
+predictor stays at init — reference :108-116, replicated); CosineAnnealingLR
+(T_max=100, eta_min=1e-6) stepped on each epoch wrap; validation every
+``val_interval`` steps with ``val_max_batches`` cap; best checkpoint +
+periodic saves; early stopping on val loss; ``.history.json`` dump.
+
+The whole train step (forward + loss + grad + AdamW update) is one jit.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+from functools import partial
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
+from multimodal_fusion_tpu.ops.losses import (
+    binary_cross_entropy,
+    rank1_svd_loss_from_dict,
+    volume_loss,
+)
+from multimodal_fusion_tpu.train.checkpoint import load_state, save_state
+
+
+def make_alignment_apply_fn(model: MultiModalAlignmentModel):
+    """Numpy-in/numpy-out aligned-feature fn for dataset-side application
+    (the counterpart of the reference's load-time alignment,
+    multimodal_dataset.py:396-425)."""
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def apply(state, feats):
+        m = nnx.merge(graphdef, state)
+        return m(feats)
+
+    def fn(features: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        out = apply(state, {k: jnp.asarray(v) for k, v in features.items()})
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    return fn
+
+
+class MultiModalAlignmentTrainer:
+    def __init__(
+        self,
+        model: MultiModalAlignmentModel,
+        learning_rate: float = 1e-4,
+        weight_decay: float = 1e-5,
+        loss_type: str = "rank1",
+        tau1: float = 0.1,
+        tau2: float = 0.1,
+        lambda1: float = 1.0,
+        lambda2: float = 0.1,
+        loss2_chunk_size: Optional[int] = None,
+        val_max_batches: Optional[int] = None,
+        early_stopping_patience: int = 10,
+        early_stopping_min_delta: float = 1e-4,
+    ):
+        if loss_type not in ("rank1", "volume"):
+            raise ValueError(f"unsupported loss type {loss_type}")
+        self.model = model
+        self.loss_type = loss_type
+        self.tau1, self.tau2 = tau1, tau2
+        self.lambda1, self.lambda2 = lambda1, lambda2
+        self.loss2_chunk_size = loss2_chunk_size
+        self.val_max_batches = val_max_batches
+        self.patience = early_stopping_patience
+        self.min_delta = early_stopping_min_delta
+        self.base_lr = learning_rate
+
+        self.graphdef, self.state = nnx.split(model)
+
+        # Optimise alignment layers only (reference :108-116): mask the
+        # match-predictor params out of the AdamW update.
+        def is_alignment(path) -> bool:
+            return any(str(getattr(p, "key", p)) == "alignment_layers" for p in path)
+
+        labels = jax.tree_util.tree_map_with_path(
+            lambda path, _: "train" if is_alignment(path) else "freeze", self.state
+        )
+        self.tx = optax.multi_transform(
+            {
+                "train": optax.chain(
+                    optax.add_decayed_weights(weight_decay),
+                    optax.scale_by_adam(),
+                ),
+                "freeze": optax.set_to_zero(),
+            },
+            labels,
+        )
+        self.opt_state = self.tx.init(self.state)
+        self._build_steps()
+
+        self.best_val_loss = float("inf")
+        self.early_stop_counter = 0
+        self.history: Dict[str, List] = {
+            "train_loss": [], "val_loss": [], "svd_values": [], "steps": []
+        }
+
+    # ------------------------------------------------------------------
+
+    def _loss(self, state, pos, neg, key, train):
+        m = nnx.merge(self.graphdef, state)
+        aligned = m(pos)
+        if self.loss_type == "rank1":
+            loss, svd_vals = rank1_svd_loss_from_dict(
+                aligned, self.tau1, self.tau2, self.lambda1, self.loss2_chunk_size
+            )
+            if self.lambda2 != 0 and neg is not None:
+                aligned_neg = m(neg)
+                keys_sorted = sorted(aligned)
+                pos_fused = jnp.concatenate([aligned[k] for k in keys_sorted], axis=1)
+                neg_fused = jnp.concatenate([aligned_neg[k] for k in keys_sorted], axis=1)
+                allf = jnp.concatenate([pos_fused, neg_fused], axis=0)
+                labels = jnp.concatenate(
+                    [jnp.ones(pos_fused.shape[0]), jnp.zeros(neg_fused.shape[0])]
+                )
+                pred = m.predict_match(allf, key=key, train=train)
+                loss = loss + self.lambda2 * binary_cross_entropy(pred[:, 0], labels)
+        else:
+            feats = [aligned[k] for k in sorted(aligned)]
+            loss, svd_vals = volume_loss(feats, self.tau1)
+        return loss, svd_vals
+
+    def _build_steps(self):
+        lam2 = self.lambda2
+
+        @partial(jax.jit, static_argnames=("train", "has_neg"))
+        def step(state, opt_state, pos, neg, key, lr, train: bool, has_neg: bool):
+            def loss_fn(sd):
+                return self._loss(sd, pos, neg if has_neg else None, key, train)
+
+            (loss, svd_vals), grads = jax.value_and_grad(loss_fn, has_aux=True)(state)
+            updates, opt_state = self.tx.update(grads, opt_state, state)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            state = optax.apply_updates(state, updates)
+            return state, opt_state, loss, svd_vals
+
+        @partial(jax.jit, static_argnames=("has_neg",))
+        def eval_loss(state, pos, neg, has_neg: bool):
+            loss, svd_vals = self._loss(state, pos, neg if has_neg else None, None, False)
+            return loss, svd_vals
+
+        self._step = step
+        self._eval_loss = eval_loss
+
+    # ------------------------------------------------------------------
+
+    def _lr_for_epoch(self, epoch: int) -> float:
+        # CosineAnnealingLR(T_max=100, eta_min=1e-6), stepped per epoch wrap
+        eta_min = 1e-6
+        return eta_min + (self.base_lr - eta_min) * (1 + math.cos(math.pi * (epoch % 200) / 100)) / 2
+
+    def train(
+        self,
+        train_view,
+        val_view,
+        max_steps: int,
+        batch_size: int = 64,
+        val_interval: int = 100,
+        save_path: Optional[str | Path] = None,
+        save_interval: Optional[int] = None,
+        seed: int = 42,
+        verbose: bool = False,
+    ) -> Dict:
+        """``train_view``/``val_view``: AlignedSubsetView (or the dataset
+        itself) exposing __len__ and collate(batch_positions, batch_id)."""
+        rng = np.random.default_rng(seed)
+        state = self.state
+        opt_state = self.opt_state
+        key = jax.random.key(seed)
+
+        n = len(train_view)
+        order = rng.permutation(n)
+        pos_in_epoch = 0
+        epoch = 0
+        t0 = time.time()
+
+        for step_i in range(max_steps):
+            if pos_in_epoch + batch_size > n:
+                order = rng.permutation(n)
+                pos_in_epoch = 0
+                epoch += 1
+            batch_positions = order[pos_in_epoch : pos_in_epoch + batch_size]
+            pos_in_epoch += batch_size
+            pos, neg = train_view.collate(batch_positions, step_i)
+            has_neg = neg is not None and self.lambda2 != 0
+            pos = {k: jnp.asarray(v) for k, v in pos.items()}
+            neg_j = {k: jnp.asarray(v) for k, v in neg.items()} if has_neg else pos
+            key, sub = jax.random.split(key)
+            lr = self._lr_for_epoch(epoch)
+            state, opt_state, loss, svd_vals = self._step(
+                state, opt_state, pos, neg_j, sub, lr, True, has_neg
+            )
+            self.history["train_loss"].append(float(loss))
+            self.history["svd_values"].append(np.asarray(svd_vals).tolist())
+            self.history["steps"].append(step_i)
+
+            if save_interval and save_path and (step_i + 1) % save_interval == 0:
+                save_state(f"{save_path}.step_{step_i + 1}", state)
+
+            if (step_i + 1) % val_interval == 0 or step_i + 1 == max_steps:
+                val_loss = self.validate(val_view, state, batch_size)
+                self.history["val_loss"].append({"step": step_i, "loss": val_loss})
+                if verbose:
+                    print(f"step {step_i+1}: train={float(loss):.4f} val={val_loss:.4f}")
+                if val_loss < self.best_val_loss - self.min_delta:
+                    self.best_val_loss = val_loss
+                    self.early_stop_counter = 0
+                    if save_path:
+                        save_state(save_path, state, extra={"step": step_i})
+                else:
+                    self.early_stop_counter += 1
+                    if self.patience > 0 and self.early_stop_counter >= self.patience:
+                        break
+
+        # push final state back into the live model
+        nnx.update(self.model, state)
+        self.state = state
+        self.opt_state = opt_state
+        return {
+            "history": self.history,
+            "best_val_loss": self.best_val_loss,
+            "elapsed_s": time.time() - t0,
+        }
+
+    def validate(self, val_view, state=None, batch_size: int = 64) -> float:
+        if state is None:
+            state = self.state
+        n = len(val_view)
+        losses = []
+        max_batches = self.val_max_batches or max(1, n // batch_size)
+        for b in range(min(max_batches, max(1, n // batch_size))):
+            positions = np.arange(b * batch_size, min((b + 1) * batch_size, n))
+            if len(positions) < 2:
+                continue
+            pos, neg = val_view.collate(positions, b)
+            has_neg = neg is not None and self.lambda2 != 0
+            pos = {k: jnp.asarray(v) for k, v in pos.items()}
+            neg_j = {k: jnp.asarray(v) for k, v in neg.items()} if has_neg else pos
+            loss, _ = self._eval_loss(state, pos, neg_j, has_neg)
+            losses.append(float(loss))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def save_history(self, path: str | Path, config: Optional[Dict] = None):
+        """.history.json dump (reference run.py:192-224)."""
+        payload = {"history": self.history, "best_val_loss": self.best_val_loss}
+        if config:
+            payload["config"] = config
+        Path(path).write_text(json.dumps(payload, indent=2))

@@ -61,6 +61,14 @@ class EarlyStopping:
         if better:
             self.best_score = score
             self.counter = 0
+            self._saved_once = True
+            return True
+        if not getattr(self, "_saved_once", False):
+            # first evaluation with a degenerate metric (e.g. NaN AUC on a
+            # single-class val split): still record a checkpoint, but keep
+            # best_score open so any finite score later counts as improvement
+            self._saved_once = True
+            self.counter = 0
             return True
         self.counter += 1
         if self.counter >= self.patience and epoch > self.stop_epoch:

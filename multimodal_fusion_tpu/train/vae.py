@@ -1,0 +1,271 @@
+"""VAE training + reconstructed-feature writer.
+
+Reference: ``vae/train.py:23-651`` — AdamW + ReduceLROnPlateau(val loss);
+checkpoint latest/best with optimizer/scheduler/history state and resume; the
+LR-reduce-count drives a dynamic patch-resample schedule (0 reductions: every
+10% of total epochs; 1: every 5%; >=2: every epoch); early stop once LR hits
+the floor.  ``generate_reconstructed_wsi.py:26-274`` batches all patches of
+each h5 through the best model and writes gzip ``wsi/reconstructed_features``.
+
+(The reference's torch.compile `_orig_mod.` checkpoint-prefix handling is
+obsolete here — jit is ambient and checkpoints are plain state trees.)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from multimodal_fusion_tpu.io.h5io import write_channel
+from multimodal_fusion_tpu.models.vae import VAE, vae_loss
+from multimodal_fusion_tpu.train.checkpoint import load_state, save_state
+
+
+class VAETrainer:
+    def __init__(
+        self,
+        model: VAE,
+        learning_rate: float = 1e-3,
+        weight_decay: float = 1e-5,
+        plateau_patience: int = 10,
+        plateau_factor: float = 0.5,
+        min_lr: float = 1e-6,
+        checkpoint_dir: Optional[str | Path] = None,
+    ):
+        self.model = model
+        self.graphdef, self.state = nnx.split(model)
+        self.tx = optax.chain(
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(weight_decay),
+        )
+        self.opt_state = self.tx.init(self.state)
+        self.base_lr = learning_rate
+        self.lr = learning_rate
+        self.min_lr = min_lr
+        self.plateau_patience = plateau_patience
+        self.plateau_factor = plateau_factor
+        self._plateau_best = float("inf")
+        self._plateau_count = 0
+        self.lr_reduce_count = 0
+        self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir else None
+        self.history: Dict[str, List[float]] = {
+            "train_loss": [], "val_loss": [], "recon_loss": [], "kld_loss": [], "lr": []
+        }
+        self.epoch = 0
+        self.global_step = 0
+        self._build_steps()
+
+    def _build_steps(self):
+        @jax.jit
+        def train_step(state, opt_state, x, key, lr):
+            def loss_fn(state):
+                m = nnx.merge(self.graphdef, state)
+                x_hat, mean, log_var = m(x, key=key, train=True)
+                total, recon, kld = vae_loss(x, x_hat, mean, log_var)
+                return total, (recon, kld)
+
+            (loss, (recon, kld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state)
+            updates, opt_state = self.tx.update(grads, opt_state, state)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            state = optax.apply_updates(state, updates)
+            return state, opt_state, loss, recon, kld
+
+        @jax.jit
+        def eval_step(state, x, key):
+            m = nnx.merge(self.graphdef, state)
+            x_hat, mean, log_var = m(x, key=key, train=False)
+            return vae_loss(x, x_hat, mean, log_var)
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    # ------------------------------------------------------------------
+
+    def train_epoch(self, dataset, batch_size: int, key, shuffle_rng) -> Dict[str, float]:
+        losses, recons, klds = [], [], []
+        state, opt_state = self.state, self.opt_state
+        for x in dataset.batches(batch_size, shuffle_rng):
+            key, sub = jax.random.split(key)
+            state, opt_state, loss, recon, kld = self._train_step(
+                state, opt_state, jnp.asarray(x), sub, self.lr
+            )
+            losses.append(float(loss))
+            recons.append(float(recon))
+            klds.append(float(kld))
+            self.global_step += 1
+        self.state, self.opt_state = state, opt_state
+        return {
+            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "recon": float(np.mean(recons)) if recons else float("nan"),
+            "kld": float(np.mean(klds)) if klds else float("nan"),
+        }
+
+    def validate(self, dataset, batch_size: int, key) -> float:
+        losses = []
+        for x in dataset.batches(batch_size):
+            key, sub = jax.random.split(key)
+            total, _, _ = self._eval_step(self.state, jnp.asarray(x), sub)
+            losses.append(float(total))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def plateau_step(self, val_loss: float) -> None:
+        """ReduceLROnPlateau(min) semantics + reduce-count tracking."""
+        if val_loss < self._plateau_best:
+            self._plateau_best = val_loss
+            self._plateau_count = 0
+        else:
+            self._plateau_count += 1
+            if self._plateau_count > self.plateau_patience:
+                new_lr = max(self.lr * self.plateau_factor, self.min_lr)
+                if new_lr < self.lr:
+                    self.lr = new_lr
+                    self.lr_reduce_count += 1
+                self._plateau_count = 0
+
+    def resample_interval(self, total_epochs: int) -> int:
+        """Dynamic resample schedule driven by LR-reduce count
+        (reference vae/train.py:302-333): 0 reductions -> every 10% of total
+        epochs; 1 -> every 5%; >=2 -> every epoch."""
+        if self.lr_reduce_count == 0:
+            return max(1, total_epochs // 10)
+        if self.lr_reduce_count == 1:
+            return max(1, total_epochs // 20)
+        return 1
+
+    @property
+    def lr_at_floor(self) -> bool:
+        return self.lr <= self.min_lr
+
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, tag: str) -> None:
+        if self.checkpoint_dir is None:
+            return
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        save_state(
+            self.checkpoint_dir / f"{tag}.npz",
+            {"model": self.state, "opt": self.opt_state},
+            extra={
+                "epoch": self.epoch,
+                "global_step": self.global_step,
+                "lr": self.lr,
+                "lr_reduce_count": self.lr_reduce_count,
+            },
+        )
+        (self.checkpoint_dir / f"{tag}_history.json").write_text(json.dumps(self.history))
+
+    def resume(self, tag: str = "latest") -> bool:
+        if self.checkpoint_dir is None:
+            return False
+        path = self.checkpoint_dir / f"{tag}.npz"
+        if not path.exists():
+            return False
+        restored, extras = load_state(path, {"model": self.state, "opt": self.opt_state})
+        self.state, self.opt_state = restored["model"], restored["opt"]
+        nnx.update(self.model, self.state)
+        self.epoch = int(extras.get("epoch", 0))
+        self.global_step = int(extras.get("global_step", 0))
+        self.lr = float(extras.get("lr", self.base_lr))
+        self.lr_reduce_count = int(extras.get("lr_reduce_count", 0))
+        hist_path = self.checkpoint_dir / f"{tag}_history.json"
+        if hist_path.exists():
+            self.history = json.loads(hist_path.read_text())
+        return True
+
+    # ------------------------------------------------------------------
+
+    def fit(
+        self,
+        train_ds,
+        val_ds,
+        epochs: int,
+        batch_size: int = 256,
+        seed: int = 42,
+        verbose: bool = False,
+        resample: bool = True,
+    ) -> Dict:
+        key = jax.random.key(seed)
+        shuffle_rng = np.random.default_rng(seed)
+        best_val = float("inf")
+        t0 = time.time()
+        start = self.epoch
+        for epoch in range(start, epochs):
+            self.epoch = epoch
+            key, k_train, k_val = jax.random.split(key, 3)
+            tr = self.train_epoch(train_ds, batch_size, k_train, shuffle_rng)
+            val_loss = self.validate(val_ds, batch_size, k_val)
+            self.plateau_step(val_loss)
+            self.history["train_loss"].append(tr["loss"])
+            self.history["recon_loss"].append(tr["recon"])
+            self.history["kld_loss"].append(tr["kld"])
+            self.history["val_loss"].append(val_loss)
+            self.history["lr"].append(self.lr)
+            if verbose:
+                print(f"epoch {epoch}: train={tr['loss']:.4f} val={val_loss:.4f} lr={self.lr:.2e}")
+            self.save_checkpoint("latest")
+            if val_loss < best_val:
+                best_val = val_loss
+                self.save_checkpoint("best")
+            if resample and (epoch + 1) % self.resample_interval(epochs) == 0:
+                train_ds.resample_patches()
+            if self.lr_at_floor and self.lr_reduce_count >= 2:
+                break
+        nnx.update(self.model, self.state)
+        return {"best_val_loss": best_val, "elapsed_s": time.time() - t0, "history": self.history}
+
+
+# ---------------------------------------------------------------------------
+# Reconstruction writer (reference vae/generate_reconstructed_wsi.py)
+# ---------------------------------------------------------------------------
+
+def generate_reconstructed_wsi(
+    model: VAE,
+    csv_path,
+    data_root_dir,
+    batch_size: int = 256,
+    pad_to: int = 256,
+) -> Dict[str, int]:
+    """Batch every patient's wsi patches through the (deterministic) VAE and
+    write gzip ``wsi/reconstructed_features``."""
+    import pandas as pd
+
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def recon(state, x):
+        m = nnx.merge(graphdef, state)
+        x_hat, _, _ = m(x, train=False)
+        return x_hat
+
+    from multimodal_fusion_tpu.io.h5io import read_channel
+
+    df = pd.read_csv(csv_path)
+    done: Dict[str, int] = {}
+    root = Path(data_root_dir)
+    for _, row in df.iterrows():
+        h5_path = root / row["h5_file_path"]
+        if not h5_path.exists():
+            continue
+        feats = read_channel(h5_path, "wsi=features")
+        n = feats.shape[0]
+        out = np.empty_like(feats)
+        for start in range(0, n, batch_size):
+            chunk = feats[start : start + batch_size]
+            m = chunk.shape[0]
+            if m < batch_size:  # pad to keep the jit shape static
+                chunk = np.concatenate(
+                    [chunk, np.zeros((batch_size - m, feats.shape[1]), feats.dtype)]
+                )
+            out[start : start + m] = np.asarray(recon(state, jnp.asarray(chunk)))[:m]
+        write_channel(h5_path, "wsi=reconstructed_features", out, compression="gzip")
+        done[str(row.get("case_id", h5_path.stem))] = n
+    return done

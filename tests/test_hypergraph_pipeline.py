@@ -1,0 +1,137 @@
+"""End-to-end hypergraph construction on synthetic fixtures, with a NumPy
+oracle check of the per-stage math (reference preprocess_hypergraph.py)."""
+
+import numpy as np
+import pytest
+
+from multimodal_fusion_tpu.hypergraph.build import (
+    aggregate_wsi_super_patches,
+    build_hypergraph_knn_kmeans,
+    compute_wsi_tma_similarity,
+    group_by_similarity,
+    load_similarity_matrices,
+    process_dataset,
+    process_single_file,
+    rebuild_hypergraph_from_similarity,
+)
+from multimodal_fusion_tpu.io.fixtures import make_synthetic_dataset
+from multimodal_fusion_tpu.io.h5io import read_hypergraph_group, write_channel
+
+
+@pytest.fixture(scope="module")
+def hg_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("hg")
+    csv_path = make_synthetic_dataset(
+        root, n_patients=3, seed=1, min_wsi_patches=60, max_wsi_patches=80, feature_dim=32
+    )
+    # pipeline consumes flat tma/features; fixtures store per-marker — add flat
+    import h5py
+
+    for line in csv_path.read_text().strip().split("\n")[1:]:
+        rel = line.split(",")[-1]
+        with h5py.File(root / rel, "a") as f:
+            parts = [np.asarray(f[f"tma/{m}/features"]) for m in sorted(f["tma"].keys())]
+            f["tma/features"] = np.concatenate(parts)
+    return root, csv_path
+
+
+def test_aggregate_super_patches():
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((50, 16)).astype(np.float32)
+    pos = rng.standard_normal((50, 2)).astype(np.float32)
+    sp_f, sp_p, stats, K = aggregate_wsi_super_patches(feats, pos, 5, seed=0)
+    assert sp_f.shape == (5, 16)
+    assert sp_p.shape == (5, 2)
+    assert K.shape == (50, 50)
+    assert stats["num_original_patches"] == 50
+    assert 0 < stats["avg_intra_cluster_similarity"] <= 1.0
+    # super-patch features are means of their clusters: global mean invariant
+    # under weighted recombination
+    # (cluster means weighted by size == overall mean)
+    from multimodal_fusion_tpu.ops.kmeans import kmeans
+    import jax
+
+    res = kmeans(jax.random.key(0), feats, k=5, n_init=10)
+    labels = np.asarray(res.labels)
+    for c in range(5):
+        np.testing.assert_allclose(
+            sp_f[c], feats[labels == c].mean(0), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_cross_similarity_morphological_only():
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((6, 8)).astype(np.float32) * 0.3
+    b = rng.standard_normal((4, 8)).astype(np.float32) * 0.3
+    sim, stats = compute_wsi_tma_similarity(a, b)
+    want = np.exp(-((a[:, None, :] - b[None, :, :]) ** 2).sum(-1))
+    np.testing.assert_allclose(sim, want, rtol=1e-4, atol=1e-5)
+    assert abs(stats["median"] - np.median(want)) < 1e-5
+
+
+def test_group_by_similarity():
+    rng = np.random.default_rng(2)
+    sim = rng.random((20, 6)).astype(np.float32)
+    labels, stats = group_by_similarity(sim, 3, "kmeans")
+    assert labels.shape == (20,)
+    assert set(labels) <= {0, 1, 2}
+    assert sum(stats["group_sizes"]) == 20
+
+
+def test_build_hypergraph_structure():
+    rng = np.random.default_rng(3)
+    wsi = rng.standard_normal((12, 8)).astype(np.float32)
+    tma = rng.standard_normal((4, 8)).astype(np.float32)
+    ei, w, stats = build_hypergraph_knn_kmeans(wsi, tma, None, k=3, num_hyperedges=4)
+    assert ei.shape[0] == 2
+    assert w.shape[0] == ei.shape[1]
+    assert (w >= 0).all()
+    # canonical order: undirected pairs sorted, no duplicates, no self loops
+    pairs = ei.T
+    assert (pairs[:, 0] < pairs[:, 1]).all()
+    assert len(np.unique(pairs, axis=0)) == len(pairs)
+    # every node's knn edges present: node degree >= 1
+    deg = np.bincount(pairs.ravel(), minlength=16)
+    assert (deg > 0).all()
+    assert stats["num_nodes"] == 16
+
+
+def test_process_and_rebuild_roundtrip(hg_dataset):
+    root, csv_path = hg_dataset
+    all_stats, summary = process_dataset(
+        csv_path, root, num_wsi_super_patches=8, num_groups=3,
+        hypergraph_k=3, num_hyperedges=4,
+    )
+    assert summary["files"] == 3
+    assert summary["patches_per_sec"] > 0
+    rel = csv_path.read_text().strip().split("\n")[1].split(",")[-1]
+    h5 = root / rel
+    out = read_hypergraph_group(h5)
+    assert out["wsi_super/features"].shape[0] == 8
+    assert out["edge_index"].shape[0] == 2
+    assert out["group_labels"].shape[0] == 8
+    assert "similarity/wsi_internal" in out
+    assert "__stats__" in out
+
+    # deterministic: same seed -> identical incidence structure
+    stats2 = process_single_file(h5, 8, 3, 3, 4)
+    out2 = read_hypergraph_group(h5)
+    np.testing.assert_array_equal(out["edge_index"], out2["edge_index"])
+    np.testing.assert_allclose(out["edge_weights"], out2["edge_weights"], rtol=1e-5)
+
+    # fast rebuild from cached similarity with different params
+    wsi_sim, wsi_tma_sim = load_similarity_matrices(h5)
+    assert wsi_sim is not None
+    stats3 = rebuild_hypergraph_from_similarity(
+        h5, num_wsi_super_patches=6, num_groups=2, hypergraph_k=2, num_hyperedges=3
+    )
+    out3 = read_hypergraph_group(h5)
+    assert out3["wsi_super/features"].shape[0] == 6
+    assert len(np.unique(out3["group_labels"])) <= 2
+
+    # threshold filter drops edges
+    stats4 = rebuild_hypergraph_from_similarity(
+        h5, num_wsi_super_patches=6, num_groups=2, hypergraph_k=2,
+        num_hyperedges=3, threshold_median_ratio=1.0,
+    )
+    assert stats4["hypergraph"]["num_edges_after_threshold"] <= stats3["hypergraph"]["num_edges"]

@@ -1,0 +1,195 @@
+"""End-to-end trainer tests: survival k-fold, VAE, alignment — tiny configs
+on synthetic fixtures."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+from flax import nnx
+
+from multimodal_fusion_tpu.config import Configs, ExperimentConfig, ModelConfig
+from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
+from multimodal_fusion_tpu.data.splits import create_k_fold_splits
+from multimodal_fusion_tpu.io.fixtures import (
+    make_alignment_npz_fixtures,
+    make_synthetic_dataset,
+)
+
+
+@pytest.fixture(scope="module")
+def surv_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("surv")
+    csv_path = make_synthetic_dataset(
+        root, n_patients=12, seed=7, min_wsi_patches=20, max_wsi_patches=40,
+        feature_dim=32, n_tma_patches=3,
+    )
+    ds = MultimodalDataset(
+        csv_path, root,
+        channels=["wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask"],
+    )
+    return ds
+
+
+def _configs(tmp_path):
+    mc = ModelConfig(
+        model_type="svd_gate_random_clam",
+        n_classes=2,
+        input_dim=32,
+        model_size="32*16",
+        dropout=0.1,
+        output_dim=32,
+        channels_used_in_model=["wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask"],
+        channel_input_dims={"clinical=val": 16},
+    )
+    ec = ExperimentConfig(
+        exp_name="t", seed=0, k_folds=3, max_epochs=2, batch_size=4,
+        lr=1e-3, patience=5, min_epochs=0, monitor_metric="auc",
+        monitor_mode="max", weighted_sampling=True,
+    )
+    ec.extra["verbose"] = False
+    return Configs(experiment_config=ec, model_config=mc)
+
+
+def test_survival_train_fold(surv_dataset, tmp_path):
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    cfgs = _configs(tmp_path)
+    trainer = SurvivalTrainer(cfgs, tmp_path / "run")
+    splits = create_k_fold_splits(surv_dataset.labels, 3, seed=0)
+    summary = trainer.train_fold(surv_dataset, splits[0], 0)
+    assert "test_auc" in summary and "val_auc" in summary
+    assert len(summary["history"]) == 2
+    assert (tmp_path / "run" / "s_0_checkpoint.npz").exists()
+    assert (tmp_path / "run" / "splits_0.csv").exists()
+    fold_json = json.loads((tmp_path / "run" / "fold_0_summary.json").read_text())
+    assert "patient_results" in fold_json
+
+    # eval-only path with modality dropout
+    res = trainer.evaluate_fold(surv_dataset, splits[0], 0, drop_prob=0.5)
+    assert "auc" in res and len(res["probs"]) == len(splits[0].test_idx)
+
+
+def test_splits_modes(surv_dataset, tmp_path):
+    labels = surv_dataset.labels
+    splits = create_k_fold_splits(labels, 3, seed=1)
+    assert len(splits) == 3
+    for s in splits:
+        all_idx = np.concatenate([s.train_idx, s.val_idx, s.test_idx])
+        assert len(np.unique(all_idx)) == len(labels)
+    # fixed mode
+    spec = {"train": [str(i) for i in range(1, 9)], "test": [str(i) for i in range(9, 13)]}
+    p = tmp_path / "split.json"
+    p.write_text(json.dumps(spec))
+    patient_ids = [surv_dataset.case_to_patient[c] for c in surv_dataset.case_ids]
+    fixed = create_k_fold_splits(labels, 2, seed=1, patient_ids=patient_ids, fixed_split_path=p)
+    test_set = set(fixed[0].test_idx.tolist())
+    for s in fixed:
+        assert set(s.test_idx.tolist()) == test_set
+        assert not (set(s.train_idx.tolist()) & test_set)
+
+
+def test_vae_fit_and_reconstruct(tmp_path):
+    from multimodal_fusion_tpu.data.vae_patches import WSIVAEDataset
+    from multimodal_fusion_tpu.models.vae import VAE
+    from multimodal_fusion_tpu.train.vae import VAETrainer, generate_reconstructed_wsi
+    from multimodal_fusion_tpu.io.h5io import read_channel
+
+    root = tmp_path / "data"
+    csv_path = make_synthetic_dataset(
+        root, n_patients=4, seed=3, min_wsi_patches=30, max_wsi_patches=50, feature_dim=16
+    )
+    ds = WSIVAEDataset(csv_path, root, label_filter="living", preload=True)
+    assert len(ds) > 0
+    model = VAE(input_dim=16, encoder_hidden=[32, 16], decoder_hidden=[16, 32],
+                latent_dim=8, rngs=nnx.Rngs(0))
+    trainer = VAETrainer(model, learning_rate=1e-3, checkpoint_dir=tmp_path / "ckpt")
+    out = trainer.fit(ds, ds, epochs=2, batch_size=16, verbose=False)
+    assert np.isfinite(out["best_val_loss"])
+    assert (tmp_path / "ckpt" / "best.npz").exists()
+
+    # resume restores epoch counter
+    tr2 = VAETrainer(model, checkpoint_dir=tmp_path / "ckpt")
+    assert tr2.resume("latest")
+    assert tr2.epoch == 1
+
+    done = generate_reconstructed_wsi(model, csv_path, root, batch_size=32)
+    assert len(done) == 4
+    rel = csv_path.read_text().strip().split("\n")[1].split(",")[-1]
+    rec = read_channel(root / rel, "wsi=reconstructed_features")
+    orig = read_channel(root / rel, "wsi=features")
+    assert rec.shape == orig.shape
+    assert np.isfinite(rec).all()
+
+    # writer is deterministic
+    generate_reconstructed_wsi(model, csv_path, root, batch_size=32)
+    rec2 = read_channel(root / rel, "wsi=reconstructed_features")
+    np.testing.assert_array_equal(rec, rec2)
+
+
+def test_alignment_training(tmp_path):
+    from multimodal_fusion_tpu.data.alignment import TMANpzAlignedWithNegDataset
+    from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
+    from multimodal_fusion_tpu.train.alignment import (
+        MultiModalAlignmentTrainer,
+        make_alignment_apply_fn,
+    )
+
+    markers = ("cd3", "cd8", "he")
+    paths = make_alignment_npz_fixtures(
+        tmp_path, n_cores=10, patches_per_core=2, feature_dim=16, markers=markers
+    )
+    ds = TMANpzAlignedWithNegDataset(
+        tmp_path, list(markers), filename_template="{marker}.npz", mismatch_ratio=1.0
+    )
+    assert len(ds) == 20
+    model = MultiModalAlignmentModel(list(markers), feature_dim=16, num_layers=2, rngs=nnx.Rngs(0))
+    trainer = MultiModalAlignmentTrainer(model, learning_rate=1e-3, lambda2=0.1)
+
+    # 8:1:1-style split by tuple key
+    keys = ds.normalized_keys
+    groups = {"train": keys[:16], "val": keys[16:]}
+    views = ds.split_by_ids_with_neg(groups, id_type="tuple")
+    out = trainer.train(
+        views["train"], views["val"], max_steps=6, batch_size=4,
+        val_interval=3, save_path=tmp_path / "align.npz",
+    )
+    assert len(out["history"]["train_loss"]) <= 6
+    assert np.isfinite(out["history"]["train_loss"][-1])
+    assert np.isfinite(out["best_val_loss"])
+    trainer.save_history(tmp_path / "align.history.json", config={"markers": list(markers)})
+    hist = json.loads((tmp_path / "align.history.json").read_text())
+    assert "history" in hist and "config" in hist
+
+    # frozen predictor: only alignment layers move
+    m2 = MultiModalAlignmentModel(list(markers), feature_dim=16, num_layers=2, rngs=nnx.Rngs(0))
+    init_state = nnx.state(m2)
+    pred_before = np.asarray(init_state["mlp_predictor"]["fc1"]["kernel"].value)
+    pred_after = np.asarray(nnx.state(model)["mlp_predictor"]["fc1"]["kernel"].value)
+    np.testing.assert_array_equal(pred_before, pred_after)
+    align_before = np.asarray(init_state["alignment_layers"]["cd3"][0]["kernel"].value)
+    align_after = np.asarray(nnx.state(model)["alignment_layers"]["cd3"][0]["kernel"].value)
+    assert np.abs(align_before - align_after).max() > 0
+
+    # dataset-side aligned-feature application
+    fn = make_alignment_apply_fn(model)
+    aligned = fn({"cd3": np.ones((2, 16), np.float32)})
+    assert aligned["cd3"].shape == (2, 16)
+
+
+def test_volume_loss_training(tmp_path):
+    from multimodal_fusion_tpu.data.alignment import TMANpzAlignedWithNegDataset
+    from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
+    from multimodal_fusion_tpu.train.alignment import MultiModalAlignmentTrainer
+
+    markers = ("cd3", "cd8")
+    make_alignment_npz_fixtures(
+        tmp_path, n_cores=8, patches_per_core=1, feature_dim=8, markers=markers
+    )
+    ds = TMANpzAlignedWithNegDataset(
+        tmp_path, list(markers), filename_template="{marker}.npz"
+    )
+    model = MultiModalAlignmentModel(list(markers), feature_dim=8, num_layers=1, rngs=nnx.Rngs(1))
+    trainer = MultiModalAlignmentTrainer(model, loss_type="volume", lambda2=0.0)
+    out = trainer.train(ds, ds, max_steps=3, batch_size=4, val_interval=3)
+    assert np.isfinite(out["history"]["train_loss"][-1])

@@ -21,6 +21,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
+
+def _enable_compile_cache():
+    import jax
+
+    cache = Path(__file__).resolve().parent / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 N_FILES = 4
 N_PATCHES = 4096
 N_TMA = 32
@@ -75,12 +84,18 @@ def run_reference(paths):
     n = 0
     for p in paths:
         with contextlib.redirect_stdout(io.StringIO()):
-            ref_process(str(p), NUM_SUPER, NUM_GROUPS, K, NUM_HYPEREDGES)
+            try:
+                ref_process(str(p), NUM_SUPER, NUM_GROUPS, K, NUM_HYPEREDGES)
+            except TypeError:
+                # the reference's own stats-JSON step rejects np.int64 under
+                # modern numpy; all compute stages have already run by then
+                pass
         n += N_PATCHES
     return n / (time.time() - t0)
 
 
 def main():
+    _enable_compile_cache()
     with tempfile.TemporaryDirectory() as td:
         root = Path(td)
         (root / "ours").mkdir(exist_ok=True)

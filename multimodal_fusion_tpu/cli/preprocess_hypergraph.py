@@ -1,0 +1,67 @@
+"""Hypergraph preprocessing CLI
+(reference: ``build_hypergraph/preprocess_hypergraph.py:681-723``)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from multimodal_fusion_tpu.hypergraph.build import (
+    batch_rebuild_hypergraph,
+    process_dataset,
+)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Build WSI+TMA hypergraphs into patient h5 files")
+    p.add_argument("--csv_path", type=str, required=True)
+    p.add_argument("--data_root_dir", type=str, required=True)
+    p.add_argument("--num_wsi_super_patches", type=int, default=100)
+    p.add_argument("--num_groups", type=int, default=10)
+    p.add_argument("--hypergraph_k", type=int, default=5)
+    p.add_argument("--num_hyperedges", type=int, default=10)
+    p.add_argument("--lambda_h", type=float, default=1.0)
+    p.add_argument("--lambda_g", type=float, default=1.0)
+    p.add_argument("--output_stats_path", type=str, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no_save_similarity", action="store_true", default=False)
+    # fast-rebuild mode from cached similarity matrices
+    p.add_argument("--rebuild", action="store_true", default=False)
+    p.add_argument("--threshold_median_ratio", type=float, default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.rebuild:
+        out = batch_rebuild_hypergraph(
+            args.csv_path,
+            args.data_root_dir,
+            num_wsi_super_patches=args.num_wsi_super_patches,
+            num_groups=args.num_groups,
+            hypergraph_k=args.hypergraph_k,
+            num_hyperedges=args.num_hyperedges,
+            threshold_median_ratio=args.threshold_median_ratio,
+            seed=args.seed,
+        )
+        print(f"rebuilt {len(out)} files")
+        return out
+    stats, summary = process_dataset(
+        args.csv_path,
+        args.data_root_dir,
+        num_wsi_super_patches=args.num_wsi_super_patches,
+        num_groups=args.num_groups,
+        hypergraph_k=args.hypergraph_k,
+        num_hyperedges=args.num_hyperedges,
+        lambda_h=args.lambda_h,
+        lambda_g=args.lambda_g,
+        output_stats_path=args.output_stats_path,
+        seed=args.seed,
+        save_similarity=not args.no_save_similarity,
+    )
+    print(json.dumps(summary))
+    return stats
+
+
+if __name__ == "__main__":
+    main()

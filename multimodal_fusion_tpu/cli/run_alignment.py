@@ -1,0 +1,107 @@
+"""Alignment pretraining CLI (reference: ``alignment/run.py:31-228``).
+
+Fixed 8 markers at feature dim 1024 by default; builds the aligned-with-
+negatives dataset, an 8:1:1 shuffled split by full tuple key, trains, dumps
+``<save_path>.history.json`` with losses + SVD values + config.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+from flax import nnx
+
+from multimodal_fusion_tpu.channels import TMA_MARKERS
+from multimodal_fusion_tpu.data.alignment import TMANpzAlignedWithNegDataset
+from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
+from multimodal_fusion_tpu.train.alignment import MultiModalAlignmentTrainer
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Cross-modal alignment pretraining")
+    p.add_argument("--base_dir", type=str, required=True, help="directory of per-marker NPZ files")
+    p.add_argument("--filename_template", type=str, default="tma_uni_tile_1024_{marker}.npz")
+    p.add_argument("--markers", type=str, nargs="+", default=list(TMA_MARKERS))
+    p.add_argument("--feature_dim", type=int, default=1024)
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--align_mode", type=str, choices=["intersection", "union"], default="intersection")
+    p.add_argument("--loss_type", type=str, choices=["rank1", "volume"], default="rank1")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight_decay", type=float, default=1e-5)
+    p.add_argument("--tau1", type=float, default=0.1)
+    p.add_argument("--tau2", type=float, default=0.1)
+    p.add_argument("--lambda1", type=float, default=1.0)
+    p.add_argument("--lambda2", type=float, default=0.1)
+    p.add_argument("--loss2_chunk_size", type=int, default=None)
+    p.add_argument("--mismatch_ratio", type=float, default=1.0)
+    p.add_argument("--max_steps", type=int, default=10000)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--val_interval", type=int, default=100)
+    p.add_argument("--val_max_batches", type=int, default=None)
+    p.add_argument("--save_interval", type=int, default=None)
+    p.add_argument("--early_stopping_patience", type=int, default=10)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--save_path", type=str, default="alignment_model.npz")
+    p.add_argument("--verbose", action="store_true", default=False)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    dataset = TMANpzAlignedWithNegDataset(
+        args.base_dir,
+        args.markers,
+        filename_template=args.filename_template,
+        align_mode=args.align_mode,
+        mismatch_ratio=args.mismatch_ratio,
+        seed=args.seed,
+    )
+    # 8:1:1 shuffled split by full tuple key (reference run.py:117-137)
+    keys = list(dataset.normalized_keys)
+    rng = np.random.default_rng(args.seed)
+    rng.shuffle(keys)
+    n = len(keys)
+    n_train, n_val = int(n * 0.8), int(n * 0.1)
+    groups = {
+        "train": keys[:n_train],
+        "val": keys[n_train : n_train + n_val],
+        "test": keys[n_train + n_val :],
+    }
+    views = dataset.split_by_ids_with_neg(groups, id_type="tuple", seed=args.seed)
+
+    model = MultiModalAlignmentModel(
+        args.markers, feature_dim=args.feature_dim, num_layers=args.num_layers,
+        rngs=nnx.Rngs(args.seed),
+    )
+    trainer = MultiModalAlignmentTrainer(
+        model,
+        learning_rate=args.lr,
+        weight_decay=args.weight_decay,
+        loss_type=args.loss_type,
+        tau1=args.tau1,
+        tau2=args.tau2,
+        lambda1=args.lambda1,
+        lambda2=args.lambda2,
+        loss2_chunk_size=args.loss2_chunk_size,
+        val_max_batches=args.val_max_batches,
+        early_stopping_patience=args.early_stopping_patience,
+    )
+    out = trainer.train(
+        views["train"],
+        views["val"],
+        max_steps=args.max_steps,
+        batch_size=args.batch_size,
+        val_interval=args.val_interval,
+        save_path=args.save_path,
+        save_interval=args.save_interval,
+        seed=args.seed,
+        verbose=args.verbose,
+    )
+    trainer.save_history(f"{args.save_path}.history.json", config=vars(args))
+    return out
+
+
+if __name__ == "__main__":
+    main()

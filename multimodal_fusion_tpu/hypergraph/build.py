@@ -401,8 +401,10 @@ def process_dataset(
         "patches_per_sec": total_patches / elapsed if elapsed > 0 else 0.0,
     }
     if output_stats_path:
+        from multimodal_fusion_tpu.io.h5io import _json_default
+
         Path(output_stats_path).write_text(
-            json.dumps({"summary": summary, "files": all_stats}, indent=2)
+            json.dumps({"summary": summary, "files": all_stats}, indent=2, default=_json_default)
         )
     return all_stats, summary
 

@@ -43,6 +43,17 @@ import numpy as np
 
 from multimodal_fusion_tpu.channels import h5_path_for_channel
 
+def _json_default(o):
+    """numpy scalars/arrays -> plain python for stats JSON."""
+    if isinstance(o, np.integer):
+        return int(o)
+    if isinstance(o, np.floating):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(f"not JSON serializable: {type(o)}")
+
+
 _FILE_LOCKS: Dict[str, threading.Lock] = {}
 _FILE_LOCKS_GUARD = threading.Lock()
 
@@ -170,7 +181,7 @@ def write_hypergraph_group(
                     continue
                 grp.create_dataset(key, data=np.asarray(arr), compression=compression)
             if stats is not None:
-                grp.attrs["stats"] = json.dumps(stats)
+                grp.attrs["stats"] = json.dumps(stats, default=_json_default)
 
 
 def read_hypergraph_group(

@@ -66,6 +66,32 @@ def load_state(path: str | Path, state):
     return new_tree, extras
 
 
+def load_subtree(path: str | Path, template, prefix: str):
+    """Restore only the keys under ``prefix/`` of a checkpoint into a
+    template tree (e.g. load just the model from a {'model':…, 'opt':…}
+    checkpoint without knowing the optimizer structure)."""
+    data = np.load(path, allow_pickle=False)
+    arrays = {
+        k[len(prefix) + 1 :]: data[k]
+        for k in data.files
+        if k.startswith(prefix + "/")
+    }
+    tpl = nnx.to_pure_dict(template) if isinstance(template, nnx.State) else template
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(tpl)
+    new_leaves = []
+    for p, leaf in leaves_with_path:
+        key = "/".join(str(getattr(q, "key", getattr(q, "idx", q))) for q in p)
+        if key not in arrays:
+            raise KeyError(f"checkpoint missing key {prefix}/{key}")
+        new_leaves.append(arrays[key])
+    new_tree = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    if isinstance(template, nnx.State):
+        new_state = jax.tree.map(lambda x: x, template)
+        nnx.replace_by_pure_dict(new_state, new_tree)
+        return new_state
+    return new_tree
+
+
 def save_model(path: str | Path, model: nnx.Module, extra: Optional[Dict[str, Any]] = None) -> None:
     save_state(path, nnx.state(model), extra)
 

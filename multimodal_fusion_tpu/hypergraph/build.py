@@ -105,6 +105,94 @@ def _matrix_stats(K: np.ndarray) -> Dict[str, float]:
     }
 
 
+def _matrix_stats_dev(K: jax.Array) -> jax.Array:
+    """[mean, std, min, max, median] computed on device (the host-side numpy
+    std over a [4k,4k] matrix alone cost >1s per file)."""
+    return jnp.stack(
+        [jnp.mean(K), jnp.std(K), jnp.min(K), jnp.max(K), jnp.median(K)]
+    )
+
+
+def _stats_dict(v: np.ndarray) -> Dict[str, float]:
+    return {
+        "mean": float(v[0]),
+        "std": float(v[1]),
+        "min": float(v[2]),
+        "max": float(v[3]),
+        "median": float(v[4]),
+    }
+
+
+from functools import partial
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_super", "num_groups", "k", "num_hyperedges"),
+)
+def _fused_build(
+    key: jax.Array,
+    feats: jax.Array,  # [N, D]
+    pos: jax.Array,  # [N, P]
+    tma: jax.Array,  # [T, D]
+    lambda_h: float,
+    lambda_g: float,
+    num_super: int,
+    num_groups: int,
+    k: int,
+    num_hyperedges: int,
+):
+    """The entire per-file numeric pipeline as ONE compiled program:
+    similarity -> KMeans super-patches (+ intra-cluster stats) -> cross-modal
+    similarity -> grouping -> KNN + hyperedge KMeans -> cosine-normalised
+    features.  One device round-trip per file instead of per stage."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    K = combined_similarity(feats, pos, lambda_h, lambda_g)
+
+    km = kmeans(k1, feats, k=num_super, n_init=10)
+    onehot = jax.nn.one_hot(km.labels, num_super, dtype=feats.dtype)  # [N,S]
+    counts = jnp.sum(onehot, axis=0)  # [S]
+    denom = jnp.maximum(counts, 1.0)[:, None]
+    sp_feats = jnp.dot(onehot.T, feats, preferred_element_type=jnp.float32) / denom
+    sp_pos = jnp.dot(onehot.T, pos, preferred_element_type=jnp.float32) / denom
+
+    # intra-cluster mean off-diagonal similarity via two matmuls:
+    # s_cc = 1_c^T K 1_c ; off-diag mean = (s_cc - sum(diag K within c)) / (n_c^2 - n_c)
+    KH = jnp.dot(K, onehot, preferred_element_type=jnp.float32)  # [N,S]
+    s_cc = jnp.einsum("ns,ns->s", onehot, KH)
+    diag_c = jnp.dot(onehot.T, jnp.diagonal(K), preferred_element_type=jnp.float32)
+    pair_counts = counts * counts - counts
+    intra_mean_per = jnp.where(
+        pair_counts > 0, (s_cc - diag_c) / jnp.maximum(pair_counts, 1.0), jnp.nan
+    )
+    intra_mean = jnp.nanmean(intra_mean_per)
+
+    sim = cross_similarity(sp_feats, tma, lambda_h)  # [S, T]
+    group = kmeans(k2, sim, k=num_groups, n_init=10)
+
+    all_feats = jnp.concatenate([sp_feats, tma], axis=0)
+    n_total = all_feats.shape[0]
+    _, knn_idx = knn_indices(all_feats, min(k + 1, n_total))
+    he = kmeans(k3, all_feats, k=num_hyperedges, n_init=10)
+    normed = all_feats / (jnp.linalg.norm(all_feats, axis=1, keepdims=True) + 1e-12)
+
+    return {
+        "K": K,
+        "K_stats": _matrix_stats_dev(K),
+        "labels": km.labels,
+        "counts": counts,
+        "sp_feats": sp_feats,
+        "sp_pos": sp_pos,
+        "intra_mean": intra_mean,
+        "sim": sim,
+        "sim_stats": _matrix_stats_dev(sim),
+        "group_labels": group.labels,
+        "knn_idx": knn_idx,
+        "hyperedge_labels": he.labels,
+        "normed": normed,
+    }
+
+
 def aggregate_wsi_super_patches(
     wsi_features: np.ndarray,
     wsi_positions: np.ndarray,
@@ -319,6 +407,31 @@ def save_hypergraph(
     write_hypergraph_group(h5_path, arrays, stats=stats)
 
 
+def _assemble_edges(
+    knn_idx: np.ndarray,
+    hyperedge_labels: np.ndarray,
+    normed: np.ndarray,
+    num_hyperedges: int,
+):
+    """Host-side edge assembly: KNN pairs + KMeans-clique expansion, canonical
+    dedup, cosine weights via gather over pre-normalised features."""
+    n_total = normed.shape[0]
+    src = np.repeat(np.arange(n_total), knn_idx.shape[1] - 1)
+    dst = knn_idx[:, 1:].reshape(-1)
+    pairs = [np.stack([src, dst], axis=1)]
+    for he in range(num_hyperedges):
+        nodes = np.where(hyperedge_labels == he)[0]
+        if len(nodes) > 1:
+            a, b = np.meshgrid(nodes, nodes, indexing="ij")
+            sel = a != b
+            pairs.append(np.stack([a[sel], b[sel]], axis=1))
+    und = np.unique(np.sort(np.concatenate(pairs), axis=1), axis=0)
+    if und.size == 0:
+        return np.empty((2, 0), np.int64), np.empty((0,), np.float32)
+    w = np.einsum("ed,ed->e", normed[und[:, 0]], normed[und[:, 1]])
+    return und.T.astype(np.int64), np.maximum(w, 0.0).astype(np.float32)
+
+
 def process_single_file(
     h5_path,
     num_wsi_super_patches: int = 100,
@@ -335,17 +448,49 @@ def process_single_file(
     if tma_features is None:
         return {"status": "skipped", "reason": "no_tma"}
 
-    sp_feats, sp_pos, wsi_stats, K_wsi = aggregate_wsi_super_patches(
-        wsi_features, wsi_positions, num_wsi_super_patches, lambda_h, lambda_g, seed
+    out = _fused_build(
+        jax.random.key(seed),
+        jnp.asarray(wsi_features),
+        jnp.asarray(wsi_positions),
+        jnp.asarray(tma_features),
+        lambda_h,
+        lambda_g,
+        num_wsi_super_patches,
+        num_groups,
+        hypergraph_k,
+        num_hyperedges,
     )
-    sim, sim_stats = compute_wsi_tma_similarity(sp_feats, tma_features, lambda_h)
-    group_labels, group_stats = group_by_similarity(sim, num_groups, "kmeans", seed)
-    edge_index, edge_weights, hg_stats = build_hypergraph_knn_kmeans(
-        sp_feats, tma_features, group_labels, hypergraph_k, num_hyperedges, seed
+    host = jax.device_get(out)  # one bulk transfer
+    if (host["counts"] == 0).any():
+        raise ValueError("empty cluster in super-patch aggregation")
+    sp_feats, sp_pos = host["sp_feats"], host["sp_pos"]
+    K_wsi, sim = host["K"], host["sim"]
+    group_labels = host["group_labels"].astype(np.int64)
+    edge_index, edge_weights = _assemble_edges(
+        host["knn_idx"], host["hyperedge_labels"], host["normed"], num_hyperedges
     )
+    wsi_stats = {
+        "num_original_patches": int(wsi_features.shape[0]),
+        "num_super_patches": int(num_wsi_super_patches),
+        "avg_intra_cluster_similarity": float(host["intra_mean"]),
+        "wsi_similarity_matrix_stats": _stats_dict(host["K_stats"]),
+    }
+    group_stats = {
+        "method": "kmeans",
+        "num_groups": int(num_groups),
+        "group_sizes": np.bincount(group_labels, minlength=num_groups).tolist(),
+    }
+    hg_stats = {
+        "num_nodes": int(sp_feats.shape[0] + tma_features.shape[0]),
+        "num_wsi_super_patches": int(sp_feats.shape[0]),
+        "num_tma_patches": int(tma_features.shape[0]),
+        "num_edges": int(edge_index.shape[1]),
+        "num_hyperedges": int(num_hyperedges),
+        "k": int(hypergraph_k),
+    }
     all_stats = {
         "wsi_aggregation": wsi_stats,
-        "similarity": sim_stats,
+        "similarity": _stats_dict(host["sim_stats"]),
         "grouping": group_stats,
         "hypergraph": hg_stats,
     }
@@ -371,28 +516,107 @@ def process_dataset(
     output_stats_path=None,
     seed: int = 42,
     save_similarity: bool = True,
+    pipeline_depth: int = 3,
 ):
+    """Dataset-level build, software-pipelined: up to ``pipeline_depth`` files
+    have their fused device program dispatched ahead (JAX async dispatch), so
+    device compute, device->host transfer and h5 writes of different files
+    overlap.  Results drain in submission order; per-file errors are isolated
+    like the reference (preprocess_hypergraph.py:659-670)."""
     df = pd.read_csv(csv_path)
     if "h5_file_path" not in df.columns:
         raise ValueError("CSV must contain 'h5_file_path' column")
     all_stats = []
     t0 = time.time()
     total_patches = 0
-    for idx, row in df.iterrows():
+
+    from collections import deque
+
+    pending = deque()
+
+    def dispatch(idx, row):
         h5_path = os.path.join(str(data_root_dir), row["h5_file_path"])
         if not os.path.exists(h5_path):
-            continue
+            return None
+        wsi_features, wsi_positions = load_wsi_data(h5_path)
+        tma_features = load_tma_data(h5_path)
+        if tma_features is None:
+            return (idx, row, h5_path, None, None)
+        out = _fused_build(
+            jax.random.key(seed),
+            jnp.asarray(wsi_features),
+            jnp.asarray(wsi_positions),
+            jnp.asarray(tma_features),
+            lambda_h, lambda_g,
+            num_wsi_super_patches, num_groups, hypergraph_k, num_hyperedges,
+        )
+        return (idx, row, h5_path, (wsi_features.shape[0], tma_features), out)
+
+    def drain(item):
+        nonlocal total_patches
+        idx, row, h5_path, meta, out = item
+        case_id = str(row.get("case_id", f"case_{idx}"))
+        if meta is None:
+            all_stats.append({"case_id": case_id, "status": "skipped", "reason": "no_tma"})
+            return
+        n_patches, tma_features = meta
         try:
-            stats = process_single_file(
-                h5_path, num_wsi_super_patches, num_groups, hypergraph_k,
-                num_hyperedges, lambda_h, lambda_g, seed, save_similarity,
+            host = jax.device_get(out)
+            if (host["counts"] == 0).any():
+                raise ValueError("empty cluster in super-patch aggregation")
+            edge_index, edge_weights = _assemble_edges(
+                host["knn_idx"], host["hyperedge_labels"], host["normed"], num_hyperedges
             )
-            stats["case_id"] = str(row.get("case_id", f"case_{idx}"))
+            group_labels = host["group_labels"].astype(np.int64)
+            stats = {
+                "wsi_aggregation": {
+                    "num_original_patches": int(n_patches),
+                    "num_super_patches": int(num_wsi_super_patches),
+                    "avg_intra_cluster_similarity": float(host["intra_mean"]),
+                    "wsi_similarity_matrix_stats": _stats_dict(host["K_stats"]),
+                },
+                "similarity": _stats_dict(host["sim_stats"]),
+                "grouping": {
+                    "method": "kmeans",
+                    "num_groups": int(num_groups),
+                    "group_sizes": np.bincount(group_labels, minlength=num_groups).tolist(),
+                },
+                "hypergraph": {
+                    "num_nodes": int(host["sp_feats"].shape[0] + tma_features.shape[0]),
+                    "num_wsi_super_patches": int(host["sp_feats"].shape[0]),
+                    "num_tma_patches": int(tma_features.shape[0]),
+                    "num_edges": int(edge_index.shape[1]),
+                    "num_hyperedges": int(num_hyperedges),
+                    "k": int(hypergraph_k),
+                },
+            }
+            save_hypergraph(
+                h5_path, host["sp_feats"], host["sp_pos"], tma_features,
+                edge_index, edge_weights, group_labels, stats,
+                wsi_similarity_matrix=host["K"] if save_similarity else None,
+                wsi_tma_similarity_matrix=host["sim"] if save_similarity else None,
+            )
+            stats["case_id"] = case_id
             stats["h5_path"] = row["h5_file_path"]
-            total_patches += stats.get("num_patches_processed", 0)
+            stats["num_patches_processed"] = int(n_patches)
+            total_patches += int(n_patches)
             all_stats.append(stats)
-        except Exception as e:  # error-isolated per file, like the reference
+        except Exception as e:
+            all_stats.append({"case_id": case_id, "error": str(e)})
+
+    for idx, row in df.iterrows():
+        try:
+            item = dispatch(idx, row)
+        except Exception as e:
             all_stats.append({"case_id": str(row.get("case_id", idx)), "error": str(e)})
+            continue
+        if item is None:
+            continue
+        pending.append(item)
+        if len(pending) >= pipeline_depth:
+            drain(pending.popleft())
+    while pending:
+        drain(pending.popleft())
     elapsed = time.time() - t0
     summary = {
         "files": len(all_stats),

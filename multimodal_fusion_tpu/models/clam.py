@@ -81,7 +81,7 @@ def clam_instance_loss(
     under subtyping: top-k -> negatives).  Matches reference clam.py:169-228 /
     clam_mlp.py:188-228, with min(k, N) via slot weights.
     """
-    k = inst_number
+    k = min(inst_number, A.shape[0])  # static clamp to the padded bag size
     n_valid = (
         jnp.sum(mask) if mask is not None else jnp.asarray(A.shape[0])
     ).astype(jnp.int32)

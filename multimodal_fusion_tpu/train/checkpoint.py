@@ -16,11 +16,22 @@ import numpy as np
 from flax import nnx
 
 
+def _path_key(path) -> str:
+    """Render a keypath as 'a/b/0/c', dropping the VariableState '.value'
+    component so nested nnx.State and pure-dict trees address identically."""
+    parts = []
+    for p in path:
+        s = str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+        if s in ("value", ".value"):
+            continue
+        parts.append(s)
+    return "/".join(parts)
+
+
 def _flatten(tree) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        flat[key] = np.asarray(leaf)
+        flat[_path_key(path)] = np.asarray(leaf)
     return flat
 
 
@@ -51,7 +62,7 @@ def load_state(path: str | Path, state):
     leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
     for path, leaf in leaves_with_path:
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        key = _path_key(path)
         if key not in arrays:
             raise KeyError(f"checkpoint missing key {key}")
         arr = arrays[key]
@@ -80,7 +91,7 @@ def load_subtree(path: str | Path, template, prefix: str):
     leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(tpl)
     new_leaves = []
     for p, leaf in leaves_with_path:
-        key = "/".join(str(getattr(q, "key", getattr(q, "idx", q))) for q in p)
+        key = _path_key(p)
         if key not in arrays:
             raise KeyError(f"checkpoint missing key {prefix}/{key}")
         new_leaves.append(arrays[key])

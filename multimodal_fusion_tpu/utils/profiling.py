@@ -1,0 +1,67 @@
+"""Profiling utilities.
+
+The reference's opt-in wall-clock stage profiler
+(``alignment/trainer.py:88-102,442-507``) becomes a context-manager timer
+with per-stage aggregation plus a hook into ``jax.profiler`` traces for real
+TPU timelines.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+
+
+class StageTimer:
+    """Per-stage wall-clock aggregation with bottleneck ranking."""
+
+    def __init__(self):
+        self.stats: Dict[str, list] = defaultdict(list)
+
+    @contextlib.contextmanager
+    def stage(self, name: str, block: bool = False, result=None):
+        t0 = time.perf_counter()
+        yield
+        if block and result is not None:
+            jax.block_until_ready(result)
+        self.stats[name].append(time.perf_counter() - t0)
+
+    def record(self, name: str, seconds: float) -> None:
+        self.stats[name].append(seconds)
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        out = {}
+        for name, vals in self.stats.items():
+            out[name] = {
+                "mean_s": sum(vals) / len(vals),
+                "total_s": sum(vals),
+                "count": len(vals),
+            }
+        return out
+
+    def bottleneck_ranking(self) -> list:
+        return sorted(
+            self.summary().items(), key=lambda kv: kv[1]["total_s"], reverse=True
+        )
+
+    def print_report(self) -> None:
+        print(f"{'stage':30s} {'total_s':>10s} {'mean_s':>10s} {'count':>7s}")
+        for name, s in self.bottleneck_ranking():
+            print(f"{name:30s} {s['total_s']:10.3f} {s['mean_s']:10.4f} {s['count']:7d}")
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str, enabled: bool = True):
+    """jax.profiler trace context (view with TensorBoard/XProf)."""
+    if not enabled:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

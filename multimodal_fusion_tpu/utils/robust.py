@@ -1,0 +1,72 @@
+"""Missing-modality robustness sweep.
+
+Reference: ``downstream_survival/utils/robust_on_missing_modality.py:1-237``
+— load ``configs_*.json`` + per-fold checkpoints from a results dir,
+re-create the splits, evaluate the test split under a sweep of modality
+``drop_prob`` values, write CSV + JSON.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from multimodal_fusion_tpu.config import Configs
+from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
+from multimodal_fusion_tpu.data.splits import create_k_fold_splits
+
+
+def robustness_sweep(
+    results_dir: str | Path,
+    csv_path: str | Path,
+    data_root_dir: str | Path,
+    drop_probs: Sequence[float] = (0.0, 0.1, 0.2, 0.3, 0.4, 0.5),
+    folds: Optional[Sequence[int]] = None,
+    output_path: Optional[str | Path] = None,
+    seed: int = 0,
+) -> List[Dict]:
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    results_dir = Path(results_dir)
+    cfg_files = sorted(results_dir.glob("configs_*.json"))
+    if not cfg_files:
+        raise FileNotFoundError(f"no configs_*.json in {results_dir}")
+    configs = Configs.load(cfg_files[0])
+    exp = configs.experiment_config
+
+    dataset = MultimodalDataset(csv_path, data_root_dir, channels=exp.target_channels)
+    splits = create_k_fold_splits(
+        dataset.labels,
+        exp.k_folds,
+        exp.seed,
+        patient_ids=[dataset.case_to_patient[c] for c in dataset.case_ids],
+        fixed_split_path=exp.fixed_split_path if exp.split_mode == "fixed" else None,
+    )
+    trainer = SurvivalTrainer(configs, results_dir)
+    if folds is None:
+        folds = [
+            int(p.stem.split("_")[1])
+            for p in sorted(results_dir.glob("s_*_checkpoint.npz"))
+        ]
+
+    rows: List[Dict] = []
+    for fold in folds:
+        for dp in drop_probs:
+            res = trainer.evaluate_fold(
+                dataset, splits[fold], fold, drop_prob=dp if dp > 0 else None, seed=seed
+            )
+            rows.append(
+                {"fold": fold, "drop_prob": dp, "auc": res["auc"], "acc": res["acc"], "loss": res["loss"]}
+            )
+
+    out = Path(output_path) if output_path else results_dir / "robustness"
+    with open(f"{out}.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["fold", "drop_prob", "auc", "acc", "loss"])
+        w.writeheader()
+        w.writerows(rows)
+    Path(f"{out}.json").write_text(json.dumps(rows, indent=2))
+    return rows

@@ -1,0 +1,221 @@
+"""CLI entry points, demo parity script, robustness sweep, visualization."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from multimodal_fusion_tpu.io.fixtures import (
+    make_alignment_npz_fixtures,
+    make_synthetic_dataset,
+)
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def cli_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    csv_path = make_synthetic_dataset(
+        root, n_patients=10, seed=5, min_wsi_patches=16, max_wsi_patches=30,
+        feature_dim=32, n_tma_patches=3,
+    )
+    return root, csv_path
+
+
+def test_main_survival_cli(cli_dataset, tmp_path):
+    from multimodal_fusion_tpu.cli.main_survival import main
+
+    root, csv_path = cli_dataset
+    log_dir = main([
+        "--csv_path", str(csv_path),
+        "--data_root_dir", str(root),
+        "--results_dir", str(tmp_path / "results"),
+        "--exp_code", "cli_test",
+        "--model_type", "svd_gate_random_clam",
+        "--target_channels", "wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask",
+        "--channels_used_in_model", "wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask",
+        "--input_dim", "32",
+        "--model_size", "32*16",
+        "--output_dim", "32",
+        "--k", "2",
+        "--max_epochs", "1",
+        "--batch_size", "4",
+        "--enable_svd", "--enable_dynamic_gate", "--enable_random_loss",
+        "--seed", "0",
+    ])
+    assert (log_dir / "summary.csv").exists()
+    assert (log_dir / "detailed_results_for_plotting.json").exists()
+    cfgs = list(log_dir.glob("configs_*.json"))
+    assert len(cfgs) == 1
+    cfg = json.loads(cfgs[0].read_text())
+    assert set(cfg) == {"experiment_config", "model_config"}
+    assert cfg["model_config"]["channel_input_dims"]["clinical=val"] == 16
+    lines = (log_dir / "summary.csv").read_text().strip().split("\n")
+    assert len(lines) == 3  # header + 2 folds
+
+
+def test_robustness_sweep_and_plot(cli_dataset, tmp_path):
+    from multimodal_fusion_tpu.cli.main_survival import main
+    from multimodal_fusion_tpu.utils.robust import robustness_sweep
+    from multimodal_fusion_tpu.utils.visualization import plot_robust_results
+
+    root, csv_path = cli_dataset
+    log_dir = main([
+        "--csv_path", str(csv_path),
+        "--data_root_dir", str(root),
+        "--results_dir", str(tmp_path / "results"),
+        "--exp_code", "rb",
+        "--model_type", "svd_gate_random_clam_detach",
+        "--target_channels", "wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask",
+        "--channels_used_in_model", "wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask",
+        "--input_dim", "32", "--model_size", "32*16", "--output_dim", "32",
+        "--k", "2", "--max_epochs", "1", "--batch_size", "4",
+        "--enable_svd", "--enable_dynamic_gate",
+        "--seed", "0",
+    ])
+    rows = robustness_sweep(
+        log_dir, csv_path, root, drop_probs=(0.0, 0.5), folds=[0],
+    )
+    assert len(rows) == 2
+    assert {r["drop_prob"] for r in rows} == {0.0, 0.5}
+    out = plot_robust_results(log_dir / "robustness.json", tmp_path / "robust_plot")
+    if out is not None:
+        assert out.exists()
+
+
+def test_alignment_cli(tmp_path):
+    from multimodal_fusion_tpu.cli.run_alignment import main
+
+    markers = ["cd3", "cd8"]
+    make_alignment_npz_fixtures(
+        tmp_path, n_cores=10, patches_per_core=2, feature_dim=16, markers=markers
+    )
+    out = main([
+        "--base_dir", str(tmp_path),
+        "--filename_template", "{marker}.npz",
+        "--markers", *markers,
+        "--feature_dim", "16",
+        "--max_steps", "4",
+        "--batch_size", "4",
+        "--val_interval", "2",
+        "--save_path", str(tmp_path / "align.npz"),
+    ])
+    assert np.isfinite(out["best_val_loss"])
+    assert (tmp_path / "align.npz.history.json").exists()
+
+
+def test_vae_cli_and_reconstruct(tmp_path):
+    from multimodal_fusion_tpu.cli.train_vae import main as train_main
+    from multimodal_fusion_tpu.cli.generate_reconstructed_wsi import main as gen_main
+
+    root = tmp_path / "data"
+    csv_path = make_synthetic_dataset(
+        root, n_patients=3, seed=9, min_wsi_patches=20, max_wsi_patches=30, feature_dim=16
+    )
+    out = train_main([
+        "--csv_path", str(csv_path),
+        "--data_root_dir", str(root),
+        "--input_dim", "16",
+        "--hidden_dims", "16", "8",
+        "--latent_dim", "4",
+        "--epochs", "1",
+        "--batch_size", "16",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+    ])
+    assert np.isfinite(out["best_val_loss"])
+    done = gen_main([
+        "--csv_path", str(csv_path),
+        "--data_root_dir", str(root),
+        "--checkpoint", str(tmp_path / "ckpt" / "best.npz"),
+        "--input_dim", "16",
+        "--hidden_dims", "16", "8",
+        "--latent_dim", "4",
+        "--batch_size", "16",
+    ])
+    assert len(done) == 3
+
+
+def test_preprocess_hypergraph_cli(tmp_path):
+    import h5py
+
+    from multimodal_fusion_tpu.cli.preprocess_hypergraph import main
+
+    root = tmp_path / "hg"
+    csv_path = make_synthetic_dataset(
+        root, n_patients=2, seed=2, min_wsi_patches=40, max_wsi_patches=50, feature_dim=16
+    )
+    for line in csv_path.read_text().strip().split("\n")[1:]:
+        rel = line.split(",")[-1]
+        with h5py.File(root / rel, "a") as f:
+            parts = [np.asarray(f[f"tma/{m}/features"]) for m in sorted(f["tma"].keys())]
+            f["tma/features"] = np.concatenate(parts)
+    stats = main([
+        "--csv_path", str(csv_path),
+        "--data_root_dir", str(root),
+        "--num_wsi_super_patches", "6",
+        "--num_groups", "2",
+        "--hypergraph_k", "2",
+        "--num_hyperedges", "3",
+        "--output_stats_path", str(tmp_path / "stats.json"),
+    ])
+    assert len(stats) == 2
+    assert (tmp_path / "stats.json").exists()
+    # rebuild mode
+    out = main([
+        "--csv_path", str(csv_path),
+        "--data_root_dir", str(root),
+        "--rebuild",
+        "--num_wsi_super_patches", "4",
+        "--num_groups", "2",
+        "--hypergraph_k", "2",
+        "--num_hyperedges", "3",
+    ])
+    assert len(out) == 2 and all("error" not in o for o in out)
+
+
+def test_demo_example_usage():
+    res = subprocess.run(
+        [sys.executable, str(REPO / "demo" / "example_usage.py")],
+        capture_output=True, text=True, timeout=600,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": str(REPO), "HOME": "/root"},
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "Demo complete" in res.stdout
+    assert "failed" not in res.stdout
+
+
+def test_dump_alignment_features(cli_dataset, tmp_path):
+    import jax.numpy as jnp
+
+    from multimodal_fusion_tpu.config import ModelConfig
+    from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
+    from multimodal_fusion_tpu.models.factory import ModelFactory
+    from multimodal_fusion_tpu.utils.visualization import (
+        dump_alignment_features,
+        plot_alignment_heatmap,
+    )
+
+    root, csv_path = cli_dataset
+    ds = MultimodalDataset(
+        csv_path, root,
+        channels=["wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask"],
+    )
+    cfg = ModelConfig(
+        model_type="svd_gate_random_clam", n_classes=2, input_dim=32,
+        model_size="32*16", dropout=0.1, output_dim=32,
+        channels_used_in_model=["wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask"],
+        channel_input_dims={"clinical=val": 16},
+    )
+    model = ModelFactory.create_model(cfg, seed=0)
+    out = dump_alignment_features(model, ds, [0, 1, 2], tmp_path / "dump.npz")
+    data = np.load(out)
+    assert any(k.startswith("aligned__") for k in data.files)
+    assert data["labels"].shape == (3,)
+    plot = plot_alignment_heatmap(out, tmp_path / "heat")
+    if plot is not None:
+        assert plot.exists()

@@ -83,7 +83,7 @@ class CrossAttentionLayer(nnx.Module):
         attn = dropout(attn, self.dropout_rate, k1, train)
         out = jnp.einsum("hqk,khd->qhd", attn, V).reshape(q.shape[0], -1)
         x = q + self.out_proj(out)  # attention residual
-        h = self.mlp_fc2(jax.nn.gelu(self.mlp_fc1(self.mlp_norm(x))))
+        h = self.mlp_fc2(jax.nn.gelu(self.mlp_fc1(self.mlp_norm(x)), approximate=False))
         h = dropout(h, self.dropout_rate, k2, train)
         return x + h
 

@@ -28,7 +28,7 @@ class Encoder(nnx.Module):
         keys = split_keys(key, len(self.layers))
         h = x
         for i, layer in enumerate(self.layers):
-            h = jax.nn.gelu(layer(h))
+            h = jax.nn.gelu(layer(h), approximate=False)
             if i < len(self.layers) - 1:  # dropout on intermediates only
                 h = dropout(h, 0.1, keys[i], train)
         return self.fc_mean(h), self.fc_log_var(h)
@@ -45,7 +45,7 @@ class Decoder(nnx.Module):
         keys = split_keys(key, len(self.layers))
         h = z
         for i, layer in enumerate(self.layers):
-            h = jax.nn.gelu(layer(h))
+            h = jax.nn.gelu(layer(h), approximate=False)
             if i < len(self.layers) - 1:
                 h = dropout(h, 0.1, keys[i], train)
         return self.out(h)

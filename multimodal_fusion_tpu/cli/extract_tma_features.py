@@ -1,0 +1,83 @@
+"""TMA feature-extraction CLI
+(reference: ``alignment/tma_feature_extraction/extract_tma_features_uni.py:322-438``).
+
+Walks ``<input_dir>/<marker>/*.png``, patches each core (256/stride 128,
+optional white filter), extracts ViT-L CLS features, writes
+``tma_uni_tile_1024_<marker>.npz`` keyed by core stem.
+
+Pretrained UNI weights load from a converted numpy state dict via
+``--weights``; without weights the encoder runs randomly initialised (the
+gated HF checkpoint is not fetchable here) — pipeline behaviour is identical.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+from flax import nnx
+
+from multimodal_fusion_tpu.channels import TMA_MARKERS
+from multimodal_fusion_tpu.data.tma_extraction import (
+    extract_marker_features,
+    make_feature_extractor,
+    save_marker_npz,
+)
+from multimodal_fusion_tpu.models.vit import load_timm_vit_weights, vit_large_16
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Extract TMA core features to per-marker NPZ")
+    p.add_argument("--input_dir", type=str, required=True,
+                   help="directory with <marker>/ subdirs of core PNGs")
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--markers", type=str, nargs="+", default=list(TMA_MARKERS))
+    p.add_argument("--weights", type=str, default=None,
+                   help="npz of timm UNI state dict (converted offline)")
+    p.add_argument("--patch_size", type=int, default=256)
+    p.add_argument("--stride", type=int, default=128)
+    p.add_argument("--white_threshold", type=float, default=None)
+    p.add_argument("--min_content_ratio", type=float, default=None)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from PIL import Image
+
+    model = vit_large_16(nnx.Rngs(args.seed))
+    if args.weights:
+        state = dict(np.load(args.weights))
+        n = load_timm_vit_weights(model, state)
+        print(f"loaded {n} weight tensors")
+    extractor = make_feature_extractor(model, args.batch_size)
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    written = {}
+    for marker in args.markers:
+        marker_dir = Path(args.input_dir) / marker
+        if not marker_dir.exists():
+            continue
+        images = {}
+        for img_path in sorted(marker_dir.glob("*.png")):
+            img = Image.open(img_path)
+            if img.mode != "RGB":
+                img = img.convert("RGB")
+            images[img_path.stem] = np.asarray(img)
+        feats = extract_marker_features(
+            images, extractor, args.patch_size, args.stride,
+            args.white_threshold, args.min_content_ratio,
+        )
+        out_path = out_dir / f"tma_uni_tile_1024_{marker}.npz"
+        save_marker_npz(out_path, feats)
+        written[marker] = len(feats)
+        print(f"{marker}: {len(feats)} cores -> {out_path}")
+    return written
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""ViT encoder + TMA patching pipeline tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+from multimodal_fusion_tpu.data.tma_extraction import (
+    extract_marker_features,
+    extract_patches_from_image,
+    is_patch_valid,
+    make_feature_extractor,
+    save_marker_npz,
+)
+from multimodal_fusion_tpu.models.vit import ViT, load_timm_vit_weights, preprocess_patch
+
+
+@pytest.fixture(scope="module")
+def tiny_vit():
+    return ViT(img_size=32, patch_size=16, embed_dim=64, depth=2, num_heads=4,
+               rngs=nnx.Rngs(0))
+
+
+def test_patchify_order(tiny_vit):
+    img = np.arange(32 * 32 * 3, dtype=np.float32).reshape(32, 32, 3)
+    patches = np.asarray(tiny_vit.patchify(jnp.asarray(img)))
+    assert patches.shape == (4, 16 * 16 * 3)
+    # first patch is the top-left block in HWC order
+    np.testing.assert_array_equal(patches[0], img[:16, :16].reshape(-1))
+    np.testing.assert_array_equal(patches[1], img[:16, 16:].reshape(-1))
+
+
+def test_vit_forward(tiny_vit):
+    img = jnp.asarray(np.random.default_rng(0).standard_normal((32, 32, 3)), jnp.float32)
+    feat = tiny_vit(img)
+    assert feat.shape == (64,)
+    assert np.isfinite(np.asarray(feat)).all()
+
+
+def test_patch_extraction_counts():
+    img = np.zeros((512, 512, 3), np.uint8)
+    patches = extract_patches_from_image(img, 256, 128)
+    assert len(patches) == 9  # 3x3 grid at stride 128
+    # small image -> single resized patch
+    small = np.zeros((100, 90, 3), np.uint8)
+    patches = extract_patches_from_image(small, 256, 128)
+    assert len(patches) == 1 and patches[0].shape == (256, 256, 3)
+
+
+def test_white_filter():
+    white = np.full((256, 256, 3), 255, np.uint8)
+    tissue = np.full((256, 256, 3), 120, np.uint8)
+    assert not is_patch_valid(white, 0.9, 0.3)
+    assert is_patch_valid(tissue, 0.9, 0.3)
+    img = np.full((384, 384, 3), 255, np.uint8)
+    img[:256, :256] = 120
+    kept = extract_patches_from_image(img, 256, 128, white_threshold=0.9, min_content_ratio=0.5)
+    assert 1 <= len(kept) < 4
+
+
+def test_preprocess_patch_shape():
+    p = np.random.default_rng(0).integers(0, 255, (256, 256, 3)).astype(np.uint8)
+    out = preprocess_patch(p)
+    assert out.shape == (224, 224, 3)
+    assert abs(float(out.mean())) < 5.0
+
+
+def test_extract_and_npz_roundtrip(tiny_vit, tmp_path):
+    rng = np.random.default_rng(1)
+    extractor = make_feature_extractor(tiny_vit, batch_size=4)
+    images = {
+        "core_block1_x2_y3_patient007": rng.integers(0, 255, (32, 48, 3)).astype(np.uint8),
+        "core_block1_x4_y5_patient008": rng.integers(0, 255, (20, 20, 3)).astype(np.uint8),
+    }
+    feats = extract_marker_features(images, extractor, patch_size=32, stride=16)
+    assert set(feats) == set(images)
+    assert feats["core_block1_x2_y3_patient007"].shape[1] == 64
+    save_marker_npz(tmp_path / "cd3.npz", feats)
+    loaded = np.load(tmp_path / "cd3.npz")
+    # keys parse with the alignment dataset's regex
+    from multimodal_fusion_tpu.data.alignment import NORM_PATTERN
+
+    for k in loaded.files:
+        assert NORM_PATTERN.search(k)
+
+
+def test_timm_weight_loading(tiny_vit):
+    """Synthetic timm-format state dict loads into matching slots."""
+    D, P, depth = 64, 16, 2
+    rng = np.random.default_rng(0)
+    state = {
+        "patch_embed.proj.weight": rng.standard_normal((D, 3, P, P)).astype(np.float32),
+        "patch_embed.proj.bias": np.zeros(D, np.float32),
+        "cls_token": rng.standard_normal((1, 1, D)).astype(np.float32),
+        "pos_embed": rng.standard_normal((1, 5, D)).astype(np.float32),
+        "norm.weight": np.ones(D, np.float32),
+        "norm.bias": np.zeros(D, np.float32),
+    }
+    for i in range(depth):
+        p = f"blocks.{i}."
+        state.update({
+            f"{p}norm1.weight": np.ones(D, np.float32),
+            f"{p}norm1.bias": np.zeros(D, np.float32),
+            f"{p}attn.qkv.weight": rng.standard_normal((3 * D, D)).astype(np.float32) * 0.02,
+            f"{p}attn.qkv.bias": np.zeros(3 * D, np.float32),
+            f"{p}attn.proj.weight": rng.standard_normal((D, D)).astype(np.float32) * 0.02,
+            f"{p}attn.proj.bias": np.zeros(D, np.float32),
+            f"{p}norm2.weight": np.ones(D, np.float32),
+            f"{p}norm2.bias": np.zeros(D, np.float32),
+            f"{p}mlp.fc1.weight": rng.standard_normal((4 * D, D)).astype(np.float32) * 0.02,
+            f"{p}mlp.fc1.bias": np.zeros(4 * D, np.float32),
+            f"{p}mlp.fc2.weight": rng.standard_normal((D, 4 * D)).astype(np.float32) * 0.02,
+            f"{p}mlp.fc2.bias": np.zeros(D, np.float32),
+        })
+    n = load_timm_vit_weights(tiny_vit, state)
+    assert n >= 6 + depth * 12
+    # patch projection matches a manual conv-as-matmul on a random patch
+    img = rng.standard_normal((32, 32, 3)).astype(np.float32)
+    first_patch = img[:16, :16]  # HWC
+    w = state["patch_embed.proj.weight"]  # [D, C, P, P]
+    want = np.einsum("hwc,dchw->d", first_patch, w)
+    tokens = tiny_vit.patch_proj(tiny_vit.patchify(jnp.asarray(img)))
+    np.testing.assert_allclose(np.asarray(tokens[0]), want, rtol=1e-3, atol=1e-4)

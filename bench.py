@@ -41,10 +41,13 @@ NUM_HYPEREDGES = 10
 
 
 def make_fixtures(root: Path, n_files: int):
+    import csv
+
     import h5py
 
     rng = np.random.default_rng(0)
     paths = []
+    rows = []
     for i in range(n_files):
         p = root / f"case_{i}.h5"
         with h5py.File(p, "w") as f:
@@ -52,19 +55,33 @@ def make_fixtures(root: Path, n_files: int):
             f["wsi/positions"] = rng.integers(0, 50000, (N_PATCHES, 2)).astype(np.float32)
             f["tma/features"] = rng.standard_normal((N_TMA, DIM)).astype(np.float32)
         paths.append(p)
+        rows.append(
+            {"patient_id": i, "case_id": f"case_{i}", "label": "living", "h5_file_path": p.name}
+        )
+    with open(root / "dataset.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["patient_id", "case_id", "label", "h5_file_path"])
+        w.writeheader()
+        w.writerows(rows)
     return paths
 
 
-def run_ours(paths):
-    from multimodal_fusion_tpu.hypergraph.build import process_single_file
+def run_ours(root: Path, paths):
+    from multimodal_fusion_tpu.hypergraph.build import (
+        process_dataset,
+        process_single_file,
+    )
 
     # warmup/compile on the first file
     process_single_file(paths[0], NUM_SUPER, NUM_GROUPS, K, NUM_HYPEREDGES)
     t0 = time.time()
-    for p in paths[1:]:
-        process_single_file(p, NUM_SUPER, NUM_GROUPS, K, NUM_HYPEREDGES)
+    # measured run: the pipelined dataset driver over all files
+    _, summary = process_dataset(
+        root / "dataset.csv", root, NUM_SUPER, NUM_GROUPS, K, NUM_HYPEREDGES
+    )
+    if any("error" in s for s in _):
+        raise RuntimeError(f"build errors: {_}")
     dt = time.time() - t0
-    return (len(paths) - 1) * N_PATCHES / dt
+    return len(paths) * N_PATCHES / dt
 
 
 def run_reference(paths):
@@ -94,6 +111,110 @@ def run_reference(paths):
     return n / (time.time() - t0)
 
 
+INF_WSI = 4096
+INF_TMA = 32
+INF_BATCH = 8
+
+
+def _flagship_cfg():
+    from multimodal_fusion_tpu.config import ModelConfig
+
+    return ModelConfig(
+        model_type="svd_gate_random_clam",
+        n_classes=2,
+        input_dim=DIM,
+        model_size="64*32",
+        dropout=0.25,
+        output_dim=128,
+        channels_used_in_model=[
+            "wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask",
+        ],
+        channel_input_dims={"clinical=val": 16},
+    )
+
+
+def run_inference_ours(n_batches: int = 8) -> float:
+    """Flagship eval forward, vmapped over a window of slides, jitted."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from multimodal_fusion_tpu.models.factory import ModelFactory
+
+    model = ModelFactory.create_model(_flagship_cfg(), seed=0)
+    graphdef, state = nnx.split(model)
+    rng = np.random.default_rng(0)
+    window = {
+        "channels": {
+            "wsi=features": jnp.asarray(
+                rng.standard_normal((INF_BATCH, INF_WSI, DIM)), jnp.float32
+            ),
+            "tma=cd3=features": jnp.asarray(
+                rng.standard_normal((INF_BATCH, INF_TMA, DIM)), jnp.float32
+            ),
+            "clinical=val": jnp.asarray(rng.standard_normal((INF_BATCH, 1, 16)), jnp.float32),
+            "clinical=mask": jnp.ones((INF_BATCH, 1, 16), jnp.float32),
+        },
+        "masks": {
+            "wsi=features": jnp.ones((INF_BATCH, INF_WSI), bool),
+            "tma=cd3=features": jnp.ones((INF_BATCH, INF_TMA), bool),
+        },
+        "label": jnp.zeros((INF_BATCH,), jnp.int32),
+    }
+
+    @jax.jit
+    def eval_step(state, window):
+        def one(channels, masks, label):
+            m = nnx.merge(graphdef, state)
+            res = m({"channels": channels, "masks": masks}, label, train=False)
+            return res["probabilities"]
+
+        return jax.vmap(one)(window["channels"], window["masks"], window["label"])
+
+    jax.block_until_ready(eval_step(state, window))  # compile
+    t0 = time.time()
+    for _ in range(n_batches):
+        out = eval_step(state, window)
+    jax.block_until_ready(out)
+    return n_batches * INF_BATCH / (time.time() - t0)
+
+
+def run_inference_reference(n_cases: int = 8) -> float:
+    """Reference torch flagship forward per case on CPU."""
+    sys.path.insert(0, str(Path("/root/reference") / "downstream_survival"))
+    try:
+        import torch
+
+        from models.svd_gate_random_clam import SVDGateRandomClam as RefModel
+    except Exception:
+        return None
+    config = {
+        "n_classes": 2, "input_dim": DIM, "model_size": "64*32", "dropout": 0.25,
+        "output_dim": 128, "device": "cpu",
+        "channels_used_in_model": [
+            "wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask",
+        ],
+        "enable_svd": True, "enable_dynamic_gate": True, "enable_random_loss": False,
+    }
+    torch.manual_seed(0)
+    model = RefModel(config)
+    model.eval()
+    rng = np.random.default_rng(0)
+    data = {
+        "wsi=features": torch.tensor(rng.standard_normal((1, INF_WSI, DIM)), dtype=torch.float32),
+        "tma=cd3=features": torch.tensor(rng.standard_normal((1, INF_TMA, DIM)), dtype=torch.float32),
+        "clinical=val": torch.tensor(rng.standard_normal((1, 1, 16)), dtype=torch.float32),
+        "clinical=mask": torch.ones((1, 1, 16)),
+    }
+    label = torch.tensor([0])
+    with torch.no_grad():
+        model(data, label)  # warmup / lazy layers
+        t0 = time.time()
+        for _ in range(n_cases):
+            model(data, label)
+    return n_cases / (time.time() - t0)
+
+
 def main():
     _enable_compile_cache()
     with tempfile.TemporaryDirectory() as td:
@@ -101,13 +222,31 @@ def main():
         (root / "ours").mkdir(exist_ok=True)
         (root / "ref").mkdir(exist_ok=True)
         ours_paths = make_fixtures(root / "ours", N_FILES)
-        ours_pps = run_ours(ours_paths)
+        ours_pps = run_ours(root / "ours", ours_paths)
 
         n_ref = int(os.environ.get("BENCH_REF_FILES", "1"))
         ref_paths = make_fixtures(root / "ref", n_ref)
         ref_pps = run_reference(ref_paths)
 
+    inf_ours = run_inference_ours()
+    inf_ref = run_inference_reference()
+
     vs = (ours_pps / ref_pps) if ref_pps else None
+    details = {
+        "hypergraph_build_patches_per_sec": {
+            "ours": round(ours_pps, 1),
+            "reference_cpu": round(ref_pps, 1) if ref_pps else None,
+            "speedup": round(vs, 2) if vs else None,
+        },
+        "survival_inference_slides_per_sec": {
+            "ours": round(inf_ours, 2),
+            "reference_cpu": round(inf_ref, 2) if inf_ref else None,
+            "speedup": round(inf_ours / inf_ref, 2) if inf_ref else None,
+        },
+    }
+    Path(__file__).resolve().parent.joinpath("BENCH_DETAILS.json").write_text(
+        json.dumps(details, indent=2)
+    )
     print(
         json.dumps(
             {

@@ -128,7 +128,7 @@ from functools import partial
 
 @partial(
     jax.jit,
-    static_argnames=("num_super", "num_groups", "k", "num_hyperedges"),
+    static_argnames=("num_super", "num_groups", "k", "num_hyperedges", "cache_bf16"),
 )
 def _fused_build(
     key: jax.Array,
@@ -141,6 +141,7 @@ def _fused_build(
     num_groups: int,
     k: int,
     num_hyperedges: int,
+    cache_bf16: bool = True,
 ):
     """The entire per-file numeric pipeline as ONE compiled program:
     similarity -> KMeans super-patches (+ intra-cluster stats) -> cross-modal
@@ -177,7 +178,9 @@ def _fused_build(
     normed = all_feats / (jnp.linalg.norm(all_feats, axis=1, keepdims=True) + 1e-12)
 
     return {
-        "K": K,
+        # the [N,N] cache crosses device->host; bf16 halves the bytes (values
+        # are similarities in [0,1]; cache precision documented in SURVEY §7)
+        "K": K.astype(jnp.bfloat16) if cache_bf16 else K,
         "K_stats": _matrix_stats_dev(K),
         "labels": km.labels,
         "counts": counts,
@@ -464,7 +467,7 @@ def process_single_file(
     if (host["counts"] == 0).any():
         raise ValueError("empty cluster in super-patch aggregation")
     sp_feats, sp_pos = host["sp_feats"], host["sp_pos"]
-    K_wsi, sim = host["K"], host["sim"]
+    K_wsi, sim = host["K"].astype(np.float32), host["sim"]
     group_labels = host["group_labels"].astype(np.int64)
     edge_index, edge_weights = _assemble_edges(
         host["knn_idx"], host["hyperedge_labels"], host["normed"], num_hyperedges
@@ -593,7 +596,7 @@ def process_dataset(
             save_hypergraph(
                 h5_path, host["sp_feats"], host["sp_pos"], tma_features,
                 edge_index, edge_weights, group_labels, stats,
-                wsi_similarity_matrix=host["K"] if save_similarity else None,
+                wsi_similarity_matrix=host["K"].astype(np.float32) if save_similarity else None,
                 wsi_tma_similarity_matrix=host["sim"] if save_similarity else None,
             )
             stats["case_id"] = case_id

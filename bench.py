@@ -30,8 +30,10 @@ def _enable_compile_cache():
     jax.config.update("jax_compilation_cache_dir", str(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+# Sized so the per-file similarity-cache pull stays small: the TPU here sits
+# behind a TCP relay that is unreliable on large single transfers.
 N_FILES = 4
-N_PATCHES = 4096
+N_PATCHES = 2048
 N_TMA = 32
 DIM = 1024
 NUM_SUPER = 100

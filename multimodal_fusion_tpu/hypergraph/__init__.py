@@ -10,3 +10,8 @@ from multimodal_fusion_tpu.hypergraph.build import (  # noqa: F401
     save_hypergraph,
     load_similarity_matrices,
 )
+from multimodal_fusion_tpu.hypergraph.dense_graph import (  # noqa: F401
+    build_weighted_hypergraph,
+    build_hypergraph_data,
+    mean_pool_with_similarity,
+)

@@ -17,6 +17,7 @@ from multimodal_fusion_tpu.models.auc_clam import AUCCLAM
 from multimodal_fusion_tpu.models.base import BaseModel
 from multimodal_fusion_tpu.models.clam import CLAM, MILFC
 from multimodal_fusion_tpu.models.clam_mlp import ClamMLP, ClamMLPDetach
+from multimodal_fusion_tpu.models.extras import SVDCLAM, UniversalConnections
 from multimodal_fusion_tpu.models.fbp import FBP
 from multimodal_fusion_tpu.models.gate_mil import (
     GateAUCMIL,
@@ -59,6 +60,9 @@ MODEL_REGISTRY: Dict[str, Type[BaseModel]] = {
     "fbp": FBP,
     "mfmf": MFMF,
     "cust_omics": CustOmics,
+    # dead-code paths in the reference, repaired and registered here
+    "svd_clam": SVDCLAM,
+    "auto_connections": UniversalConnections,
 }
 
 

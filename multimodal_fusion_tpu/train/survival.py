@@ -227,6 +227,9 @@ class SurvivalTrainer:
         ckpt_path = self.log_dir / f"s_{fold_idx}_checkpoint.npz"
         key = jax.random.key(exp.seed * 1000 + fold_idx)
         history: List[Dict[str, float]] = []
+        from multimodal_fusion_tpu.utils.logging import FoldLogger
+
+        logger = FoldLogger(self.log_dir, fold_idx, self.configs.model_config.n_classes)
 
         for epoch in range(exp.max_epochs):
             t0 = time.time()
@@ -263,6 +266,9 @@ class SurvivalTrainer:
                     "time_s": time.time() - t0,
                 }
             )
+            logger.log_epoch(
+                epoch, lr, history[-1]["train_loss"], val, history[-1]["time_s"]
+            )
             if exp.get("verbose", True):
                 h = history[-1]
                 print(
@@ -297,6 +303,7 @@ class SurvivalTrainer:
         (self.log_dir / f"fold_{fold_idx}_summary.json").write_text(
             json.dumps({**summary, "patient_results": patient_results}, indent=2)
         )
+        logger.finalize(summary)
         self._fold_state = (model, graphdef, params, rest)
         return summary
 

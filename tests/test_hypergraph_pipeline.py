@@ -135,3 +135,90 @@ def test_process_and_rebuild_roundtrip(hg_dataset):
         num_hyperedges=3, threshold_median_ratio=1.0,
     )
     assert stats4["hypergraph"]["num_edges_after_threshold"] <= stats3["hypergraph"]["num_edges"]
+
+
+def test_build_weighted_hypergraph_dense(rng):
+    """Dense thresholded graph vs a transcribed oracle of the reference's
+    N^2 loop (similarity_kernel.py:126-212)."""
+    from multimodal_fusion_tpu.hypergraph.dense_graph import (
+        build_hypergraph_data,
+        build_weighted_hypergraph,
+        mean_pool_with_similarity,
+    )
+
+    f = rng.standard_normal((12, 6)).astype(np.float32) * 0.3
+    p = rng.standard_normal((12, 2)).astype(np.float32) * 0.3
+    ei, w = build_weighted_hypergraph(f, p, 0.8, 0.5, threshold_median_ratio=1.0)
+    # oracle
+    d_h = ((f[:, None] - f[None]) ** 2).sum(-1)
+    d_g = ((p[:, None] - p[None]) ** 2).sum(-1)
+    K = np.exp(-0.8 * d_h) * np.exp(-0.5 * d_g)
+    med = np.median(K[~np.eye(12, dtype=bool)])
+    keep = K >= med * 1.0
+    src, dst = np.nonzero(keep)
+    np.testing.assert_array_equal(ei, np.stack([src, dst]))
+    np.testing.assert_allclose(w, K[src, dst], rtol=2e-3, atol=1e-4)
+    # no-threshold keeps all N^2 edges; n<=1 raises
+    ei2, _ = build_weighted_hypergraph(f, p)
+    assert ei2.shape[1] == 144
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_weighted_hypergraph(f[:1], p[:1])
+
+    data = build_hypergraph_data(f, p, use_pooling=True)
+    assert set(data) == {"x", "edge_index", "edge_attr", "pos", "pooled_feature"}
+    np.testing.assert_allclose(
+        data["pooled_feature"], f.mean(0, keepdims=True), rtol=1e-5, atol=1e-6
+    )
+    legacy = build_hypergraph_data(f, p, legacy_keys=True)
+    assert "pooled_features" in legacy
+    np.testing.assert_allclose(
+        mean_pool_with_similarity(f, p, 1.0, 1.0), f.mean(0, keepdims=True),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_extra_models_forward():
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_fusion_tpu.config import ModelConfig
+    from multimodal_fusion_tpu.models.factory import ModelFactory
+
+    D = 32
+    rng2 = np.random.default_rng(0)
+    case = {
+        "channels": {
+            "wsi=features": jnp.asarray(rng2.standard_normal((16, D)), jnp.float32),
+            "tma=cd3=features": jnp.asarray(rng2.standard_normal((4, D)), jnp.float32),
+            "tma=cd8=features": jnp.asarray(rng2.standard_normal((4, D)), jnp.float32),
+        },
+        "masks": {
+            "wsi=features": jnp.ones(16, bool),
+            "tma=cd3=features": jnp.ones(4, bool),
+            "tma=cd8=features": jnp.ones(4, bool),
+        },
+    }
+    cfg = ModelConfig(
+        model_type="svd_clam", n_classes=2, input_dim=D, model_size="32*16",
+        dropout=0.1, output_dim=D,
+        channels_used_in_model=["wsi=features", "tma=cd3=features", "tma=cd8=features"],
+        lambda2=0.1,
+    )
+    m = ModelFactory.create_model(cfg, seed=0)
+    out = m(case, jnp.asarray(1), key=jax.random.key(0), train=True)
+    assert np.isfinite(float(out["svd_loss"]))
+    loss = m.loss_fn(out["logits"], jnp.asarray([1]), out)
+    assert np.isfinite(float(loss))
+
+    cfg2 = ModelConfig(
+        model_type="auto_connections", n_classes=2, input_dim=D, model_size="32*16",
+        dropout=0.1, output_dim=D,
+        channels_used_in_model=["wsi=features", "tma=cd3=features", "tma=cd8=features"],
+    )
+    cfg2.extra.update(views_num=3, token_dim=D, inference_depth=2)
+    m2 = ModelFactory.create_model(cfg2, seed=0)
+    X = m2(case, jnp.asarray(0), key=jax.random.key(1), train=False)
+    # 2 modality tokens + 2 layers x 3 views
+    assert X.shape == (2 + 6, D)

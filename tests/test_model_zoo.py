@@ -55,8 +55,12 @@ def make_case(n_wsi=24, n_valid_wsi=20, seed=0):
 # need uniform feature dims (same constraint as the reference).
 UNIFORM_DIM_FAMILY = {
     "gate_shared_mil", "gate_mil", "gate_auc_mil", "gate_mil_detach",
-    "mil", "clam", "auc_clam",
+    "mil", "clam", "auc_clam", "svd_clam",
 }
+
+# auto_connections returns a raw token matrix, not the result-dict contract
+# (reference auto_connections.py returns X); covered by its dedicated test.
+CONTRACT_EXEMPT = {"auto_connections"}
 
 
 def make_gate_config(model_type):
@@ -66,7 +70,7 @@ def make_gate_config(model_type):
     return cfg
 
 
-@pytest.mark.parametrize("model_type", sorted(MODEL_REGISTRY))
+@pytest.mark.parametrize("model_type", sorted(set(MODEL_REGISTRY) - CONTRACT_EXEMPT))
 def test_forward_contract(model_type):
     cfg = (
         make_gate_config(model_type)

@@ -17,6 +17,7 @@ from multimodal_fusion_tpu.models.auc_clam import AUCCLAM
 from multimodal_fusion_tpu.models.base import BaseModel
 from multimodal_fusion_tpu.models.clam import CLAM, MILFC
 from multimodal_fusion_tpu.models.clam_mlp import ClamMLP, ClamMLPDetach
+from multimodal_fusion_tpu.models.cox import CoxSVDGateClam
 from multimodal_fusion_tpu.models.extras import SVDCLAM, UniversalConnections
 from multimodal_fusion_tpu.models.fbp import FBP
 from multimodal_fusion_tpu.models.gate_mil import (
@@ -63,6 +64,8 @@ MODEL_REGISTRY: Dict[str, Type[BaseModel]] = {
     # dead-code paths in the reference, repaired and registered here
     "svd_clam": SVDCLAM,
     "auto_connections": UniversalConnections,
+    # survival-native extension (BASELINE north star: Cox risk scores)
+    "cox_svd_gate_random_clam": CoxSVDGateClam,
 }
 
 

@@ -204,6 +204,34 @@ def clip_alignment_loss(
 
 
 # ---------------------------------------------------------------------------
+# Cox proportional-hazards partial likelihood
+# ---------------------------------------------------------------------------
+
+def cox_ph_loss(
+    risk: jax.Array,
+    time: jax.Array,
+    event: jax.Array,
+    eps: float = 1e-8,
+) -> jax.Array:
+    """Negative Cox partial log-likelihood (Breslow ties).
+
+    ``risk`` [N] log-risk scores; ``time`` [N] follow-up times; ``event`` [N]
+    1 = event observed, 0 = censored.  The BASELINE north star names a Cox
+    survival head; the reference itself trains binary CE — this head is the
+    survival-native extension, enabled when the dataset CSV carries
+    time/event columns.
+    """
+    # risk set of i: {j : time_j >= time_i}
+    at_risk = (time[None, :] >= time[:, None]).astype(risk.dtype)  # [N, N]
+    log_denom = jax.nn.logsumexp(
+        jnp.where(at_risk > 0, risk[None, :], -jnp.inf), axis=1
+    )
+    pl = (risk - log_denom) * event
+    n_events = jnp.maximum(jnp.sum(event), 1.0)
+    return -jnp.sum(pl) / n_events
+
+
+# ---------------------------------------------------------------------------
 # AUCM margin loss (libauc.losses.AUCMLoss semantics)
 # ---------------------------------------------------------------------------
 

@@ -36,6 +36,28 @@ def binary_auroc(probs_pos: np.ndarray, labels: np.ndarray) -> float:
     return float((sum_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
 
 
+def concordance_index(risk: np.ndarray, time: np.ndarray, event: np.ndarray) -> float:
+    """Harrell's C-index: fraction of comparable pairs ordered correctly by
+    risk (higher risk -> earlier event).  Ties in risk count 0.5."""
+    risk = np.asarray(risk, np.float64)
+    time = np.asarray(time, np.float64)
+    event = np.asarray(event).astype(bool)
+    n = len(risk)
+    concordant = 0.0
+    comparable = 0
+    for i in range(n):
+        if not event[i]:
+            continue
+        for j in range(n):
+            if time[j] > time[i] or (time[j] == time[i] and not event[j] and j != i):
+                comparable += 1
+                if risk[i] > risk[j]:
+                    concordant += 1.0
+                elif risk[i] == risk[j]:
+                    concordant += 0.5
+    return float(concordant / comparable) if comparable else float("nan")
+
+
 def accuracy(preds: np.ndarray, labels: np.ndarray) -> float:
     return float((np.asarray(preds) == np.asarray(labels)).mean())
 

@@ -158,3 +158,36 @@ def test_aucm_loss_oracle(rng):
         aucm_loss(jnp.asarray(pred), jnp.asarray(y), jnp.asarray(a), jnp.asarray(b), jnp.asarray(alpha), m)
     )
     assert abs(got - want) < 1e-4
+
+
+def test_cox_ph_loss_oracle(rng):
+    from multimodal_fusion_tpu.ops.losses import cox_ph_loss
+
+    risk = rng.standard_normal(8).astype(np.float32)
+    time = rng.random(8).astype(np.float32)
+    event = rng.integers(0, 2, 8).astype(np.float32)
+    event[0] = 1  # at least one event
+    # numpy oracle (Breslow)
+    pl = 0.0
+    for i in range(8):
+        if event[i]:
+            at_risk = risk[time >= time[i]]
+            pl += risk[i] - np.log(np.exp(at_risk).sum())
+    want = -pl / event.sum()
+    got = float(cox_ph_loss(jnp.asarray(risk), jnp.asarray(time), jnp.asarray(event)))
+    assert abs(got - want) < 1e-4
+
+
+def test_concordance_index():
+    from multimodal_fusion_tpu.train.metrics import concordance_index
+
+    # perfectly concordant: higher risk -> earlier event
+    time = np.array([1.0, 2.0, 3.0, 4.0])
+    risk = np.array([4.0, 3.0, 2.0, 1.0])
+    event = np.array([1, 1, 1, 1])
+    assert concordance_index(risk, time, event) == 1.0
+    assert concordance_index(-risk, time, event) == 0.0
+    # censored cases only comparable as later-survivors
+    event2 = np.array([1, 0, 1, 0])
+    c = concordance_index(risk, time, event2)
+    assert 0.0 <= c <= 1.0

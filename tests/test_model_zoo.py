@@ -166,3 +166,21 @@ def test_vmap_over_cases():
     logits, stacks = jax.vmap(fwd)(batch, labels, keys)
     assert logits.shape == (3, 1, 2)
     assert stacks.shape == (3, 3, D)  # 3 cases x 3 modalities (wsi, tma, clinical)
+
+
+def test_cox_model_risk_and_group_loss():
+    cfg = make_config("cox_svd_gate_random_clam")
+    model = ModelFactory.create_model(cfg, seed=0)
+    case = make_case()
+    res = model(case, jnp.asarray(1), key=jax.random.key(0), train=True)
+    assert res["risk"].shape == (1,)
+    win = jax.tree.map(lambda x: jnp.stack([x] * 4), res)
+    win["label"] = jnp.asarray([0, 1, 0, 1])
+    win["time"] = jnp.asarray([3.0, 1.0, 4.0, 2.0])
+    win["event"] = jnp.asarray([1.0, 1.0, 0.0, 1.0])
+    g = model.group_loss_fn(win)
+    assert np.isfinite(float(g))
+    # without time/event the cox term is skipped but svd loss remains
+    win2 = {k: v for k, v in win.items() if k not in ("time", "event")}
+    g2 = model.group_loss_fn(win2)
+    assert np.isfinite(float(g2))

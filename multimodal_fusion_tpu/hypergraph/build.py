@@ -553,6 +553,10 @@ def process_dataset(
             lambda_h, lambda_g,
             num_wsi_super_patches, num_groups, hypergraph_k, num_hyperedges,
         )
+        # start the device->host copies now so they overlap the host-side
+        # edge assembly + h5 writes of earlier files
+        for leaf in jax.tree.leaves(out):
+            leaf.copy_to_host_async()
         return (idx, row, h5_path, (wsi_features.shape[0], tma_features), out)
 
     def drain(item):

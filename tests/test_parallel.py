@@ -1,0 +1,156 @@
+"""Sharded data-parallel training on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax import nnx
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from multimodal_fusion_tpu.config import ModelConfig
+from multimodal_fusion_tpu.models.factory import ModelFactory
+from multimodal_fusion_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from multimodal_fusion_tpu.train.optim import make_optimizer
+
+D = 32
+
+
+def _window(G):
+    rng = np.random.default_rng(0)
+    return {
+        "channels": {
+            "wsi=features": jnp.asarray(rng.standard_normal((G, 16, D)), jnp.float32),
+            "tma=cd3=features": jnp.asarray(rng.standard_normal((G, 4, D)), jnp.float32),
+            "clinical=val": jnp.asarray(rng.standard_normal((G, 1, 8)), jnp.float32),
+            "clinical=mask": jnp.ones((G, 1, 8), jnp.float32),
+        },
+        "masks": {
+            "wsi=features": jnp.broadcast_to(jnp.arange(16) < 14, (G, 16)),
+            "tma=cd3=features": jnp.ones((G, 4), bool),
+        },
+        "label": jnp.asarray(np.tile([0, 1], G // 2), jnp.int32),
+    }
+
+
+def _cfg():
+    return ModelConfig(
+        model_type="svd_gate_random_clam", n_classes=2, input_dim=D,
+        model_size="32*16", dropout=0.0, output_dim=D,
+        channels_used_in_model=["wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask"],
+        channel_input_dims={"clinical=val": 8},
+        enable_random_loss=False,
+    )
+
+
+def test_mesh_helpers():
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    assert mesh.shape == {"data": 8}
+    win = _window(8)
+    sharded = shard_batch(mesh, win)
+    leaf = sharded["channels"]["wsi=features"]
+    assert leaf.sharding == batch_sharding(mesh)
+    rep = replicate(mesh, {"x": jnp.ones((4,))})
+    assert rep["x"].sharding.is_fully_replicated
+
+
+def test_sharded_step_matches_single_device():
+    """One dp-sharded train step == unsharded step (same math, psum'd grads)."""
+    G = 8
+    mesh = make_mesh(8)
+    model = ModelFactory.create_model(_cfg(), seed=0)
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    tx = make_optimizer("adam", 0.0)
+    opt_state = tx.init(params)
+    win = _window(G)
+    keys = jax.random.split(jax.random.key(0), G)
+
+    @jax.jit
+    def step(params, rest, opt_state, window, keys):
+        def loss_fn(params):
+            def one(channels, masks, label, key):
+                m = nnx.merge(graphdef, params, rest)
+                res = m({"channels": channels, "masks": masks}, label, key=key, train=True)
+                return m.loss_fn(res["logits"], label[None], res), res
+
+            losses, results = jax.vmap(one)(
+                window["channels"], window["masks"], window["label"], keys
+            )
+            m = nnx.merge(graphdef, params, rest)
+            gr = dict(results)
+            gr["label"] = window["label"]
+            return (jnp.sum(losses) + m.group_loss_fn(gr)) / G
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, _ = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, jax.tree.map(lambda u: -1e-3 * u, updates))
+        return loss, params
+
+    # unsharded
+    loss_ref, params_ref = step(params, rest, opt_state, win, keys)
+
+    # sharded over the data mesh
+    win_sh = shard_batch(mesh, win)
+    keys_sh = jax.device_put(keys, batch_sharding(mesh))
+    params_rep = replicate(mesh, params)
+    with mesh:
+        loss_sh, params_sh = step(params_rep, rest, opt_state, win_sh, keys_sh)
+
+    np.testing.assert_allclose(float(loss_ref), float(loss_sh), rtol=1e-5, atol=1e-6)
+    a = jax.tree.leaves(params_ref)[0]
+    b = jax.tree.leaves(params_sh)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_batching_window():
+    from multimodal_fusion_tpu.data.batching import (
+        edge_index_to_incidence,
+        make_window,
+        window_bag_sizes,
+    )
+
+    rng = np.random.default_rng(0)
+    raws = [
+        {
+            "wsi=features": rng.standard_normal((n, D)).astype(np.float32),
+            "clinical=val": rng.standard_normal((1, 8)).astype(np.float32),
+        }
+        for n in (30, 50, 41)
+    ]
+    sizes = window_bag_sizes(raws)
+    assert sizes["wsi=features"] == 64  # bucket >= 50
+    win = make_window(raws, [0, 1, 0])
+    assert win["channels"]["wsi=features"].shape == (3, 64, D)
+    assert win["masks"]["wsi=features"].sum() == 30 + 50 + 41
+    assert win["channels"]["clinical=val"].shape == (3, 1, 8)
+    assert win["label"].tolist() == [0, 1, 0]
+
+    H = edge_index_to_incidence(np.array([[0, 1, 2], [1, 2, 0]]), 4, 4)
+    assert H.shape == (4, 4)
+    assert H[0, 1] == 1 and H[1, 2] == 1 and H[2, 0] == 1 and H.sum() == 3
+
+
+def test_hypergraph_case_padding():
+    """edge_index remaps across the padded super/tma node split."""
+    from multimodal_fusion_tpu.data.batching import pad_case
+
+    rng = np.random.default_rng(1)
+    raw = {
+        "hypergraph=wsi_super_features": rng.standard_normal((5, D)).astype(np.float32),
+        "hypergraph=tma_features": rng.standard_normal((3, D)).astype(np.float32),
+        # edge between super node 4 and tma node 0 (global id 5)
+        "hypergraph=edge_index": np.array([[4], [5]], np.int64),
+    }
+    sizes = {"hypergraph=wsi_super_features": 8, "hypergraph=tma_features": 4}
+    case = pad_case(raw, 1, sizes)
+    H = case["channels"]["hypergraph=incidence"]
+    assert H.shape == (12, 12)
+    # tma node 0 moved from global 5 to 8 (after padded super block)
+    assert H[4, 8] == 1.0
+    assert H.sum() == 1.0

@@ -534,8 +534,11 @@ def process_dataset(
     total_patches = 0
 
     from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
     pending = deque()
+    finalize_pool = ThreadPoolExecutor(max_workers=2)
+    finalize_futures = []
 
     def dispatch(idx, row):
         h5_path = os.path.join(str(data_root_dir), row["h5_file_path"])
@@ -559,16 +562,12 @@ def process_dataset(
             leaf.copy_to_host_async()
         return (idx, row, h5_path, (wsi_features.shape[0], tma_features), out)
 
-    def drain(item):
+    def finalize(case_id, row, h5_path, n_patches, tma_features, host):
+        """Host-side edge assembly + stats + h5 write; runs on the thread
+        pool so it overlaps the next files' transfers (numpy/h5py release
+        the GIL for the heavy parts)."""
         nonlocal total_patches
-        idx, row, h5_path, meta, out = item
-        case_id = str(row.get("case_id", f"case_{idx}"))
-        if meta is None:
-            all_stats.append({"case_id": case_id, "status": "skipped", "reason": "no_tma"})
-            return
-        n_patches, tma_features = meta
         try:
-            host = jax.device_get(out)
             if (host["counts"] == 0).any():
                 raise ValueError("empty cluster in super-patch aggregation")
             edge_index, edge_weights = _assemble_edges(
@@ -607,15 +606,37 @@ def process_dataset(
             stats["h5_path"] = row["h5_file_path"]
             stats["num_patches_processed"] = int(n_patches)
             total_patches += int(n_patches)
-            all_stats.append(stats)
+            return stats
         except Exception as e:
-            all_stats.append({"case_id": case_id, "error": str(e)})
+            return {"case_id": case_id, "error": str(e)}
+
+    def drain(item):
+        idx, row, h5_path, meta, out = item
+        case_id = str(row.get("case_id", f"case_{idx}"))
+        if meta is None:
+            finalize_futures.append(
+                (case_id, None, {"case_id": case_id, "status": "skipped", "reason": "no_tma"})
+            )
+            return
+        n_patches, tma_features = meta
+        try:
+            host = jax.device_get(out)  # serial: transfers share the link
+        except Exception as e:
+            finalize_futures.append((case_id, None, {"case_id": case_id, "error": str(e)}))
+            return
+        fut = finalize_pool.submit(
+            finalize, case_id, row, h5_path, n_patches, tma_features, host
+        )
+        finalize_futures.append((case_id, fut, None))
 
     for idx, row in df.iterrows():
         try:
             item = dispatch(idx, row)
         except Exception as e:
-            all_stats.append({"case_id": str(row.get("case_id", idx)), "error": str(e)})
+            finalize_futures.append(
+                (str(row.get("case_id", idx)), None,
+                 {"case_id": str(row.get("case_id", idx)), "error": str(e)})
+            )
             continue
         if item is None:
             continue
@@ -624,6 +645,9 @@ def process_dataset(
             drain(pending.popleft())
     while pending:
         drain(pending.popleft())
+    for _, fut, immediate in finalize_futures:
+        all_stats.append(immediate if fut is None else fut.result())
+    finalize_pool.shutdown(wait=True)
     elapsed = time.time() - t0
     summary = {
         "files": len(all_stats),

@@ -12,6 +12,13 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
+
+# BASELINE.json pins this parity config to CPU ("fusion forward pass on toy
+# embeddings (CPU)"); also keeps the demo independent of TPU availability.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 import jax.numpy as jnp
 import numpy as np
 

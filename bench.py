@@ -30,7 +30,7 @@ def _enable_compile_cache():
     jax.config.update("jax_compilation_cache_dir", str(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-N_FILES = 4
+N_FILES = 8
 N_PATCHES = 4096
 N_TMA = 32
 DIM = 1024

@@ -219,3 +219,50 @@ def test_dump_alignment_features(cli_dataset, tmp_path):
     plot = plot_alignment_heatmap(out, tmp_path / "heat")
     if plot is not None:
         assert plot.exists()
+
+
+def test_survival_cli_with_alignment_checkpoint(cli_dataset, tmp_path):
+    """Full loop: train alignment briefly -> save -> survival CLI consumes the
+    checkpoint and emits aligned_<channel> features at load time."""
+    import numpy as np
+    from flax import nnx
+
+    from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
+    from multimodal_fusion_tpu.train.checkpoint import save_model
+    from multimodal_fusion_tpu.cli.main_survival import main
+    from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
+    from multimodal_fusion_tpu.train.alignment import make_alignment_apply_fn
+
+    root, csv_path = cli_dataset
+    align_ch = ["tma=cd3=features"]
+    model = MultiModalAlignmentModel(sorted(align_ch), feature_dim=32, num_layers=2,
+                                     rngs=nnx.Rngs(7))
+    ckpt = tmp_path / "align_ckpt.npz"
+    save_model(ckpt, model)
+
+    # dataset-side: aligned channel appears and differs from raw
+    ds = MultimodalDataset(
+        csv_path, root, channels=["wsi=features", "tma=cd3=features"],
+        align_channels={c: c for c in align_ch},
+        alignment_apply_fn=make_alignment_apply_fn(model),
+    )
+    raw, _ = ds.get_case(ds.case_ids[0])
+    assert "aligned_tma=cd3=features" in raw
+    assert raw["aligned_tma=cd3=features"].shape == raw["tma=cd3=features"].shape
+    assert np.abs(raw["aligned_tma=cd3=features"] - raw["tma=cd3=features"]).max() > 1e-6
+
+    # CLI path loads the checkpoint itself
+    log_dir = main([
+        "--csv_path", str(csv_path),
+        "--data_root_dir", str(root),
+        "--results_dir", str(tmp_path / "res"),
+        "--exp_code", "al",
+        "--model_type", "clam_mlp",
+        "--alignment_model_path", str(ckpt),
+        "--aligned_channels", "tma=cd3=features",
+        "--target_channels", "wsi=features", "tma=cd3=features",
+        "--channels_used_in_model", "wsi=features", "tma=cd3=features",
+        "--input_dim", "32", "--model_size", "32*16", "--output_dim", "32",
+        "--k", "2", "--max_epochs", "1", "--batch_size", "4", "--seed", "0",
+    ])
+    assert (log_dir / "summary.csv").exists()

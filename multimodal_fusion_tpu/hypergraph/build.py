@@ -126,6 +126,27 @@ def _stats_dict(v: np.ndarray) -> Dict[str, float]:
 from functools import partial
 
 
+_TRIU_CACHE: Dict[int, "np.ndarray"] = {}
+
+
+def _triu_flat_indices(n: int) -> np.ndarray:
+    """Flat indices of the upper triangle (incl. diagonal) of an [n, n]
+    matrix; host-cached per n and uploaded once — K is symmetric, so the
+    device->host cache transfer ships n(n+1)/2 elements instead of n^2."""
+    if n not in _TRIU_CACHE:
+        iu0, iu1 = np.triu_indices(n)
+        _TRIU_CACHE[n] = (iu0.astype(np.int32) * n + iu1.astype(np.int32))
+    return _TRIU_CACHE[n]
+
+
+def _unpack_triu(packed: np.ndarray, n: int) -> np.ndarray:
+    K = np.empty((n, n), np.float32)
+    iu = np.triu_indices(n)
+    K[iu] = packed.astype(np.float32)
+    K[(iu[1], iu[0])] = packed.astype(np.float32)
+    return K
+
+
 @partial(
     jax.jit,
     static_argnames=("num_super", "num_groups", "k", "num_hyperedges", "cache_bf16"),
@@ -135,6 +156,7 @@ def _fused_build(
     feats: jax.Array,  # [N, D]
     pos: jax.Array,  # [N, P]
     tma: jax.Array,  # [T, D]
+    triu_idx: jax.Array,  # [N*(N+1)/2] flat upper-triangle indices
     lambda_h: float,
     lambda_g: float,
     num_super: int,
@@ -177,10 +199,12 @@ def _fused_build(
     he = kmeans(k3, all_feats, k=num_hyperedges, n_init=10)
     normed = all_feats / (jnp.linalg.norm(all_feats, axis=1, keepdims=True) + 1e-12)
 
+    # The [N,N] cache crosses the device->host link; it is symmetric, so ship
+    # only the packed upper triangle, in bf16 (values are similarities in
+    # [0,1]; cache precision documented in README "Parity").
+    K_packed = K.reshape(-1)[triu_idx]
     return {
-        # the [N,N] cache crosses device->host; bf16 halves the bytes (values
-        # are similarities in [0,1]; cache precision documented in SURVEY §7)
-        "K": K.astype(jnp.bfloat16) if cache_bf16 else K,
+        "K": K_packed.astype(jnp.bfloat16) if cache_bf16 else K_packed,
         "K_stats": _matrix_stats_dev(K),
         "labels": km.labels,
         "counts": counts,
@@ -451,11 +475,13 @@ def process_single_file(
     if tma_features is None:
         return {"status": "skipped", "reason": "no_tma"}
 
+    n = wsi_features.shape[0]
     out = _fused_build(
         jax.random.key(seed),
         jnp.asarray(wsi_features),
         jnp.asarray(wsi_positions),
         jnp.asarray(tma_features),
+        jnp.asarray(_triu_flat_indices(n)),
         lambda_h,
         lambda_g,
         num_wsi_super_patches,
@@ -464,10 +490,11 @@ def process_single_file(
         num_hyperedges,
     )
     host = jax.device_get(out)  # one bulk transfer
+    host["K"] = _unpack_triu(host["K"], n)
     if (host["counts"] == 0).any():
         raise ValueError("empty cluster in super-patch aggregation")
     sp_feats, sp_pos = host["sp_feats"], host["sp_pos"]
-    K_wsi, sim = host["K"].astype(np.float32), host["sim"]
+    K_wsi, sim = host["K"], host["sim"]
     group_labels = host["group_labels"].astype(np.int64)
     edge_index, edge_weights = _assemble_edges(
         host["knn_idx"], host["hyperedge_labels"], host["normed"], num_hyperedges
@@ -553,6 +580,7 @@ def process_dataset(
             jnp.asarray(wsi_features),
             jnp.asarray(wsi_positions),
             jnp.asarray(tma_features),
+            jnp.asarray(_triu_flat_indices(wsi_features.shape[0])),
             lambda_h, lambda_g,
             num_wsi_super_patches, num_groups, hypergraph_k, num_hyperedges,
         )
@@ -570,6 +598,7 @@ def process_dataset(
         try:
             if (host["counts"] == 0).any():
                 raise ValueError("empty cluster in super-patch aggregation")
+            K_full = _unpack_triu(host["K"], n_patches) if save_similarity else None
             edge_index, edge_weights = _assemble_edges(
                 host["knn_idx"], host["hyperedge_labels"], host["normed"], num_hyperedges
             )
@@ -599,7 +628,7 @@ def process_dataset(
             save_hypergraph(
                 h5_path, host["sp_feats"], host["sp_pos"], tma_features,
                 edge_index, edge_weights, group_labels, stats,
-                wsi_similarity_matrix=host["K"].astype(np.float32) if save_similarity else None,
+                wsi_similarity_matrix=K_full,
                 wsi_tma_similarity_matrix=host["sim"] if save_similarity else None,
             )
             stats["case_id"] = case_id

@@ -19,4 +19,9 @@ from multimodal_fusion_tpu.ops.losses import (  # noqa: F401
     volume_loss,
     clip_alignment_loss,
     aucm_loss,
+    cox_ph_loss,
+)
+from multimodal_fusion_tpu.ops.pallas_similarity import (  # noqa: F401
+    pallas_combined_similarity,
+    combined_similarity_auto,
 )

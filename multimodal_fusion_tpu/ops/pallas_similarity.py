@@ -32,6 +32,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _sim_kernel(fi_ref, pi_ref, fj_ref, pj_ref, o_ref, *, lambda_h, lambda_g):
+    # HIGHEST matmul precision: bf16 passes make the norm expansion cancel
+    # catastrophically for large-magnitude inputs (see ops/similarity.py).
+    hi = jax.lax.Precision.HIGHEST
     fi = fi_ref[:]  # [TM, D]
     fj = fj_ref[:]  # [TN, D]
     pi = pi_ref[:]  # [TM, 128]
@@ -39,13 +42,19 @@ def _sim_kernel(fi_ref, pi_ref, fj_ref, pj_ref, o_ref, *, lambda_h, lambda_g):
 
     fi_sq = jnp.sum(fi * fi, axis=1, keepdims=True)  # [TM, 1]
     fj_sq = jnp.sum(fj * fj, axis=1, keepdims=True)  # [TN, 1]
-    d_h = fi_sq + fj_sq.T - 2.0 * jnp.dot(fi, fj.T, preferred_element_type=jnp.float32)
+    d_h = fi_sq + fj_sq.T - 2.0 * jnp.dot(
+        fi, fj.T, preferred_element_type=jnp.float32, precision=hi
+    )
 
     pi_sq = jnp.sum(pi * pi, axis=1, keepdims=True)
     pj_sq = jnp.sum(pj * pj, axis=1, keepdims=True)
-    d_g = pi_sq + pj_sq.T - 2.0 * jnp.dot(pi, pj.T, preferred_element_type=jnp.float32)
+    d_g = pi_sq + pj_sq.T - 2.0 * jnp.dot(
+        pi, pj.T, preferred_element_type=jnp.float32, precision=hi
+    )
 
-    o_ref[:] = jnp.exp(-(lambda_h * d_h + lambda_g * d_g))
+    o_ref[:] = jnp.exp(
+        -(lambda_h * jnp.maximum(d_h, 0.0) + lambda_g * jnp.maximum(d_g, 0.0))
+    )
 
 
 @functools.partial(

@@ -25,13 +25,22 @@ import jax.numpy as jnp
 
 
 def pairwise_sq_dists(a: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
-    """Pairwise squared L2 distances between rows of ``a`` [N,D] and ``b`` [M,D]."""
+    """Pairwise squared L2 distances between rows of ``a`` [N,D] and ``b`` [M,D].
+
+    The dot product runs at HIGHEST precision: TPU's default bf16 matmul
+    makes the norm-expansion cancel catastrophically for large-magnitude
+    inputs (e.g. slide coordinates up to 5e4 -> negative "distances" ->
+    exp(+huge) = inf in the similarity kernels).  Distances clamp at 0.
+    """
     if b is None:
         b = a
     a_sq = jnp.sum(a * a, axis=-1, keepdims=True)  # [N,1]
     b_sq = jnp.sum(b * b, axis=-1, keepdims=True)  # [M,1]
-    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)  # [N,M] on MXU
-    return a_sq + b_sq.T - 2.0 * ab
+    ab = jnp.dot(
+        a, b.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [N,M] on MXU
+    return jnp.maximum(a_sq + b_sq.T - 2.0 * ab, 0.0)
 
 
 @partial(jax.jit, static_argnames=())

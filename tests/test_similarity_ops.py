@@ -85,3 +85,26 @@ def test_mean_pool_masked(rng):
     mask = np.array([1, 1, 1, 0, 0, 0, 0, 0], bool)
     got = np.asarray(mean_pool(jnp.asarray(x), jnp.asarray(mask)))
     np.testing.assert_allclose(got, x[:3].mean(0, keepdims=True), rtol=1e-5, atol=1e-6)
+
+
+def test_large_magnitude_positions_no_inf():
+    """Slide coordinates up to 5e4: the norm expansion must not go negative
+    (TPU default bf16 matmul precision caused exp(+huge)=inf before the
+    HIGHEST-precision fix)."""
+    rng = np.random.default_rng(9)
+    f = rng.standard_normal((64, 32)).astype(np.float32)
+    p = rng.integers(0, 50_000, (64, 2)).astype(np.float32)
+    K = np.asarray(combined_similarity(jnp.asarray(f), jnp.asarray(p), 1.0, 1.0))
+    assert np.isfinite(K).all()
+    assert (K <= 1.0 + 1e-5).all()
+    np.testing.assert_allclose(np.diagonal(K), 1.0, atol=1e-5)
+
+    from multimodal_fusion_tpu.ops.pallas_similarity import pallas_combined_similarity
+
+    Kp = np.asarray(
+        pallas_combined_similarity(
+            jnp.asarray(f), jnp.asarray(p), 1.0, 1.0, tile_m=64, tile_n=64, interpret=True
+        )
+    )
+    assert np.isfinite(Kp).all()
+    np.testing.assert_allclose(np.diagonal(Kp), 1.0, atol=1e-5)

@@ -82,6 +82,31 @@ class SurvivalTrainer:
         self.exp = configs.experiment_config
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
+        # Opt-in data parallelism: exp.mesh_shape = {"data": N} shards every
+        # window's leading axis over N devices; params replicate and XLA
+        # inserts the gradient all-reduce (SURVEY §2.6 TPU-native equivalent).
+        self.mesh = None
+        if self.exp.mesh_shape:
+            from multimodal_fusion_tpu.parallel.mesh import make_mesh
+
+            n = int(self.exp.mesh_shape.get("data", 0))
+            if n > 1:
+                self.mesh = make_mesh(n)
+
+    def _place_window(self, window, keys, n_cases: int):
+        """Shard a full-size window over the data mesh (replicated fallback
+        for leftover windows whose size doesn't divide the mesh)."""
+        if self.mesh is None:
+            return window, keys
+        n_dev = self.mesh.devices.size
+        if n_cases % n_dev != 0:
+            return window, keys
+        from multimodal_fusion_tpu.parallel.mesh import batch_sharding
+
+        sh = batch_sharding(self.mesh)
+        window = jax.tree.map(lambda x: jax.device_put(x, sh), window)
+        keys = jax.device_put(keys, sh)
+        return window, keys
 
     # ------------------------------------------------------------------
     # jitted step builders
@@ -243,6 +268,7 @@ class SurvivalTrainer:
                 n = window["label"].shape[0]
                 key, sub = jax.random.split(key)
                 keys = jax.random.split(sub, n)
+                window, keys = self._place_window(window, keys, n)
                 params, rest, opt_state, mean_loss, _ = train_step(
                     params, rest, opt_state, window, keys, lr
                 )

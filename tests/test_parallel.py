@@ -154,3 +154,37 @@ def test_hypergraph_case_padding():
     # tma node 0 moved from global 5 to 8 (after padded super block)
     assert H[4, 8] == 1.0
     assert H.sum() == 1.0
+
+
+def test_trainer_with_mesh(tmp_path):
+    """SurvivalTrainer end-to-end with mesh_shape={'data': 4} on the virtual
+    CPU mesh."""
+    from multimodal_fusion_tpu.config import Configs, ExperimentConfig
+    from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
+    from multimodal_fusion_tpu.data.splits import create_k_fold_splits
+    from multimodal_fusion_tpu.io.fixtures import make_synthetic_dataset
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    root = tmp_path / "d"
+    csv_path = make_synthetic_dataset(
+        root, n_patients=12, seed=11, min_wsi_patches=16, max_wsi_patches=24,
+        feature_dim=D, n_tma_patches=3,
+    )
+    ds = MultimodalDataset(
+        csv_path, root, channels=["wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask"],
+    )
+    mc = _cfg()
+    mc.channel_input_dims = {"clinical=val": 16}  # fixture tabular dim
+    cfg = Configs(
+        experiment_config=ExperimentConfig(
+            exp_name="mesh", seed=0, k_folds=3, max_epochs=1, batch_size=4,
+            lr=1e-3, patience=5, min_epochs=0, mesh_shape={"data": 4},
+        ),
+        model_config=mc,
+    )
+    cfg.experiment_config.extra["verbose"] = False
+    trainer = SurvivalTrainer(cfg, tmp_path / "run")
+    assert trainer.mesh is not None
+    splits = create_k_fold_splits(ds.labels, 3, seed=0)
+    summary = trainer.train_fold(ds, splits[0], 0)
+    assert np.isfinite(summary["test_acc"])

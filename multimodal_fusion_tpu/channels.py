@@ -107,3 +107,10 @@ def is_mask_channel(channel: str) -> bool:
 def mask_channel_for(channel: str) -> str:
     """The mask channel companion for a tabular value channel."""
     return f"{channel_group(channel)}=mask"
+
+
+def print_available_channels() -> None:
+    """Print all shorthand channel names grouped by category
+    (reference: downstream_survival/main.py:576-592)."""
+    for group, names in get_available_channels().items():
+        print(f"{group}: {', '.join(names)}")

@@ -146,6 +146,11 @@ class BaseModel(nnx.Module):
     def loss_fn(self, logits: jax.Array, labels: jax.Array, result: Result) -> jax.Array:
         return self.base_loss(logits, labels)
 
+    def verbose_items(self, result: Result):
+        """(name, value) pairs for training-log printing (reference models'
+        verbose_items; generic version lists every *_loss entry)."""
+        return [(k, v) for k, v in result.items() if k.endswith("_loss")]
+
     def has_group_loss(self) -> bool:
         return False
 

@@ -71,10 +71,11 @@ class ClamMLP(BaseModel):
         # does; unused ones simply never run).
         self.clam_branches = nnx.Dict({ch: ClamBranch(config, rngs) for ch in CLAM_CHANNELS})
 
-        # Tabular transfer layers, statically shaped.
+        # Tabular transfer layers, statically shaped.  hypergraph= channels
+        # are consumed by the hypergraph network (CustOmics), not as tabular.
         self.transfer_layers = nnx.Dict()
         for ch in self.used_modality:
-            if ch in CLAM_CHANNELS:
+            if ch in CLAM_CHANNELS or ch.startswith("hypergraph="):
                 continue
             in_dim = config.channel_input_dims.get(ch)
             if in_dim is None:

@@ -38,34 +38,28 @@ from multimodal_fusion_tpu.models.common import dropout, split_keys, torch_linea
 
 
 class MaskedBatchNorm(nnx.Module):
-    """BatchNorm1d over valid nodes with running stats (torch semantics:
-    batch stats + running update in train, running stats in eval)."""
+    """Node-axis normalisation with learnable scale/bias.
+
+    The reference uses torch BatchNorm1d whose "batch" here is the node set
+    of a single hypergraph; we normalise over the case's valid nodes in both
+    train and eval (deterministic, padding-invariant, vmap-safe — no mutable
+    running statistics inside the compiled step).  Documented deviation:
+    torch eval would use running stats accumulated across cases."""
 
     def __init__(self, dim: int, rngs: nnx.Rngs, momentum: float = 0.1, eps: float = 1e-5):
         self.scale = nnx.Param(jnp.ones((dim,)))
         self.bias = nnx.Param(jnp.zeros((dim,)))
-        self.running_mean = nnx.BatchStat(jnp.zeros((dim,)))
-        self.running_var = nnx.BatchStat(jnp.ones((dim,)))
-        self.momentum = momentum
         self.eps = eps
 
     def __call__(self, x: jax.Array, mask: Optional[jax.Array], train: bool) -> jax.Array:
-        if train:
-            if mask is None:
-                n = jnp.asarray(x.shape[0], x.dtype)
-                mean = jnp.mean(x, axis=0)
-                var = jnp.mean((x - mean) ** 2, axis=0)
-            else:
-                w = mask.astype(x.dtype)[:, None]
-                n = jnp.maximum(jnp.sum(w), 1.0)
-                mean = jnp.sum(x * w, axis=0) / n
-                var = jnp.sum(((x - mean) ** 2) * w, axis=0) / n
-            unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
-            m = self.momentum
-            self.running_mean.value = (1 - m) * self.running_mean.value + m * mean
-            self.running_var.value = (1 - m) * self.running_var.value + m * unbiased
+        if mask is None:
+            mean = jnp.mean(x, axis=0)
+            var = jnp.mean((x - mean) ** 2, axis=0)
         else:
-            mean, var = self.running_mean.value, self.running_var.value
+            w = mask.astype(x.dtype)[:, None]
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(x * w, axis=0) / n
+            var = jnp.sum(((x - mean) ** 2) * w, axis=0) / n
         out = (x - mean) * jax.lax.rsqrt(var + self.eps)
         return out * self.scale.value + self.bias.value
 
@@ -167,7 +161,10 @@ class CustOmics(ClamMLP):
         self.hypergraph_net = HypergraphNetwork(
             self.output_dim, hidden_dims, self.output_dim, hg_dropout, rngs
         )
-        self.other_modalities = [m for m in self.modality_order if m not in CLAM_CHANNELS]
+        self.other_modalities = [
+            m for m in self.modality_order
+            if m not in CLAM_CHANNELS and not m.startswith("hypergraph=")
+        ]
         self.max_num_tokens = 1 + len(self.other_modalities)
         self.moe_gate = torch_linear(self.output_dim, self.max_num_tokens, rngs)
         self.head = torch_linear(self.output_dim, self.n_classes, rngs)
@@ -232,9 +229,7 @@ class CustOmics(ClamMLP):
                 nodes, incidence, node_mask, edge_w, key=k_hg, train=train
             )
             tokens.append(hg_token)
-        for ch in self.modality_order:
-            if ch in CLAM_CHANNELS:
-                continue
+        for ch in self.other_modalities:
             tokens.append(self.transfer_layers[ch](inputs[ch]))
         tokens_tensor = jnp.concatenate(tokens, axis=0)  # [T, D]
         T = tokens_tensor.shape[0]

@@ -82,11 +82,21 @@ class MultimodalDataset:
         self.case_to_file: Dict[str, str] = {}
         self.case_to_label: Dict[str, str] = {}
         self.case_to_patient: Dict[str, str] = {}
+        # optional survival-time columns enable the Cox head
+        # (models/cox.py; the reference CSV carries only binary labels)
+        self.has_survival_time = "time" in df.columns
+        self.case_to_time: Dict[str, float] = {}
+        self.case_to_event: Dict[str, float] = {}
         for _, row in df.iterrows():
             cid = row["case_id"]
             self.case_to_file[cid] = str(self.data_root_dir / row["h5_file_path"])
             self.case_to_label[cid] = row["label"]
             self.case_to_patient[cid] = row["patient_id"]
+            if self.has_survival_time:
+                self.case_to_time[cid] = float(row["time"])
+                self.case_to_event[cid] = float(
+                    row["event"] if "event" in df.columns else (row["label"] == "deceased")
+                )
         self.case_ids = sorted(self.case_to_file)
 
         self._filter_missing()

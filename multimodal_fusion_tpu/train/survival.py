@@ -143,6 +143,9 @@ class SurvivalTrainer:
                     m = nnx.merge(graphdef, params, rest)
                     gr = dict(results)
                     gr["label"] = labels
+                    if "time" in window:  # Cox partial likelihood inputs
+                        gr["time"] = window["time"]
+                        gr["event"] = window["event"]
                     total = total + m.group_loss_fn(gr)
                 return total / G, (results, new_rests, jnp.mean(losses))
 
@@ -168,7 +171,10 @@ class SurvivalTrainer:
                 else:
                     res = m(case, label, train=False)
                 loss = m.loss_fn(res["logits"], label[None], res)
-                return res["logits"], res["probabilities"], res["predictions"], loss
+                # log-risk for C-index: Cox head output when present,
+                # positive-class logit otherwise
+                risk = res["risk"] if "risk" in res else res["logits"][0, 1:2]
+                return res["logits"], res["probabilities"], res["predictions"], loss, risk
 
             return jax.vmap(one)(
                 window["channels"], window["masks"], window["label"], keys
@@ -181,8 +187,10 @@ class SurvivalTrainer:
     # ------------------------------------------------------------------
 
     def _windows(self, dataset, indices: Sequence[int], G: int):
-        """Yield stacked window batches of <= G cases."""
+        """Yield stacked window batches of <= G cases (+ survival time/event
+        when the dataset CSV carries them, feeding the Cox group loss)."""
         case_ids = [dataset.case_ids[i] for i in indices]
+        with_time = getattr(dataset, "has_survival_time", False)
         for start in range(0, len(case_ids), G):
             chunk = case_ids[start : start + G]
             raws, labels = [], []
@@ -190,34 +198,54 @@ class SurvivalTrainer:
                 raw, label = dataset.get_case(cid)
                 raws.append(raw)
                 labels.append(label)
-            yield chunk, make_window(raws, labels)
+            window = make_window(raws, labels)
+            if with_time:
+                window["time"] = np.asarray(
+                    [dataset.case_to_time[c] for c in chunk], np.float32
+                )
+                window["event"] = np.asarray(
+                    [dataset.case_to_event[c] for c in chunk], np.float32
+                )
+            yield chunk, window
 
     def _evaluate(self, dataset, indices, eval_step, params, rest, key) -> Dict[str, Any]:
-        all_probs, all_preds, all_labels, all_loss, patient_ids = [], [], [], [], []
+        all_probs, all_preds, all_labels, all_loss, all_risk, patient_ids = [], [], [], [], [], []
         G = min(self.exp.batch_size, 16)
         for chunk, window in self._windows(dataset, indices, G):
+            window.pop("time", None)  # eval step consumes channels/masks/label
+            window.pop("event", None)
             n = window["label"].shape[0]
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, n)
-            logits, probs, preds, losses = eval_step(params, rest, window, keys)
+            logits, probs, preds, losses, risk = eval_step(params, rest, window, keys)
             all_probs.append(np.asarray(probs[:, 0, :]))
             all_preds.append(np.asarray(preds).reshape(n))
             all_labels.append(np.asarray(window["label"]))
             all_loss.append(np.asarray(losses))
+            all_risk.append(np.asarray(risk).reshape(n))
             patient_ids.extend(chunk)
         probs = np.concatenate(all_probs)
         preds = np.concatenate(all_preds)
         labels = np.concatenate(all_labels)
+        risk = np.concatenate(all_risk)
         loss = float(np.concatenate(all_loss).mean())
-        return {
+        out = {
             "auc": binary_auroc(probs[:, 1], labels),
             "acc": accuracy(preds, labels),
             "loss": loss,
             "probs": probs,
             "preds": preds,
             "labels": labels,
+            "risk": risk,
             "patient_ids": patient_ids,
         }
+        if getattr(dataset, "has_survival_time", False):
+            from multimodal_fusion_tpu.train.metrics import concordance_index
+
+            time_arr = np.asarray([dataset.case_to_time[c] for c in patient_ids])
+            event_arr = np.asarray([dataset.case_to_event[c] for c in patient_ids])
+            out["c_index"] = concordance_index(risk, time_arr, event_arr)
+        return out
 
     # ------------------------------------------------------------------
 

@@ -193,3 +193,55 @@ def test_volume_loss_training(tmp_path):
     trainer = MultiModalAlignmentTrainer(model, loss_type="volume", lambda2=0.0)
     out = trainer.train(ds, ds, max_steps=3, batch_size=4, val_interval=3)
     assert np.isfinite(out["history"]["train_loss"][-1])
+
+
+def test_cox_end_to_end(tmp_path):
+    """CSV with time/event columns -> Cox head trains via group loss; eval
+    reports C-index from the risk head."""
+    import csv as _csv
+
+    root = tmp_path / "coxdata"
+    csv_path = make_synthetic_dataset(
+        root, n_patients=12, seed=13, min_wsi_patches=16, max_wsi_patches=24,
+        feature_dim=32, n_tma_patches=3,
+    )
+    # append time/event columns
+    rows = list(_csv.DictReader(open(csv_path)))
+    rng = np.random.default_rng(0)
+    for r in rows:
+        r["time"] = f"{rng.uniform(0.5, 5.0):.3f}"
+        r["event"] = str(int(r["label"] == "deceased"))
+    with open(csv_path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+
+    from multimodal_fusion_tpu.config import Configs, ExperimentConfig, ModelConfig
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    ds = MultimodalDataset(
+        csv_path, root,
+        channels=["wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask"],
+    )
+    assert ds.has_survival_time
+    mc = ModelConfig(
+        model_type="cox_svd_gate_random_clam", n_classes=2, input_dim=32,
+        model_size="32*16", dropout=0.1, output_dim=32,
+        channels_used_in_model=["wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask"],
+        channel_input_dims={"clinical=val": 16},
+    )
+    ec = ExperimentConfig(
+        exp_name="cox", seed=0, k_folds=3, max_epochs=1, batch_size=4,
+        lr=1e-3, patience=3, min_epochs=0,
+    )
+    ec.extra["verbose"] = False
+    trainer = SurvivalTrainer(Configs(experiment_config=ec, model_config=mc), tmp_path / "coxrun")
+    splits = create_k_fold_splits(ds.labels, 3, seed=0)
+    summary = trainer.train_fold(ds, splits[0], 0)
+    assert np.isfinite(summary["test_acc"])
+    # C-index present in the final eval
+    key = __import__("jax").random.key(0)
+    model, graphdef, params, rest = trainer._fold_state[0], *trainer._fold_state[1:]
+    res = trainer._evaluate(ds, splits[0].test_idx, trainer._make_eval_step(model, graphdef), params, rest, key)
+    assert "c_index" in res
+    assert np.isnan(res["c_index"]) or 0.0 <= res["c_index"] <= 1.0

@@ -152,7 +152,7 @@ def _unpack_triu(packed: np.ndarray, n: int) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "lambda_h", "lambda_g", "num_super", "num_groups", "k",
-        "num_hyperedges", "cache_bf16",
+        "num_hyperedges", "cache_bf16", "with_cache",
     ),
 )
 def _fused_build(
@@ -168,16 +168,32 @@ def _fused_build(
     k: int,
     num_hyperedges: int,
     cache_bf16: bool = True,
+    with_cache: bool = True,
 ):
     """The entire per-file numeric pipeline as ONE compiled program:
     similarity -> KMeans super-patches (+ intra-cluster stats) -> cross-modal
     similarity -> grouping -> KNN + hyperedge KMeans -> cosine-normalised
-    features.  One device round-trip per file instead of per stage."""
+    features.  One device round-trip per file instead of per stage.
+
+    ``with_cache=False`` (the ``save_similarity=False`` path) never
+    materialises the [N, N] similarity matrix: the similarity/intra-cluster
+    statistics come from a deterministic <=2048-point subsample, which
+    unlocks 10^5-patch slides (the [N,N] object is the reference's scaling
+    wall — SURVEY §5)."""
     k1, k2, k3 = jax.random.split(key, 3)
-    # Pallas fused kernel on TPU for large N (one exp, no intermediate [N,N]
-    # distance matrices in HBM; ~1.3x over the XLA formulation measured on
-    # v5e); XLA elsewhere.
-    K = combined_similarity_auto(feats, pos, lambda_h, lambda_g)
+    n = feats.shape[0]
+    if with_cache:
+        # Pallas fused kernel on TPU for large N (one exp, no intermediate
+        # [N,N] distance matrices in HBM; ~1.3x over the XLA formulation
+        # measured on v5e); XLA elsewhere.
+        K = combined_similarity_auto(feats, pos, lambda_h, lambda_g)
+        stat_sel = None
+    else:
+        S = min(2048, n)
+        stat_sel = jnp.linspace(0, n - 1, S).round().astype(jnp.int32)
+        K = combined_similarity_auto(
+            feats[stat_sel], pos[stat_sel], lambda_h, lambda_g
+        )  # [S, S] sample for statistics only
 
     km = kmeans(k1, feats, k=num_super, n_init=10)
     onehot = jax.nn.one_hot(km.labels, num_super, dtype=feats.dtype)  # [N,S]
@@ -188,10 +204,12 @@ def _fused_build(
 
     # intra-cluster mean off-diagonal similarity via two matmuls:
     # s_cc = 1_c^T K 1_c ; off-diag mean = (s_cc - sum(diag K within c)) / (n_c^2 - n_c)
-    KH = jnp.dot(K, onehot, preferred_element_type=jnp.float32)  # [N,S]
-    s_cc = jnp.einsum("ns,ns->s", onehot, KH)
-    diag_c = jnp.dot(onehot.T, jnp.diagonal(K), preferred_element_type=jnp.float32)
-    pair_counts = counts * counts - counts
+    stat_onehot = onehot if with_cache else onehot[stat_sel]
+    KH = jnp.dot(K, stat_onehot, preferred_element_type=jnp.float32)
+    s_cc = jnp.einsum("ns,ns->s", stat_onehot, KH)
+    diag_c = jnp.dot(stat_onehot.T, jnp.diagonal(K), preferred_element_type=jnp.float32)
+    stat_counts = counts if with_cache else jnp.sum(stat_onehot, axis=0)
+    pair_counts = stat_counts * stat_counts - stat_counts
     intra_mean_per = jnp.where(
         pair_counts > 0, (s_cc - diag_c) / jnp.maximum(pair_counts, 1.0), jnp.nan
     )
@@ -206,12 +224,15 @@ def _fused_build(
     he = kmeans(k3, all_feats, k=num_hyperedges, n_init=10)
     normed = all_feats / (jnp.linalg.norm(all_feats, axis=1, keepdims=True) + 1e-12)
 
-    # The [N,N] cache crosses the device->host link; it is symmetric, so ship
-    # only the packed upper triangle, in bf16 (values are similarities in
-    # [0,1]; cache precision documented in README "Parity").
-    K_packed = K.reshape(-1)[triu_idx]
+    out_cache = {}
+    if with_cache:
+        # The [N,N] cache crosses the device->host link; it is symmetric, so
+        # ship only the packed upper triangle, in bf16 (values are
+        # similarities in [0,1]; cache precision documented in README).
+        K_packed = K.reshape(-1)[triu_idx]
+        out_cache["K"] = K_packed.astype(jnp.bfloat16) if cache_bf16 else K_packed
     return {
-        "K": K_packed.astype(jnp.bfloat16) if cache_bf16 else K_packed,
+        **out_cache,
         "K_stats": _matrix_stats_dev(K),
         "labels": km.labels,
         "counts": counts,
@@ -483,25 +504,28 @@ def process_single_file(
         return {"status": "skipped", "reason": "no_tma"}
 
     n = wsi_features.shape[0]
+    triu = _triu_flat_indices(n) if save_similarity else np.zeros((0,), np.int32)
     out = _fused_build(
         jax.random.key(seed),
         jnp.asarray(wsi_features),
         jnp.asarray(wsi_positions),
         jnp.asarray(tma_features),
-        jnp.asarray(_triu_flat_indices(n)),
+        jnp.asarray(triu),
         lambda_h,
         lambda_g,
         num_wsi_super_patches,
         num_groups,
         hypergraph_k,
         num_hyperedges,
+        with_cache=save_similarity,
     )
     host = jax.device_get(out)  # one bulk transfer
-    host["K"] = _unpack_triu(host["K"], n)
+    if save_similarity:
+        host["K"] = _unpack_triu(host["K"], n)
     if (host["counts"] == 0).any():
         raise ValueError("empty cluster in super-patch aggregation")
     sp_feats, sp_pos = host["sp_feats"], host["sp_pos"]
-    K_wsi, sim = host["K"], host["sim"]
+    K_wsi, sim = host.get("K"), host["sim"]
     group_labels = host["group_labels"].astype(np.int64)
     edge_index, edge_weights = _assemble_edges(
         host["knn_idx"], host["hyperedge_labels"], host["normed"], num_hyperedges
@@ -582,14 +606,19 @@ def process_dataset(
         tma_features = load_tma_data(h5_path)
         if tma_features is None:
             return (idx, row, h5_path, None, None)
+        triu = (
+            _triu_flat_indices(wsi_features.shape[0])
+            if save_similarity else np.zeros((0,), np.int32)
+        )
         out = _fused_build(
             jax.random.key(seed),
             jnp.asarray(wsi_features),
             jnp.asarray(wsi_positions),
             jnp.asarray(tma_features),
-            jnp.asarray(_triu_flat_indices(wsi_features.shape[0])),
+            jnp.asarray(triu),
             lambda_h, lambda_g,
             num_wsi_super_patches, num_groups, hypergraph_k, num_hyperedges,
+            with_cache=save_similarity,
         )
         # start the device->host copies now so they overlap the host-side
         # edge assembly + h5 writes of earlier files

@@ -222,3 +222,25 @@ def test_extra_models_forward():
     X = m2(case, jnp.asarray(0), key=jax.random.key(1), train=False)
     # 2 modality tokens + 2 layers x 3 views
     assert X.shape == (2 + 6, D)
+
+
+def test_no_cache_large_n_path(tmp_path):
+    """save_similarity=False must never materialize [N,N]; stats come from a
+    subsample and no similarity datasets land in the h5."""
+    import h5py
+
+    from multimodal_fusion_tpu.hypergraph.build import process_single_file
+    from multimodal_fusion_tpu.io.h5io import read_hypergraph_group
+
+    rng = np.random.default_rng(4)
+    p = tmp_path / "big.h5"
+    with h5py.File(p, "w") as f:
+        f["wsi/features"] = rng.standard_normal((300, 16)).astype(np.float32)
+        f["wsi/positions"] = rng.integers(0, 1000, (300, 2)).astype(np.float32)
+        f["tma/features"] = rng.standard_normal((8, 16)).astype(np.float32)
+    stats = process_single_file(p, 6, 2, 2, 3, save_similarity=False)
+    out = read_hypergraph_group(p)
+    assert "similarity/wsi_internal" not in out
+    assert out["wsi_super/features"].shape == (6, 16)
+    assert np.isfinite(stats["wsi_aggregation"]["avg_intra_cluster_similarity"])
+    assert stats["hypergraph"]["num_edges"] > 0

@@ -68,6 +68,7 @@ class MultiModalAlignmentTrainer:
         val_max_batches: Optional[int] = None,
         early_stopping_patience: int = 10,
         early_stopping_min_delta: float = 1e-4,
+        verbose_timing: bool = False,
     ):
         if loss_type not in ("rank1", "volume"):
             raise ValueError(f"unsupported loss type {loss_type}")
@@ -103,6 +104,18 @@ class MultiModalAlignmentTrainer:
         )
         self.opt_state = self.tx.init(self.state)
         self._build_steps()
+
+        # Per-stage wall-clock profiling (reference trainer.py:88-102).  The
+        # reference times forward/loss1/loss2/loss3/backward separately; here
+        # the whole update is ONE fused XLA program, so stages are
+        # data_loading / train_step / validation — use utils.profiling.
+        # device_trace (jax.profiler) for intra-step timelines.
+        self.verbose_timing = verbose_timing
+        self.timer = None
+        if verbose_timing:
+            from multimodal_fusion_tpu.utils.profiling import StageTimer
+
+            self.timer = StageTimer()
 
         self.best_val_loss = float("inf")
         self.early_stop_counter = 0
@@ -196,15 +209,22 @@ class MultiModalAlignmentTrainer:
                 epoch += 1
             batch_positions = order[pos_in_epoch : pos_in_epoch + batch_size]
             pos_in_epoch += batch_size
+            t_data = time.perf_counter()
             pos, neg = train_view.collate(batch_positions, step_i)
             has_neg = neg is not None and self.lambda2 != 0
             pos = {k: jnp.asarray(v) for k, v in pos.items()}
             neg_j = {k: jnp.asarray(v) for k, v in neg.items()} if has_neg else pos
+            if self.timer:
+                self.timer.record("data_loading", time.perf_counter() - t_data)
             key, sub = jax.random.split(key)
             lr = self._lr_for_epoch(epoch)
+            t_step = time.perf_counter()
             state, opt_state, loss, svd_vals = self._step(
                 state, opt_state, pos, neg_j, sub, lr, True, has_neg
             )
+            if self.timer:
+                jax.block_until_ready(loss)
+                self.timer.record("train_step", time.perf_counter() - t_step)
             self.history["train_loss"].append(float(loss))
             self.history["svd_values"].append(np.asarray(svd_vals).tolist())
             self.history["steps"].append(step_i)
@@ -213,7 +233,10 @@ class MultiModalAlignmentTrainer:
                 save_state(f"{save_path}.step_{step_i + 1}", state)
 
             if (step_i + 1) % val_interval == 0 or step_i + 1 == max_steps:
+                t_val = time.perf_counter()
                 val_loss = self.validate(val_view, state, batch_size)
+                if self.timer:
+                    self.timer.record("validation", time.perf_counter() - t_val)
                 self.history["val_loss"].append({"step": step_i, "loss": val_loss})
                 if verbose:
                     print(f"step {step_i+1}: train={float(loss):.4f} val={val_loss:.4f}")
@@ -227,6 +250,8 @@ class MultiModalAlignmentTrainer:
                     if self.patience > 0 and self.early_stop_counter >= self.patience:
                         break
 
+        if self.timer:
+            self.timer.print_report()
         # push final state back into the live model
         nnx.update(self.model, state)
         self.state = state

@@ -245,3 +245,21 @@ def test_cox_end_to_end(tmp_path):
     res = trainer._evaluate(ds, splits[0].test_idx, trainer._make_eval_step(model, graphdef), params, rest, key)
     assert "c_index" in res
     assert np.isnan(res["c_index"]) or 0.0 <= res["c_index"] <= 1.0
+
+
+def test_alignment_verbose_timing(tmp_path, capsys):
+    from multimodal_fusion_tpu.data.alignment import TMANpzAlignedWithNegDataset
+    from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
+    from multimodal_fusion_tpu.train.alignment import MultiModalAlignmentTrainer
+
+    markers = ("cd3", "cd8")
+    make_alignment_npz_fixtures(
+        tmp_path, n_cores=6, patches_per_core=1, feature_dim=8, markers=markers
+    )
+    ds = TMANpzAlignedWithNegDataset(tmp_path, list(markers), filename_template="{marker}.npz")
+    model = MultiModalAlignmentModel(list(markers), feature_dim=8, num_layers=1, rngs=nnx.Rngs(0))
+    trainer = MultiModalAlignmentTrainer(model, lambda2=0.0, verbose_timing=True)
+    trainer.train(ds, ds, max_steps=2, batch_size=3, val_interval=2)
+    report = capsys.readouterr().out
+    assert "train_step" in report and "data_loading" in report
+    assert trainer.timer.summary()["train_step"]["count"] == 2

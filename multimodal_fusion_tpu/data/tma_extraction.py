@@ -65,7 +65,7 @@ def make_feature_extractor(model: ViT, batch_size: int = 32) -> Callable:
 
     graphdef, state = nnx.split(model)
     # model input resolution from its positional embedding
-    n_grid = int(round((model.pos_embed.value.shape[0] - 1) ** 0.5))
+    n_grid = int(round((model.pos_embed[...].shape[0] - 1) ** 0.5))
     input_size = n_grid * model.patch_size
 
     @jax.jit

@@ -35,6 +35,6 @@ class AUCCLAM(CLAM):
         margins = window_results["logits"][:, 0, 1] - window_results["logits"][:, 0, 0]
         labels = window_results["label"]
         return aucm_loss(
-            margins, labels, self.auc_a.value, self.auc_b.value,
-            self.auc_alpha.value, self.auc_margin,
+            margins, labels, self.auc_a[...], self.auc_b[...],
+            self.auc_alpha[...], self.auc_margin,
         )

@@ -124,10 +124,10 @@ class UniversalConnections(ClamMLP):
         g = jnp.mean(X, axis=0, keepdims=True)  # global awareness [1, D]
         for d in range(self.inference_depth):
             Q = self.q_gen[d](g).reshape(self.views_num, self.token_dim)
-            W_score = jnp.dot(self.Wq[d].value, self.Wk[d].value.T)
+            W_score = jnp.dot(self.Wq[d][...], self.Wk[d][...].T)
             S = jnp.dot(jnp.dot(Q, W_score), X.T)  # [M, N]
             A = jax.nn.softmax(S, axis=1)
-            V = jnp.dot(X, self.Wv[d].value)
+            V = jnp.dot(X, self.Wv[d][...])
             Z = jnp.dot(A, V)
             Z = self.post_fc2[d](jax.nn.gelu(self.post_fc1[d](Z), approximate=False)) + Z
             X = jnp.concatenate([X, Z], axis=0)

@@ -32,7 +32,7 @@ class Bilinear(nnx.Module):
 
     def __call__(self, x1: jax.Array, x2: jax.Array) -> jax.Array:
         # x1, x2: [..., in]; out: [..., out]
-        return jnp.einsum("...i,oij,...j->...o", x1, self.weight.value, x2) + self.bias.value
+        return jnp.einsum("...i,oij,...j->...o", x1, self.weight[...], x2) + self.bias[...]
 
 
 class FBP(ClamMLP):

@@ -61,7 +61,7 @@ class MaskedBatchNorm(nnx.Module):
             mean = jnp.sum(x * w, axis=0) / n
             var = jnp.sum(((x - mean) ** 2) * w, axis=0) / n
         out = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return out * self.scale.value + self.bias.value
+        return out * self.scale[...] + self.bias[...]
 
 
 class HypergraphConv(nnx.Module):
@@ -87,7 +87,7 @@ class HypergraphConv(nnx.Module):
         edge_feat = edge_feat / jnp.maximum(B, 1e-12)[:, None]
         out = jnp.dot(incidence * w[None, :], edge_feat, preferred_element_type=jnp.float32)
         out = out / jnp.maximum(D, 1e-12)[:, None]
-        return out + self.bias.value
+        return out + self.bias[...]
 
 
 class GlobalAttentionPool(nnx.Module):

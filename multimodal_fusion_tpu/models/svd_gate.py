@@ -283,7 +283,7 @@ class ClipGateRandomClam(SVDGateRandomClam):
             return jnp.asarray(0.0)
         stack = window_results["aligned_features_stack"]  # [G, M, D]
         feats = jnp.transpose(stack, (0, 2, 1))  # [G, D, M]
-        tau = jnp.exp(-self.clip_logit_scale.value)
+        tau = jnp.exp(-self.clip_logit_scale[...])
         feats = feats / (jnp.linalg.norm(feats, axis=1, keepdims=True) + 1e-12)
         B, _, M = feats.shape
         anchor = feats[:, :, self.clip_anchor_idx]

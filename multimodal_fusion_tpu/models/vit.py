@@ -56,11 +56,11 @@ class ViTBlock(nnx.Module):
         out = jnp.einsum("hqk,khd->qhd", attn, v).reshape(x.shape[0], -1)
         out = self.proj(out)
         if self.ls1 is not None:
-            out = out * self.ls1.value
+            out = out * self.ls1[...]
         x = x + out
         h = self.fc2(jax.nn.gelu(self.fc1(self.norm2(x)), approximate=False))
         if self.ls2 is not None:
-            h = h * self.ls2.value
+            h = h * self.ls2[...]
         return x + h
 
 
@@ -104,8 +104,8 @@ class ViT(nnx.Module):
     def __call__(self, img: jax.Array) -> jax.Array:
         """One image [H, W, C] -> CLS feature [embed_dim]."""
         tokens = self.patch_proj(self.patchify(img))
-        tokens = jnp.concatenate([self.cls_token.value, tokens], axis=0)
-        tokens = tokens + self.pos_embed.value
+        tokens = jnp.concatenate([self.cls_token[...], tokens], axis=0)
+        tokens = tokens + self.pos_embed[...]
         for blk in self.blocks:
             tokens = blk(tokens)
         return self.norm(tokens)[0]
@@ -136,7 +136,7 @@ def load_timm_vit_weights(model: ViT, state: Dict[str, np.ndarray]) -> int:
 
     def setp(param, value):
         nonlocal n
-        param.value = jnp.asarray(value)
+        param[...] = jnp.asarray(value)
         n += 1
 
     if "patch_embed.proj.weight" in state:

@@ -164,11 +164,11 @@ def test_alignment_training(tmp_path):
     # frozen predictor: only alignment layers move
     m2 = MultiModalAlignmentModel(list(markers), feature_dim=16, num_layers=2, rngs=nnx.Rngs(0))
     init_state = nnx.state(m2)
-    pred_before = np.asarray(init_state["mlp_predictor"]["fc1"]["kernel"].value)
-    pred_after = np.asarray(nnx.state(model)["mlp_predictor"]["fc1"]["kernel"].value)
+    pred_before = np.asarray(init_state["mlp_predictor"]["fc1"]["kernel"][...])
+    pred_after = np.asarray(nnx.state(model)["mlp_predictor"]["fc1"]["kernel"][...])
     np.testing.assert_array_equal(pred_before, pred_after)
-    align_before = np.asarray(init_state["alignment_layers"]["cd3"][0]["kernel"].value)
-    align_after = np.asarray(nnx.state(model)["alignment_layers"]["cd3"][0]["kernel"].value)
+    align_before = np.asarray(init_state["alignment_layers"]["cd3"][0]["kernel"][...])
+    align_after = np.asarray(nnx.state(model)["alignment_layers"]["cd3"][0]["kernel"][...])
     assert np.abs(align_before - align_after).max() > 0
 
     # dataset-side aligned-feature application

@@ -74,8 +74,8 @@ def _t2j(x):
 
 
 def _set_linear(nnx_linear, torch_linear):
-    nnx_linear.kernel.value = _t2j(torch_linear.weight).T
-    nnx_linear.bias.value = _t2j(torch_linear.bias)
+    nnx_linear.kernel[...] = _t2j(torch_linear.weight).T
+    nnx_linear.bias[...] = _t2j(torch_linear.bias)
 
 
 @pytest.fixture(scope="module")

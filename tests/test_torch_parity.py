@@ -355,3 +355,65 @@ def test_clam_standalone_parity():
     )
     my_loss = mine.loss_fn(out["logits"], jnp.asarray([0]), out)
     np.testing.assert_allclose(float(my_loss), float(ref_loss), rtol=1e-4, atol=1e-5)
+
+
+def test_gate_shared_mil_parity():
+    """GateSharedMIL weight-transplant parity: degenerate sample-softmax
+    (sum pooling), shared modules, loss semantics."""
+    from models.gate_shared_mil import GateSharedMIL as RefGate
+
+    config = {
+        "n_classes": 2, "input_dim": D_IN, "model_size": "64*32",
+        "dropout": 0.0, "device": "cpu",
+        "channels_used_in_model": ["wsi=features", "tma=cd3=features"],
+        "confidence_weight": 1.0, "feature_weight_weight": 1.0,
+    }
+    torch.manual_seed(3)
+    ref = RefGate(config)
+    ref.eval()
+
+    cfg = ModelConfig.from_dict({**config, "model_type": "gate_shared_mil"})
+    mine = ModelFactory.create_model(cfg, seed=0)
+    mk = "__shared__"
+    _set_linear(mine.feature_weightors[mk].fc, ref.ChannelFeatureWeightor[0])
+    _set_linear(mine.tcp_classifiers[mk].fc1, ref.TCPClassifier[0])
+    _set_linear(mine.tcp_classifiers[mk].fc2, ref.TCPClassifier[3])
+    _set_linear(mine.tcp_classifiers[mk].fc3, ref.TCPClassifier[6])
+    _set_linear(mine.tcp_confidences[mk].fc1, ref.TCPConfidenceLayer[0])
+    _set_linear(mine.tcp_confidences[mk].fc2, ref.TCPConfidenceLayer[1])
+    _set_linear(mine.tcp_confidences[mk].fc3, ref.TCPConfidenceLayer[2])
+    _set_linear(mine.fusion_classifier.fc1, ref.classifiers[0])
+    _set_linear(mine.fusion_classifier.fc2, ref.classifiers[3])
+    _set_linear(mine.fusion_classifier.fc3, ref.classifiers[6])
+    _set_linear(mine.fusion_classifier.fc4, ref.classifiers[9])
+
+    rng = np.random.default_rng(8)
+    wsi = rng.standard_normal((1, 7, D_IN)).astype(np.float32)
+    tma = rng.standard_normal((1, 4, D_IN)).astype(np.float32)
+    label = torch.tensor([1])
+    with torch.no_grad():
+        ref_out = ref(
+            {"wsi=features": torch.tensor(wsi), "tma=cd3=features": torch.tensor(tma)},
+            label,
+        )
+        ref_loss = ref.loss_fn(ref_out["logits"], label, dict(ref_out))
+    case = {
+        "channels": {
+            "wsi=features": jnp.asarray(wsi[0]),
+            "tma=cd3=features": jnp.asarray(tma[0]),
+        },
+        "masks": {
+            "wsi=features": jnp.ones(7, bool),
+            "tma=cd3=features": jnp.ones(4, bool),
+        },
+    }
+    out = mine(case, jnp.asarray(1), train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), ref_out["logits"].numpy(), rtol=1e-4, atol=1e-4
+    )
+    for k in ("feature_weight_loss", "confidence_logits_loss", "confidence_loss"):
+        np.testing.assert_allclose(
+            float(out[k]), float(ref_out[k]), rtol=1e-4, atol=1e-5
+        )
+    my_loss = mine.loss_fn(out["logits"], jnp.asarray([1]), out)
+    np.testing.assert_allclose(float(my_loss), float(ref_loss), rtol=1e-4, atol=1e-5)

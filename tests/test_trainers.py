@@ -263,3 +263,25 @@ def test_alignment_verbose_timing(tmp_path, capsys):
     report = capsys.readouterr().out
     assert "train_step" in report and "data_loading" in report
     assert trainer.timer.summary()["train_step"]["count"] == 2
+
+
+def test_trainer_determinism(surv_dataset, tmp_path):
+    """Same seed -> identical training history and final metrics."""
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    def run(dir_):
+        cfgs = _configs(tmp_path)
+        trainer = SurvivalTrainer(cfgs, dir_)
+        splits = create_k_fold_splits(surv_dataset.labels, 3, seed=0)
+        return trainer.train_fold(surv_dataset, splits[0], 0)
+
+    s1 = run(tmp_path / "r1")
+    s2 = run(tmp_path / "r2")
+    assert s1["history"][0]["train_loss"] == s2["history"][0]["train_loss"]
+    assert s1["test_auc"] == s2["test_auc"] or (
+        np.isnan(s1["test_auc"]) and np.isnan(s2["test_auc"])
+    )
+    np.testing.assert_array_equal(
+        [h["val_loss"] for h in s1["history"]],
+        [h["val_loss"] for h in s2["history"]],
+    )

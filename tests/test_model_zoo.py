@@ -113,10 +113,21 @@ def test_eval_deterministic(model_type):
     np.testing.assert_array_equal(np.asarray(r1["logits"]), np.asarray(r2["logits"]))
 
 
-@pytest.mark.parametrize("model_type", ["svd_gate_random_clam", "cust_omics"])
+@pytest.mark.parametrize(
+    "model_type", sorted(set(MODEL_REGISTRY) - CONTRACT_EXEMPT)
+)
 def test_padding_invariance(model_type):
-    """Padding the wsi bag must not change eval outputs."""
-    cfg = make_config(model_type)
+    """Padding the wsi bag must not change eval outputs — for EVERY model."""
+    cfg = (
+        make_gate_config(model_type)
+        if model_type in UNIFORM_DIM_FAMILY
+        else make_config(model_type)
+    )
+    if model_type == "mfmf":
+        cfg.fusion_blocks_sequence = [
+            {"q": "other", "kv": "tma"},
+            {"q": "result", "kv": "wsi"},
+        ]
     model = ModelFactory.create_model(cfg, seed=0)
     case_small = make_case(n_wsi=20, n_valid_wsi=20, seed=3)
     case_padded = make_case(n_wsi=40, n_valid_wsi=20, seed=99)

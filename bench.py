@@ -74,8 +74,8 @@ def run_ours(root: Path, paths):
     # warmup/compile on the first file
     process_single_file(paths[0], NUM_SUPER, NUM_GROUPS, K, NUM_HYPEREDGES)
     best = 0.0
-    # best-of-2: the TPU link here has ~2x run-to-run variance
-    for _trial in range(2):
+    # best-of-3: the TPU link here has ~2x run-to-run variance
+    for _trial in range(3):
         t0 = time.time()
         stats, summary = process_dataset(
             root / "dataset.csv", root, NUM_SUPER, NUM_GROUPS, K, NUM_HYPEREDGES,
@@ -252,7 +252,7 @@ def main():
         ours_paths = make_fixtures(root / "ours", N_FILES)
         ours_pps = run_ours(root / "ours", ours_paths)
 
-        n_ref = int(os.environ.get("BENCH_REF_FILES", "1"))
+        n_ref = int(os.environ.get("BENCH_REF_FILES", "2"))
         ref_paths = make_fixtures(root / "ref", n_ref)
         ref_pps = run_reference(ref_paths)
 

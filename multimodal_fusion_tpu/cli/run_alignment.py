@@ -8,8 +8,6 @@ negatives dataset, an 8:1:1 shuffled split by full tuple key, trains, dumps
 from __future__ import annotations
 
 import argparse
-from pathlib import Path
-
 import numpy as np
 from flax import nnx
 

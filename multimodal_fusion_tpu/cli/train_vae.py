@@ -3,8 +3,6 @@
 from __future__ import annotations
 
 import argparse
-from pathlib import Path
-
 from flax import nnx
 
 from multimodal_fusion_tpu.data.vae_patches import WSIVAEDataset

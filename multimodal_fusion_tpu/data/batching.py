@@ -9,7 +9,7 @@ runs as ONE vmapped jit step (replacing the reference's per-case Python loop,
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import numpy as np

@@ -11,10 +11,9 @@ The reference's inline ``main()`` demo references an undefined symbol
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Sequence
 
 import jax
-import jax.numpy as jnp
 from flax import nnx
 
 from multimodal_fusion_tpu.models.common import dropout, torch_linear

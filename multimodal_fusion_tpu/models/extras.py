@@ -14,7 +14,7 @@ and made first-class here.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+
 
 import jax
 import jax.numpy as jnp

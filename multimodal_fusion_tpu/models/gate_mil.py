@@ -15,7 +15,7 @@ reference gate_mil.py:79-81); GateSharedMIL uses ``h*conf`` once.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

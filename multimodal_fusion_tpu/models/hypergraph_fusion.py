@@ -25,7 +25,7 @@ fully-connected incidence (every node is a hyperedge over all nodes).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

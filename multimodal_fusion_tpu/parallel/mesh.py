@@ -8,7 +8,7 @@ NCCL-replacement comm backend (SURVEY.md §2.6).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

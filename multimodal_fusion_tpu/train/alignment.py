@@ -18,7 +18,7 @@ import math
 import time
 from functools import partial
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ from multimodal_fusion_tpu.ops.losses import (
     rank1_svd_loss_from_dict,
     volume_loss,
 )
-from multimodal_fusion_tpu.train.checkpoint import load_state, save_state
+from multimodal_fusion_tpu.train.checkpoint import save_state
 
 
 def make_alignment_apply_fn(model: MultiModalAlignmentModel):

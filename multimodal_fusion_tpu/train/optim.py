@@ -12,7 +12,7 @@ Torch-semantics parity (reference ``downstream_survival/trainer.py:158-219``):
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 import optax
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json
 import time
-from functools import partial
 from pathlib import Path
 from typing import Dict, List, Optional
 

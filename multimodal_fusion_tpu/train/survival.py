@@ -208,6 +208,31 @@ class SurvivalTrainer:
                 )
             yield chunk, window
 
+    def _windows_prefetched(self, dataset, indices: Sequence[int], G: int, depth: int = 2):
+        """Producer-consumer wrapper over ``_windows``: the next windows'
+        h5 reads + padding run on a background thread while the device
+        trains on the current one (order and results identical)."""
+        from concurrent.futures import ThreadPoolExecutor
+        from queue import Queue
+
+        q: Queue = Queue(maxsize=depth)
+        _SENTINEL = object()
+
+        def producer():
+            try:
+                for item in self._windows(dataset, indices, G):
+                    q.put(item)
+            finally:
+                q.put(_SENTINEL)
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pool.submit(producer)
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                yield item
+
     def _evaluate(self, dataset, indices, eval_step, params, rest, key) -> Dict[str, Any]:
         all_probs, all_preds, all_labels, all_loss, all_risk, patient_ids = [], [], [], [], [], []
         G = min(self.exp.batch_size, 16)
@@ -292,7 +317,7 @@ class SurvivalTrainer:
                 order = shuffle_rng.permutation(split.train_idx)
             lr = schedule.lr_for_epoch(epoch)
             epoch_losses = []
-            for _, window in self._windows(dataset, order, exp.batch_size):
+            for _, window in self._windows_prefetched(dataset, order, exp.batch_size):
                 n = window["label"].shape[0]
                 key, sub = jax.random.split(key)
                 keys = jax.random.split(sub, n)

@@ -90,3 +90,20 @@ def test_knn_edges_shape():
     e = np.asarray(knn_edges(idx))
     assert e.shape == (6, 2)
     assert (e[:, 0] == [0, 0, 1, 1, 2, 2]).all()
+
+
+def test_knn_blockwise_matches_bruteforce():
+    from multimodal_fusion_tpu.ops.knn import knn_indices_blockwise
+
+    x = np.random.default_rng(5).standard_normal((200, 16)).astype(np.float32)
+    d_ref, i_ref = knn_indices(jnp.asarray(x), 6)
+    d_blk, i_blk = knn_indices_blockwise(jnp.asarray(x), 6, block=64)
+    np.testing.assert_allclose(np.asarray(d_blk), np.asarray(d_ref), rtol=1e-3, atol=1e-3)
+    match = (np.sort(np.asarray(i_blk), 1) == np.sort(np.asarray(i_ref), 1)).mean()
+    assert match >= 0.99
+    # exclude-self variant: no self matches
+    _, i_ns = knn_indices_blockwise(jnp.asarray(x), 4, block=64, include_self=False)
+    assert not (np.asarray(i_ns) == np.arange(200)[:, None]).any()
+    # non-divisible block size
+    d2, i2 = knn_indices_blockwise(jnp.asarray(x), 6, block=77)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d_ref), rtol=1e-3, atol=1e-3)

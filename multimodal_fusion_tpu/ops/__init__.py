@@ -11,7 +11,7 @@ from multimodal_fusion_tpu.ops.masked import (  # noqa: F401
     masked_topk,
 )
 from multimodal_fusion_tpu.ops.kmeans import kmeans, kmeans_plus_plus_init  # noqa: F401
-from multimodal_fusion_tpu.ops.knn import knn_indices  # noqa: F401
+from multimodal_fusion_tpu.ops.knn import knn_indices, knn_indices_blockwise  # noqa: F401
 from multimodal_fusion_tpu.ops.losses import (  # noqa: F401
     cross_entropy,
     binary_cross_entropy,

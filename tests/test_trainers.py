@@ -285,3 +285,41 @@ def test_trainer_determinism(surv_dataset, tmp_path):
         [h["val_loss"] for h in s1["history"]],
         [h["val_loss"] for h in s2["history"]],
     )
+
+
+def test_weighted_sampler_balances_classes():
+    from multimodal_fusion_tpu.data.splits import WeightedRandomSampler
+
+    labels = np.array([0] * 90 + [1] * 10)
+    s = WeightedRandomSampler(labels, seed=0)
+    draws = np.concatenate([labels[s.sample_epoch()] for _ in range(30)])
+    frac_pos = (draws == 1).mean()
+    assert 0.4 < frac_pos < 0.6  # inverse-frequency => ~balanced
+    # deterministic given seed
+    s2 = WeightedRandomSampler(labels, seed=0)
+    np.testing.assert_array_equal(s.rng.bit_generator.state["state"]["state"],
+                                  s2.rng.bit_generator.state["state"]["state"])
+
+
+def test_cli_scheduler_params_roundtrip(tmp_path):
+    """--lr_scheduler + JSON params flow into the saved config and LRSchedule."""
+    from multimodal_fusion_tpu.cli.main_survival import args_to_configs, build_parser
+    from multimodal_fusion_tpu.train.optim import LRSchedule
+
+    args = build_parser().parse_args([
+        "--lr_scheduler", "step",
+        "--lr_scheduler_params", '{"step_size": 3, "gamma": 0.1}',
+        "--lr", "0.01",
+    ])
+    cfgs = args_to_configs(args, {})
+    assert cfgs.experiment_config.scheduler == "step"
+    sched = LRSchedule(0.01, {"type": "step", **cfgs.experiment_config.scheduler_params})
+    assert sched.lr_for_epoch(0) == 0.01
+    assert abs(sched.lr_for_epoch(3) - 0.001) < 1e-9
+    # JSON round-trip preserves params
+    p = tmp_path / "configs_x.json"
+    cfgs.save(p)
+    from multimodal_fusion_tpu.config import Configs
+
+    loaded = Configs.load(p)
+    assert loaded.experiment_config.scheduler_params == {"step_size": 3, "gamma": 0.1}

@@ -266,3 +266,45 @@ def test_survival_cli_with_alignment_checkpoint(cli_dataset, tmp_path):
         "--k", "2", "--max_epochs", "1", "--batch_size", "4", "--seed", "0",
     ])
     assert (log_dir / "summary.csv").exists()
+
+
+def test_tsne_plot_and_ablation_analysis(cli_dataset, tmp_path):
+    import jax.numpy as jnp
+
+    from multimodal_fusion_tpu.config import ModelConfig
+    from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
+    from multimodal_fusion_tpu.models.factory import ModelFactory
+    from multimodal_fusion_tpu.utils.visualization import (
+        analyze_ablation,
+        dump_alignment_features,
+        plot_modality_tsne,
+    )
+
+    root, csv_path = cli_dataset
+    ds = MultimodalDataset(
+        csv_path, root,
+        channels=["wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask"],
+    )
+    cfg = ModelConfig(
+        model_type="svd_gate_random_clam", n_classes=2, input_dim=32,
+        model_size="32*16", dropout=0.1, output_dim=32,
+        channels_used_in_model=["wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask"],
+        channel_input_dims={"clinical=val": 16},
+    )
+    model = ModelFactory.create_model(cfg, seed=0)
+    dump = dump_alignment_features(model, ds, list(range(8)), tmp_path / "d.npz")
+    out = plot_modality_tsne(dump, tmp_path / "tsne")
+    if out is not None:
+        assert out.exists()
+
+    # ablation history aggregation
+    import json as _json
+
+    for i, loss in enumerate([0.5, 0.2, 0.9]):
+        (tmp_path / f"h{i}.history.json").write_text(_json.dumps({
+            "history": {"val_loss": [{"step": 0, "loss": loss + 0.1}, {"step": 1, "loss": loss}]},
+            "config": {"tau1": 0.1 * (i + 1)},
+        }))
+    rows = analyze_ablation(sorted(tmp_path.glob("h*.history.json")))
+    assert rows[0]["best_val_loss"] == 0.2
+    assert rows[0]["config"]["tau1"] == 0.2

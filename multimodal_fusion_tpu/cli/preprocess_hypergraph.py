@@ -7,6 +7,7 @@ import argparse
 import json
 
 from multimodal_fusion_tpu.hypergraph.build import (
+    batch_cache_similarity,
     batch_rebuild_hypergraph,
     process_dataset,
 )
@@ -25,6 +26,8 @@ def build_parser():
     p.add_argument("--output_stats_path", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no_save_similarity", action="store_true", default=False)
+    # on-demand similarity caching for files built with --no_save_similarity
+    p.add_argument("--cache_similarity", action="store_true", default=False)
     # fast-rebuild mode from cached similarity matrices
     p.add_argument("--rebuild", action="store_true", default=False)
     p.add_argument("--threshold_median_ratio", type=float, default=None)
@@ -33,6 +36,13 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.cache_similarity:
+        out = batch_cache_similarity(
+            args.csv_path, args.data_root_dir,
+            lambda_h=args.lambda_h, lambda_g=args.lambda_g,
+        )
+        print(f"cached similarity for {len(out)} files")
+        return out
     if args.rebuild:
         out = batch_rebuild_hypergraph(
             args.csv_path,

@@ -100,6 +100,29 @@ def save_fold_split(split: FoldSplit, case_ids: Sequence[str], path: str | Path)
         w.writerows(rows)
 
 
+def load_fold_split(path: str | Path, case_ids: Sequence[str]) -> FoldSplit:
+    """Inverse of ``save_fold_split``: case-id CSV -> index-based FoldSplit.
+
+    Case ids absent from ``case_ids`` are dropped (the dataset may have
+    filtered cases since training).  Reference reloads its persisted splits
+    rather than re-deriving them (utils/robust_on_missing_modality.py:28-44).
+    """
+    import csv
+
+    idx = {cid: i for i, cid in enumerate(case_ids)}
+    cols: Dict[str, List[int]] = {"train": [], "val": [], "test": []}
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f):
+            for k in cols:
+                if row.get(k) and row[k] in idx:
+                    cols[k].append(idx[row[k]])
+    return FoldSplit(
+        np.asarray(cols["train"], np.int64),
+        np.asarray(cols["val"], np.int64),
+        np.asarray(cols["test"], np.int64),
+    )
+
+
 class WeightedRandomSampler:
     """Inverse-class-frequency sampling with replacement, seeded."""
 

@@ -38,7 +38,11 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from multimodal_fusion_tpu.io.h5io import _lock_for, write_hypergraph_group
+from multimodal_fusion_tpu.io.h5io import (
+    _lock_for,
+    open_h5_retrying,
+    write_hypergraph_group,
+)
 from multimodal_fusion_tpu.ops.kmeans import kmeans
 from multimodal_fusion_tpu.ops.knn import knn_indices
 from multimodal_fusion_tpu.ops.pallas_similarity import combined_similarity_auto
@@ -50,15 +54,14 @@ from multimodal_fusion_tpu.ops.similarity import combined_similarity, cross_simi
 # ---------------------------------------------------------------------------
 
 def load_wsi_data(h5_path: str | Path) -> Tuple[np.ndarray, np.ndarray]:
-    with _lock_for(str(h5_path)):
-        with h5py.File(h5_path, "r") as f:
-            if "wsi/features" not in f:
-                raise ValueError(f"WSI features not found in {h5_path}")
-            feats = np.asarray(f["wsi/features"], np.float32)
-            if "wsi/positions" in f:
-                pos = np.asarray(f["wsi/positions"], np.float32)
-            else:
-                pos = np.zeros((feats.shape[0], 2), np.float32)
+    with open_h5_retrying(h5_path, "r") as f:
+        if "wsi/features" not in f:
+            raise ValueError(f"WSI features not found in {h5_path}")
+        feats = np.asarray(f["wsi/features"], np.float32)
+        if "wsi/positions" in f:
+            pos = np.asarray(f["wsi/positions"], np.float32)
+        else:
+            pos = np.zeros((feats.shape[0], 2), np.float32)
     return feats, pos
 
 
@@ -66,29 +69,27 @@ def load_tma_data(h5_path: str | Path) -> Optional[np.ndarray]:
     """Flat ``tma/features`` if present; otherwise concat of the per-marker
     ``tma/<marker>/features`` datasets in sorted marker order (extension —
     the reference only reads the flat layout)."""
-    with _lock_for(str(h5_path)):
-        with h5py.File(h5_path, "r") as f:
-            if "tma" not in f:
-                return None
-            tma = f["tma"]
-            if "features" in tma and isinstance(tma["features"], h5py.Dataset):
-                return np.asarray(tma["features"], np.float32)
-            parts = []
-            for marker in sorted(tma.keys()):
-                grp = tma[marker]
-                if isinstance(grp, h5py.Group) and "features" in grp:
-                    parts.append(np.asarray(grp["features"], np.float32))
-            return np.concatenate(parts, axis=0) if parts else None
+    with open_h5_retrying(h5_path, "r") as f:
+        if "tma" not in f:
+            return None
+        tma = f["tma"]
+        if "features" in tma and isinstance(tma["features"], h5py.Dataset):
+            return np.asarray(tma["features"], np.float32)
+        parts = []
+        for marker in sorted(tma.keys()):
+            grp = tma[marker]
+            if isinstance(grp, h5py.Group) and "features" in grp:
+                parts.append(np.asarray(grp["features"], np.float32))
+        return np.concatenate(parts, axis=0) if parts else None
 
 
 def load_similarity_matrices(h5_path: str | Path):
-    with _lock_for(str(h5_path)):
-        with h5py.File(h5_path, "r") as f:
-            wsi = wsitma = None
-            if "hypergraph/similarity/wsi_internal" in f:
-                wsi = np.asarray(f["hypergraph/similarity/wsi_internal"], np.float32)
-            if "hypergraph/similarity/wsi_tma" in f:
-                wsitma = np.asarray(f["hypergraph/similarity/wsi_tma"], np.float32)
+    with open_h5_retrying(h5_path, "r") as f:
+        wsi = wsitma = None
+        if "hypergraph/similarity/wsi_internal" in f:
+            wsi = np.asarray(f["hypergraph/similarity/wsi_internal"], np.float32)
+        if "hypergraph/similarity/wsi_tma" in f:
+            wsitma = np.asarray(f["hypergraph/similarity/wsi_tma"], np.float32)
     return wsi, wsitma
 
 
@@ -152,7 +153,7 @@ def _unpack_triu(packed: np.ndarray, n: int) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "lambda_h", "lambda_g", "num_super", "num_groups", "k",
-        "num_hyperedges", "cache_bf16", "with_cache",
+        "num_hyperedges", "cache_bf16", "full_stats", "ship_cache",
     ),
 )
 def _fused_build(
@@ -168,21 +169,28 @@ def _fused_build(
     k: int,
     num_hyperedges: int,
     cache_bf16: bool = True,
-    with_cache: bool = True,
+    full_stats: bool = True,
+    ship_cache: bool = True,
 ):
     """The entire per-file numeric pipeline as ONE compiled program:
     similarity -> KMeans super-patches (+ intra-cluster stats) -> cross-modal
     similarity -> grouping -> KNN + hyperedge KMeans -> cosine-normalised
     features.  One device round-trip per file instead of per stage.
 
-    ``with_cache=False`` (the ``save_similarity=False`` path) never
-    materialises the [N, N] similarity matrix: the similarity/intra-cluster
-    statistics come from a deterministic <=2048-point subsample, which
-    unlocks 10^5-patch slides (the [N,N] object is the reference's scaling
-    wall — SURVEY §5)."""
+    ``full_stats`` computes the [N,N] similarity on DEVICE for exact
+    statistics (the reference's numbers); ``ship_cache`` additionally ships
+    the packed upper triangle to the host for persistence.  The split exists
+    because the device->host link, not compute, dominates at [4k,4k]+ — the
+    ``save_similarity=False`` path keeps exact stats while never paying the
+    transfer (similarity caches are reconstructible on demand; see
+    ``cache_similarity_matrices``).  ``full_stats=False`` never materialises
+    [N,N] at all: statistics come from a deterministic <=2048-point
+    subsample, unlocking 10^5-patch slides (the [N,N] object is the
+    reference's scaling wall — SURVEY §5)."""
+    assert full_stats or not ship_cache
     k1, k2, k3 = jax.random.split(key, 3)
     n = feats.shape[0]
-    if with_cache:
+    if full_stats:
         # Pallas fused kernel on TPU for large N (one exp, no intermediate
         # [N,N] distance matrices in HBM; ~1.3x over the XLA formulation
         # measured on v5e); XLA elsewhere.
@@ -204,11 +212,11 @@ def _fused_build(
 
     # intra-cluster mean off-diagonal similarity via two matmuls:
     # s_cc = 1_c^T K 1_c ; off-diag mean = (s_cc - sum(diag K within c)) / (n_c^2 - n_c)
-    stat_onehot = onehot if with_cache else onehot[stat_sel]
+    stat_onehot = onehot if full_stats else onehot[stat_sel]
     KH = jnp.dot(K, stat_onehot, preferred_element_type=jnp.float32)
     s_cc = jnp.einsum("ns,ns->s", stat_onehot, KH)
     diag_c = jnp.dot(stat_onehot.T, jnp.diagonal(K), preferred_element_type=jnp.float32)
-    stat_counts = counts if with_cache else jnp.sum(stat_onehot, axis=0)
+    stat_counts = counts if full_stats else jnp.sum(stat_onehot, axis=0)
     pair_counts = stat_counts * stat_counts - stat_counts
     intra_mean_per = jnp.where(
         pair_counts > 0, (s_cc - diag_c) / jnp.maximum(pair_counts, 1.0), jnp.nan
@@ -225,7 +233,7 @@ def _fused_build(
     normed = all_feats / (jnp.linalg.norm(all_feats, axis=1, keepdims=True) + 1e-12)
 
     out_cache = {}
-    if with_cache:
+    if ship_cache:
         # The [N,N] cache crosses the device->host link; it is symmetric, so
         # ship only the packed upper triangle, in bf16 (values are
         # similarities in [0,1]; cache precision documented in README).
@@ -487,6 +495,12 @@ def _assemble_edges(
     return und.T.astype(np.int64), np.maximum(w, 0.0).astype(np.float32)
 
 
+# Above this many patches, save_similarity=False also skips computing the
+# device-side [N,N] matrix (statistics fall back to a deterministic
+# subsample) — [N,N] f32 at N=1e5 is 40GB and exceeds HBM.
+FULL_STATS_MAX_N = 32768
+
+
 def process_single_file(
     h5_path,
     num_wsi_super_patches: int = 100,
@@ -504,6 +518,7 @@ def process_single_file(
         return {"status": "skipped", "reason": "no_tma"}
 
     n = wsi_features.shape[0]
+    full_stats = save_similarity or n <= FULL_STATS_MAX_N
     triu = _triu_flat_indices(n) if save_similarity else np.zeros((0,), np.int32)
     out = _fused_build(
         jax.random.key(seed),
@@ -517,13 +532,12 @@ def process_single_file(
         num_groups,
         hypergraph_k,
         num_hyperedges,
-        with_cache=save_similarity,
+        full_stats=full_stats,
+        ship_cache=save_similarity,
     )
     host = jax.device_get(out)  # one bulk transfer
     if save_similarity:
         host["K"] = _unpack_triu(host["K"], n)
-    if (host["counts"] == 0).any():
-        raise ValueError("empty cluster in super-patch aggregation")
     sp_feats, sp_pos = host["sp_feats"], host["sp_pos"]
     K_wsi, sim = host.get("K"), host["sim"]
     group_labels = host["group_labels"].astype(np.int64)
@@ -618,7 +632,8 @@ def process_dataset(
             jnp.asarray(triu),
             lambda_h, lambda_g,
             num_wsi_super_patches, num_groups, hypergraph_k, num_hyperedges,
-            with_cache=save_similarity,
+            full_stats=save_similarity or wsi_features.shape[0] <= FULL_STATS_MAX_N,
+            ship_cache=save_similarity,
         )
         # start the device->host copies now so they overlap the host-side
         # edge assembly + h5 writes of earlier files
@@ -632,8 +647,6 @@ def process_dataset(
         the GIL for the heavy parts)."""
         nonlocal total_patches
         try:
-            if (host["counts"] == 0).any():
-                raise ValueError("empty cluster in super-patch aggregation")
             K_full = _unpack_triu(host["K"], n_patches) if save_similarity else None
             edge_index, edge_weights = _assemble_edges(
                 host["knn_idx"], host["hyperedge_labels"], host["normed"], num_hyperedges
@@ -804,6 +817,69 @@ def rebuild_hypergraph_from_similarity(
         wsi_similarity_matrix=wsi_sim, wsi_tma_similarity_matrix=sim,
     )
     return all_stats
+
+
+def cache_similarity_matrices(
+    h5_path,
+    lambda_h: float = 1.0,
+    lambda_g: float = 1.0,
+    overwrite: bool = False,
+) -> Dict:
+    """Materialise the similarity caches for one file, on demand.
+
+    The build path defaults to compute-on-read: similarity matrices are pure
+    functions of the stored features, so persisting them is a space/time
+    trade the user opts into (``rebuild_hypergraph_from_similarity`` already
+    recomputes on device when the cache is absent).  This writes
+    ``hypergraph/similarity/{wsi_internal,wsi_tma}`` into an existing
+    hypergraph group without touching its other datasets (reference stores
+    them unconditionally at preprocess_hypergraph.py:436-511)."""
+    wsi_features, wsi_positions = load_wsi_data(h5_path)
+    tma_features = load_tma_data(h5_path)
+    K = np.asarray(
+        combined_similarity(
+            jnp.asarray(wsi_features), jnp.asarray(wsi_positions), lambda_h, lambda_g
+        ),
+        np.float32,
+    )
+    written = {"similarity/wsi_internal": K.shape}
+    with _lock_for(str(h5_path)):
+        with h5py.File(h5_path, "a") as f:
+            grp = f.require_group("hypergraph")
+            pairs = [("similarity/wsi_internal", K)]
+            if tma_features is not None and "wsi_super/features" in grp:
+                sp = np.asarray(grp["wsi_super/features"], np.float32)
+                sim = np.asarray(
+                    cross_similarity(jnp.asarray(sp), jnp.asarray(tma_features), lambda_h),
+                    np.float32,
+                )
+                pairs.append(("similarity/wsi_tma", sim))
+                written["similarity/wsi_tma"] = sim.shape
+            for key, arr in pairs:
+                if key in grp:
+                    if not overwrite:
+                        continue
+                    del grp[key]
+                grp.create_dataset(key, data=arr)
+    return written
+
+
+def batch_cache_similarity(csv_path, data_root_dir, **kwargs):
+    """Dataset-level on-demand similarity caching (CLI ``--cache_similarity``)."""
+    df = pd.read_csv(csv_path)
+    out = []
+    for idx, row in df.iterrows():
+        h5_path = os.path.join(str(data_root_dir), row["h5_file_path"])
+        if not os.path.exists(h5_path):
+            continue
+        try:
+            written = cache_similarity_matrices(h5_path, **kwargs)
+            out.append({"case_id": str(row.get("case_id", f"case_{idx}")), **{
+                k: list(v) for k, v in written.items()
+            }})
+        except Exception as e:
+            out.append({"case_id": str(row.get("case_id", idx)), "error": str(e)})
+    return out
 
 
 def batch_rebuild_hypergraph(csv_path, data_root_dir, **kwargs):

@@ -65,6 +65,43 @@ def _lock_for(path: str) -> threading.Lock:
         return _FILE_LOCKS[path]
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def open_h5_retrying(
+    h5_path: str | Path,
+    mode: str = "r",
+    retries: int = 4,
+    backoff: float = 0.05,
+):
+    """Locked ``h5py.File`` handle with exponential backoff + jitter on
+    transient ``OSError`` (NFS hiccups, concurrent writers).  This is the
+    single opener for every dataset/build hot path — the reference retries
+    on its dataset path specifically (multimodal_dataset.py:465-503).
+
+    The retry wraps only the *open*; a body raising ``OSError`` mid-read is
+    not re-entered (matching the reference, which retries whole-read units at
+    the call sites that need it — our call sites read everything eagerly
+    right after open, so open covers the window that actually fails)."""
+    path = str(h5_path)
+    last_err: Optional[Exception] = None
+    for attempt in range(retries):
+        with _lock_for(path):
+            try:
+                f = h5py.File(path, mode)
+            except OSError as e:  # pragma: no cover - transient-IO path
+                last_err = e
+            else:
+                try:
+                    yield f
+                finally:
+                    f.close()
+                return
+        time.sleep(backoff * (2**attempt) * (1 + random.random()))
+    raise OSError(f"failed to open {path} after {retries} attempts: {last_err}")
+
+
 def read_channel(
     h5_path: str | Path,
     channel: str,
@@ -72,20 +109,9 @@ def read_channel(
     backoff: float = 0.05,
 ) -> np.ndarray:
     """Read one channel (``group=dataset[=dataset]``) from a patient file."""
-    path = str(h5_path)
     dset = h5_path_for_channel(channel)
-    last_err: Optional[Exception] = None
-    for attempt in range(retries):
-        try:
-            with _lock_for(path):
-                with h5py.File(path, "r") as f:
-                    return np.asarray(f[dset])
-        except (OSError, KeyError) as e:  # pragma: no cover - retry path
-            if isinstance(e, KeyError):
-                raise
-            last_err = e
-            time.sleep(backoff * (2**attempt) * (1 + random.random()))
-    raise OSError(f"failed to read {dset} from {path}: {last_err}")
+    with open_h5_retrying(h5_path, "r", retries, backoff) as f:
+        return np.asarray(f[dset])
 
 
 def has_channel(h5_path: str | Path, channel: str) -> bool:

@@ -17,8 +17,12 @@ the hypergraph pipeline (reference: ``build_hypergraph/preprocess_hypergraph.py
   [N,D]x[D,K] matmul on the MXU.
 - Supports a validity mask for padded point sets; padded rows never attract
   centers and report assignment 0 with zero weight.
-- Empty clusters keep their previous center (sklearn relocates far points;
-  with the small K used here the difference is immaterial and documented).
+- Empty clusters are relocated sklearn-style: each empty cluster takes the
+  point with the largest contribution to inertia (distinct points for
+  distinct empty clusters), so results never contain empty clusters when
+  k <= n_valid — the invariant the reference's aggregation relies on
+  (preprocess_hypergraph.py:150-163 raises on empty clusters and never
+  fires because sklearn relocates).
 """
 
 from __future__ import annotations
@@ -94,6 +98,32 @@ def kmeans_plus_plus_init(
     return centers
 
 
+def _relocate_empty(
+    x: jax.Array,
+    centers: jax.Array,
+    labels: jax.Array,
+    d_min: jax.Array,
+    counts: jax.Array,
+    weights: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """sklearn-style empty-cluster relocation: the i-th empty cluster takes
+    the point with the i-th largest contribution to inertia (sklearn
+    ``_relocate_empty_clusters``).  Guarantees no empty clusters for
+    k <= n_valid points.  No-op (statically) when k > n."""
+    k, n = centers.shape[0], x.shape[0]
+    if k > n:
+        return centers, labels
+    contrib = jnp.where(weights > 0, d_min, -1.0)  # padded rows never picked
+    _, far_idx = jax.lax.top_k(contrib, k)  # [K] farthest points, descending
+    empty = counts == 0
+    rank = jnp.cumsum(empty.astype(jnp.int32)) - 1  # rank among empty clusters
+    target = far_idx[jnp.clip(rank, 0, k - 1)]  # donor point per empty cluster
+    centers = jnp.where(empty[:, None], x[target], centers)
+    upd = jnp.where(empty, target, n)  # out-of-bounds rows dropped by scatter
+    labels = labels.at[upd].set(jnp.arange(k), mode="drop")
+    return centers, labels
+
+
 def _lloyd(
     x: jax.Array,
     centers: jax.Array,
@@ -116,6 +146,9 @@ def _lloyd(
             new_centers = jnp.where(
                 counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centers
             )
+            new_centers, _ = _relocate_empty(
+                x, new_centers, labels, jnp.min(d, axis=-1), counts, weights
+            )
             shift = jnp.sum((new_centers - centers) ** 2)
             return new_centers, shift <= tol
 
@@ -127,7 +160,11 @@ def _lloyd(
     (centers, _), _ = jax.lax.scan(step, (centers, jnp.asarray(False)), None, length=n_iters)
     d = _sq_dists_to_centers(x, centers)
     labels = jnp.argmin(d, axis=-1)
-    inertia = jnp.sum(jnp.min(d, axis=-1) * weights)
+    d_min = jnp.min(d, axis=-1)
+    counts = jnp.zeros((k,), x.dtype).at[labels].add(weights)
+    centers, labels = _relocate_empty(x, centers, labels, d_min, counts, weights)
+    d = _sq_dists_to_centers(x, centers)
+    inertia = jnp.sum(jnp.take_along_axis(d, labels[:, None], axis=1)[:, 0] * weights)
     return centers, labels, inertia
 
 

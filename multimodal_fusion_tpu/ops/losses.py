@@ -235,6 +235,25 @@ def cox_ph_loss(
 # AUCM margin loss (libauc.losses.AUCMLoss semantics)
 # ---------------------------------------------------------------------------
 
+@jax.custom_vjp
+def _ascend(x: jax.Array) -> jax.Array:
+    """Identity whose cotangent is NEGATED: gradient descent on a loss that
+    consumes ``_ascend(x)`` performs gradient ASCENT on ``x``.  Used for the
+    AUCM dual variable alpha (see ``aucm_loss``)."""
+    return x
+
+
+def _ascend_fwd(x):
+    return x, None
+
+
+def _ascend_bwd(_, g):
+    return (-g,)
+
+
+_ascend.defvjp(_ascend_fwd, _ascend_bwd)
+
+
 def aucm_loss(
     y_pred: jax.Array,
     y_true: jax.Array,
@@ -248,7 +267,24 @@ def aucm_loss(
     ``y_pred`` are score margins [N]; ``y_true`` binary labels [N].  The
     positive ratio p is estimated from the batch, matching libauc's
     imratio-free mode.
+
+    Min-max semantics: the objective is min_{w,a,b} max_{alpha} L — the loss
+    is CONCAVE in alpha (the ``- p(1-p) alpha^2`` term), so alpha must be
+    ASCENDED while everything else descends (libauc pairs AUCMLoss with the
+    PESG optimizer for exactly this).  Here alpha passes through a
+    gradient-reversal identity, so a single ordinary optimizer over all
+    parameters implements the saddle dynamics; at stationarity alpha tracks
+    its saddle value  alpha* = margin + E[p*m*neg - (1-p)*m*pos] / (p(1-p)).
+    Deviations from libauc, documented: (1) no alpha >= 0 projection (PESG
+    clips the iterate; the unconstrained saddle is well-defined and the
+    clip only binds when alpha* < 0); (2) the torch reference couples
+    AUCMLoss with plain Adam over ``model.parameters()``
+    (downstream_survival/trainer.py:161), which never registers libauc's
+    internal a/b/alpha tensors (they are not nn.Parameters) — under the
+    reference those scalars silently stay at 0.  We implement the intended
+    min-max optimization rather than replicating that freeze.
     """
+    alpha = _ascend(alpha)
     y = y_true.astype(y_pred.dtype)
     pos = (y == 1).astype(y_pred.dtype)
     neg = 1.0 - pos

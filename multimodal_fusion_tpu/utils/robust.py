@@ -17,7 +17,7 @@ import numpy as np
 
 from multimodal_fusion_tpu.config import Configs
 from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
-from multimodal_fusion_tpu.data.splits import create_k_fold_splits
+from multimodal_fusion_tpu.data.splits import create_k_fold_splits, load_fold_split
 
 
 def robustness_sweep(
@@ -39,13 +39,6 @@ def robustness_sweep(
     exp = configs.experiment_config
 
     dataset = MultimodalDataset(csv_path, data_root_dir, channels=exp.target_channels)
-    splits = create_k_fold_splits(
-        dataset.labels,
-        exp.k_folds,
-        exp.seed,
-        patient_ids=[dataset.case_to_patient[c] for c in dataset.case_ids],
-        fixed_split_path=exp.fixed_split_path if exp.split_mode == "fixed" else None,
-    )
     trainer = SurvivalTrainer(configs, results_dir)
     if folds is None:
         folds = [
@@ -53,11 +46,28 @@ def robustness_sweep(
             for p in sorted(results_dir.glob("s_*_checkpoint.npz"))
         ]
 
+    def fold_split(fold: int):
+        # the splits the trainer actually used, reloaded from its persisted
+        # splits_<fold>.csv (reference robust_on_missing_modality.py:28-44);
+        # re-derivation from the seed is only a fallback for results dirs
+        # that predate split persistence.
+        persisted = results_dir / f"splits_{fold}.csv"
+        if persisted.exists():
+            return load_fold_split(persisted, dataset.case_ids)
+        return create_k_fold_splits(
+            dataset.labels,
+            exp.k_folds,
+            exp.seed,
+            patient_ids=[dataset.case_to_patient[c] for c in dataset.case_ids],
+            fixed_split_path=exp.fixed_split_path if exp.split_mode == "fixed" else None,
+        )[fold]
+
     rows: List[Dict] = []
     for fold in folds:
+        split = fold_split(fold)
         for dp in drop_probs:
             res = trainer.evaluate_fold(
-                dataset, splits[fold], fold, drop_prob=dp if dp > 0 else None, seed=seed
+                dataset, split, fold, drop_prob=dp if dp > 0 else None, seed=seed
             )
             rows.append(
                 {"fold": fold, "drop_prob": dp, "auc": res["auc"], "acc": res["acc"], "loss": res["loss"]}

@@ -1,0 +1,152 @@
+"""AUCM min-max semantics (VERDICT r1 item 4).
+
+libauc's AUCMLoss is a min-max problem: PESG descends (w, a, b) and ASCENDS
+the dual variable alpha.  ``ops.losses.aucm_loss`` implements the ascent via
+a gradient-reversal identity on alpha, so one ordinary optimizer gives the
+saddle dynamics.  These tests pin (1) convergence of (a, b, alpha) to their
+analytic saddle under joint Adam, and (2) training dynamics: ``auc_clam``
+improves window AUC on separable synthetic data while alpha rises toward its
+saddle instead of diverging negative (which plain descent on the concave
+``-p(1-p)alpha^2`` term would do).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from multimodal_fusion_tpu.models.factory import ModelFactory
+from multimodal_fusion_tpu.ops.losses import aucm_loss
+from test_model_zoo import make_case, make_gate_config
+
+
+def test_aucm_saddle_point_under_joint_adam():
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, 64))
+    margin = 1.0
+    params = {"a": jnp.zeros(()), "b": jnp.zeros(()), "alpha": jnp.zeros(())}
+    tx = optax.adam(0.05)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        g = jax.grad(
+            lambda p: aucm_loss(pred, y, p["a"], p["b"], p["alpha"], margin)
+        )(params)
+        u, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), opt
+
+    for _ in range(800):
+        params, opt = step(params, opt)
+
+    pos = (np.asarray(y) == 1).astype(np.float64)
+    p, q = pos.mean(), 1.0 - pos.mean()
+    pr = np.asarray(pred, np.float64)
+    # dL/dalpha = 0  =>  alpha* = margin + E[p m neg - q m pos] / (p q)
+    alpha_star = margin + np.mean(p * pr * (1 - pos) - q * pr * pos) / (p * q)
+    # dL/da = 0 => a* = class-1 mean margin; dL/db = 0 => b* = class-0 mean
+    a_star = np.mean(pr * pos) / np.mean(pos)
+    b_star = np.mean(pr * (1 - pos)) / np.mean(1 - pos)
+    assert abs(float(params["alpha"]) - alpha_star) < 0.05
+    assert abs(float(params["a"]) - a_star) < 0.05
+    assert abs(float(params["b"]) - b_star) < 0.05
+
+
+def _window_auc(margins, labels):
+    pos = margins[labels == 1]
+    neg = margins[labels == 0]
+    return float(np.mean(pos[:, None] > neg[None, :]))
+
+
+def test_auc_clam_training_improves_auc():
+    cfg = make_gate_config("auc_clam")
+    cfg.dropout = 0.0
+    model = ModelFactory.create_model(cfg, seed=0)
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+
+    G = 8
+    labels = np.array([0, 1] * (G // 2))
+    cases = []
+    for i, lab in enumerate(labels):
+        case = make_case(seed=100 + i)
+        case["channels"] = {
+            k: v for k, v in case["channels"].items()
+            if k in cfg.channels_used_in_model
+        }
+        case["masks"] = {
+            k: v for k, v in case["masks"].items()
+            if k in cfg.channels_used_in_model
+        }
+        shift = 1.0 if lab == 1 else -1.0
+        case["channels"] = {
+            k: (v + shift if k.endswith("features") else v)
+            for k, v in case["channels"].items()
+        }
+        cases.append(case)
+    window = {
+        "channels": {
+            k: jnp.stack([c["channels"][k] for c in cases])
+            for k in cases[0]["channels"]
+        },
+        "masks": {
+            k: jnp.stack([c["masks"][k] for c in cases]) for k in cases[0]["masks"]
+        },
+        "label": jnp.asarray(labels),
+    }
+
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt, keys):
+        def loss_fn(params):
+            def one(channels, masks, label, key):
+                m = nnx.merge(graphdef, params, rest)
+                res = m({"channels": channels, "masks": masks}, label, key=key, train=True)
+                return m.loss_fn(res["logits"], label[None], res), res
+
+            losses, results = jax.vmap(one)(
+                window["channels"], window["masks"], window["label"], keys
+            )
+            m = nnx.merge(graphdef, params, rest)
+            gr = dict(results)
+            gr["label"] = window["label"]
+            total = (jnp.sum(losses) + m.group_loss_fn(gr)) / G
+            return total, results
+
+        grads, results = jax.grad(loss_fn, has_aux=True)(params)
+        u, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, u), opt, results
+
+    key = jax.random.key(0)
+    margins0 = None
+    alpha_traj = []
+    for step_i in range(60):
+        key, sub = jax.random.split(key)
+        params, opt, results = train_step(params, opt, jax.random.split(sub, G))
+        m = np.asarray(results["logits"][:, 0, 1] - results["logits"][:, 0, 0])
+        alpha_traj.append(float(params["auc_alpha"][...]))
+        if margins0 is None:
+            margins0 = m
+    auc0 = _window_auc(margins0, labels)
+    auc1 = _window_auc(m, labels)
+    assert auc1 >= auc0
+    assert auc1 >= 0.9
+    # alpha ASCENDS while margins are small (saddle ~ +margin: at alpha=0,
+    # dL/dalpha ~ 2*p*q*margin > 0, so ascent goes up; the old descent bug
+    # drove it negative immediately).  As training separates the classes the
+    # saddle alpha* = margin + E[p m neg - q m pos]/(pq) moves negative and
+    # alpha tracks it back down — both phases are the min-max dynamics.
+    alpha_traj = np.asarray(alpha_traj)
+    # first Adam step moves ~ +lr under ascent, -lr under the descent bug
+    assert alpha_traj[0] > 5e-4
+    assert alpha_traj[:5].max() > 2e-3
+    assert alpha_traj[:10].min() >= -1e-6
+    pos = labels == 1
+    p = pos.mean()
+    q = 1.0 - p
+    saddle_final = 1.0 + np.mean(p * m * ~pos - q * m * pos) / (p * q)
+    if saddle_final < 0:  # separable: saddle went negative, alpha followed
+        assert alpha_traj[-1] < alpha_traj.max()

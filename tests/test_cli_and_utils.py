@@ -77,9 +77,21 @@ def test_robustness_sweep_and_plot(cli_dataset, tmp_path):
         "--enable_svd", "--enable_dynamic_gate",
         "--seed", "0",
     ])
-    rows = robustness_sweep(
-        log_dir, csv_path, root, drop_probs=(0.0, 0.5), folds=[0],
+    # the sweep must read the trainer's persisted splits_<fold>.csv, NOT
+    # re-derive from the seed (VERDICT r1 item 10): simulate a splitter
+    # change by making re-derivation blow up — the sweep still works.
+    import multimodal_fusion_tpu.utils.robust as robust_mod
+
+    orig = robust_mod.create_k_fold_splits
+    robust_mod.create_k_fold_splits = lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("sweep re-derived splits instead of loading splits_<fold>.csv")
     )
+    try:
+        rows = robustness_sweep(
+            log_dir, csv_path, root, drop_probs=(0.0, 0.5), folds=[0],
+        )
+    finally:
+        robust_mod.create_k_fold_splits = orig
     assert len(rows) == 2
     assert {r["drop_prob"] for r in rows} == {0.0, 0.5}
     out = plot_robust_results(log_dir / "robustness.json", tmp_path / "robust_plot")

@@ -1,0 +1,48 @@
+#!/bin/bash
+# 1.deep_supervise/random/ds_svd_random — generated from experiments/matrix.py (reference:
+# downstream_survival/experiments/1.deep_supervise/random/ds_svd_random.sh). Edit the matrix, not this file.
+set -euo pipefail
+SEED=${1:-5678}
+DATA_ROOT_DIR=${DATA_ROOT_DIR:?set DATA_ROOT_DIR}
+CSV_PATH=${CSV_PATH:?set CSV_PATH}
+RESULTS_DIR=${RESULTS_DIR:-./results}
+
+python -m multimodal_fusion_tpu.cli.main_survival \
+    --csv_path "$CSV_PATH" \
+    --data_root_dir "$DATA_ROOT_DIR" \
+    --results_dir "$RESULTS_DIR" \
+    --exp_code ds_svd_random \
+    --model_type deep_supervise_svd_gate_random \
+    --target_channels wsi tma clinical pathological blood icd tma_cell_density \
+    --channels_used_in_model wsi tma clinical pathological blood icd tma_cell_density \
+    --k 10 \
+    --split_mode random \
+    --max_epochs 200 \
+    --lr 1e-4 \
+    --lr_scheduler plateau \
+    --lr_scheduler_params '{"mode": "min", "patience": 15, "factor": 0.5}' \
+    --reg 1e-5 \
+    --opt adam \
+    --batch_size 64 \
+    --input_dim 1024 \
+    --dropout 0.25 \
+    --n_classes 2 \
+    --base_loss_fn ce \
+    --base_weight 0.9 \
+    --inst_loss_fn ce \
+    --model_size '64*32' \
+    --inst_number 8 \
+    --output_dim 128 \
+    --alignment_layer_num 2 \
+    --lambda1 0.1 \
+    --lambda2 0.1 \
+    --tau1 1.0 \
+    --tau2 1.0 \
+    --weight_random_loss 0.1 \
+    --early_stopping \
+    --gate \
+    --subtyping \
+    --enable_svd \
+    --enable_dynamic_gate \
+    --enable_random_loss \
+    --seed "$SEED"

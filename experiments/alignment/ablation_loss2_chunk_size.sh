@@ -1,0 +1,11 @@
+#!/bin/bash
+# alignment/ablation_loss2_chunk_size — generated from experiments/matrix.py (reference:
+# alignment/experiments/ablation_loss2_chunk_size.sh). Edit the matrix, not this file.
+set -euo pipefail
+NPZ_DIR=${NPZ_DIR:?set NPZ_DIR (per-marker aligned NPZ directory)}
+OUT_DIR=${OUT_DIR:-./results/ablation_loss2_chunk_size}
+mkdir -p "$OUT_DIR"
+
+for V in 8 32 64 256 1024; do
+  python -m multimodal_fusion_tpu.cli.run_alignment --base_dir "$NPZ_DIR" --mismatch_ratio 1.0 --seed 42 --lambda1 1.0 --lambda2 0.1 --tau1 0.1 --tau2 0.05 --num_layers 2 --max_steps 400 --batch_size 512 --lr 1e-4 --weight_decay 1e-5 --align_mode intersection --loss2_chunk_size "$V" --save_path "$OUT_DIR/model_loss2_chunk_size_$V.npz"
+done

@@ -121,3 +121,107 @@ def test_timm_weight_loading(tiny_vit):
     want = np.einsum("hwc,dchw->d", first_patch, w)
     tokens = tiny_vit.patch_proj(tiny_vit.patchify(jnp.asarray(img)))
     np.testing.assert_allclose(np.asarray(tokens[0]), want, rtol=1e-3, atol=1e-4)
+
+
+def test_vit_numerical_parity_vs_torch():
+    """Numerical parity of the full ViT forward (patch conv, qkv attention,
+    LayerScale, MLP, final norm -> CLS) against a hand-rolled torch module
+    with timm's exact layout, transplanted through ``load_timm_vit_weights``'s
+    own format (VERDICT r1 item 9 — timm itself is not installed; this
+    replica follows timm vision_transformer.py's published structure, which
+    the reference loads via hf-hub:MahmoodLab/uni in
+    extract_tma_features_uni.py:38-87)."""
+    import math
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    from multimodal_fusion_tpu.models.vit import ViT, load_timm_vit_weights
+
+    D, H, depth, P, IMG = 64, 4, 2, 16, 32
+
+    class TorchBlock(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = torch.nn.LayerNorm(D, eps=1e-6)  # timm uses eps=1e-6
+            self.qkv = torch.nn.Linear(D, 3 * D)
+            self.proj = torch.nn.Linear(D, D)
+            self.ls1 = torch.nn.Parameter(1e-5 * torch.ones(D))
+            self.norm2 = torch.nn.LayerNorm(D, eps=1e-6)
+            self.fc1 = torch.nn.Linear(D, 4 * D)
+            self.fc2 = torch.nn.Linear(4 * D, D)
+            self.ls2 = torch.nn.Parameter(1e-5 * torch.ones(D))
+
+        def forward(self, x):  # [T, D]
+            T = x.shape[0]
+            hd = D // H
+            qkv = self.qkv(self.norm1(x)).reshape(T, 3, H, hd)
+            q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+            attn = torch.softmax(
+                torch.einsum("qhd,khd->hqk", q, k) / math.sqrt(hd), dim=-1
+            )
+            out = torch.einsum("hqk,khd->qhd", attn, v).reshape(T, D)
+            x = x + self.proj(out) * self.ls1
+            h = self.fc2(torch.nn.functional.gelu(self.fc1(self.norm2(x))))
+            return x + h * self.ls2
+
+    class TorchViT(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.patch_conv = torch.nn.Conv2d(3, D, P, stride=P)
+            self.cls_token = torch.nn.Parameter(0.02 * torch.randn(1, D))
+            n = (IMG // P) ** 2
+            self.pos_embed = torch.nn.Parameter(0.02 * torch.randn(n + 1, D))
+            self.blocks = torch.nn.ModuleList([TorchBlock() for _ in range(depth)])
+            self.norm = torch.nn.LayerNorm(D, eps=1e-6)
+
+        def forward(self, img_hwc):  # [H, W, C] float
+            x = img_hwc.permute(2, 0, 1)[None]  # [1, C, H, W]
+            t = self.patch_conv(x)  # [1, D, H/P, W/P]
+            t = t.flatten(2).transpose(1, 2)[0]  # [N, D] row-major
+            t = torch.cat([self.cls_token, t], dim=0) + self.pos_embed
+            for b in self.blocks:
+                t = b(t)
+            return self.norm(t)[0]
+
+    torch.manual_seed(0)
+    ref = TorchViT().eval()
+
+    # export in timm's state-dict key format
+    state = {
+        "patch_embed.proj.weight": ref.patch_conv.weight.detach().numpy(),
+        "patch_embed.proj.bias": ref.patch_conv.bias.detach().numpy(),
+        "cls_token": ref.cls_token.detach().numpy(),
+        "pos_embed": ref.pos_embed.detach().numpy(),
+        "norm.weight": ref.norm.weight.detach().numpy(),
+        "norm.bias": ref.norm.bias.detach().numpy(),
+    }
+    for i, b in enumerate(ref.blocks):
+        p = f"blocks.{i}."
+        state[f"{p}norm1.weight"] = b.norm1.weight.detach().numpy()
+        state[f"{p}norm1.bias"] = b.norm1.bias.detach().numpy()
+        state[f"{p}attn.qkv.weight"] = b.qkv.weight.detach().numpy()
+        state[f"{p}attn.qkv.bias"] = b.qkv.bias.detach().numpy()
+        state[f"{p}attn.proj.weight"] = b.proj.weight.detach().numpy()
+        state[f"{p}attn.proj.bias"] = b.proj.bias.detach().numpy()
+        state[f"{p}norm2.weight"] = b.norm2.weight.detach().numpy()
+        state[f"{p}norm2.bias"] = b.norm2.bias.detach().numpy()
+        state[f"{p}mlp.fc1.weight"] = b.fc1.weight.detach().numpy()
+        state[f"{p}mlp.fc1.bias"] = b.fc1.bias.detach().numpy()
+        state[f"{p}mlp.fc2.weight"] = b.fc2.weight.detach().numpy()
+        state[f"{p}mlp.fc2.bias"] = b.fc2.bias.detach().numpy()
+        state[f"{p}ls1.gamma"] = b.ls1.detach().numpy()
+        state[f"{p}ls2.gamma"] = b.ls2.detach().numpy()
+
+    mine = ViT(img_size=IMG, patch_size=P, embed_dim=D, depth=depth,
+               num_heads=H, init_values=1e-5, rngs=nnx.Rngs(0))
+    n_loaded = load_timm_vit_weights(mine, state)
+    assert n_loaded == 6 + depth * 14
+
+    rng = np.random.default_rng(9)
+    img = rng.standard_normal((IMG, IMG, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(img)).numpy()
+    got = np.asarray(mine(jnp.asarray(img)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -1,14 +1,26 @@
 """Device mesh + sharding helpers.
 
-The parity workloads are data-parallel: one ``Mesh`` with a ``data`` axis;
+The parity workloads are data-parallel: a ``Mesh`` with a ``data`` axis;
 case-window batches shard their leading (window) axis across ICI, parameters
 replicate.  XLA inserts the psum for the gradient all-reduce — this is the
 NCCL-replacement comm backend (SURVEY.md §2.6).
+
+Multi-host / multi-slice (DCN) story: ``make_mesh_2d`` builds a
+``(replica, data)`` mesh where ``replica`` is the SLOW axis (DCN across
+slices/hosts — the leading axis of ``create_device_mesh``'s device order,
+which keeps each slice's devices contiguous along the trailing axis) and
+``data`` is the FAST axis (ICI within a slice).  Batches shard over BOTH
+axes (``P(("replica", "data"))`` — replica*data-way DP) while parameters
+replicate; XLA then lowers the gradient all-reduce hierarchically:
+reduce-scatter/all-gather ride ICI within each slice and only the small
+partial-sum crosses DCN.  That is the standard multi-slice recipe (see the
+scaling-book data-parallelism chapter); no NCCL/MPI process groups to manage
+— the mesh axis order IS the topology statement.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import numpy as np
@@ -23,9 +35,35 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs[:n]).reshape(n), (axis,))
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard the leading axis over the data axis."""
-    return NamedSharding(mesh, P(axis))
+def make_mesh_2d(
+    replica: int,
+    data: int,
+    axis_names: Tuple[str, str] = ("replica", "data"),
+) -> Mesh:
+    """``(replica, data)`` mesh: replica = slow/DCN axis, data = fast/ICI.
+
+    Uses ``mesh_utils.create_device_mesh`` so the physical ICI topology maps
+    onto the trailing (fast) axis when running on real slices; falls back to
+    a plain reshape for virtual/CPU device sets."""
+    devs = jax.devices()
+    n = replica * data
+    if n > len(devs):
+        raise ValueError(f"requested {n} devices, have {len(devs)}")
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_device_mesh((replica, data), devices=devs[:n])
+    except Exception:
+        arr = np.asarray(devs[:n]).reshape(replica, data)
+    return Mesh(arr, axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: Optional[str] = None) -> NamedSharding:
+    """Shard the leading axis over ALL mesh axes (or one named axis):
+    on a 1-axis mesh this is plain DP; on a (replica, data) mesh the batch
+    splits replica*data ways and gradient reduction is hierarchical."""
+    spec = P(axis) if axis is not None else P(tuple(mesh.axis_names))
+    return NamedSharding(mesh, spec)
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

@@ -85,12 +85,18 @@ class SurvivalTrainer:
         # Opt-in data parallelism: exp.mesh_shape = {"data": N} shards every
         # window's leading axis over N devices; params replicate and XLA
         # inserts the gradient all-reduce (SURVEY §2.6 TPU-native equivalent).
+        # Multi-host/multi-slice: {"replica": R, "data": N} builds a 2-axis
+        # (replica=DCN, data=ICI) mesh — batches shard R*N ways, gradient
+        # reduction lowers hierarchically (parallel/mesh.py docstring).
         self.mesh = None
         if self.exp.mesh_shape:
-            from multimodal_fusion_tpu.parallel.mesh import make_mesh
+            from multimodal_fusion_tpu.parallel.mesh import make_mesh, make_mesh_2d
 
             n = int(self.exp.mesh_shape.get("data", 0))
-            if n > 1:
+            r = int(self.exp.mesh_shape.get("replica", 0))
+            if r > 1 and n > 1:
+                self.mesh = make_mesh_2d(r, n)
+            elif n > 1:
                 self.mesh = make_mesh(n)
 
     def _place_window(self, window, keys, n_cases: int):

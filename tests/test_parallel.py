@@ -188,3 +188,77 @@ def test_trainer_with_mesh(tmp_path):
     splits = create_k_fold_splits(ds.labels, 3, seed=0)
     summary = trainer.train_fold(ds, splits[0], 0)
     assert np.isfinite(summary["test_acc"])
+
+
+def test_2d_replica_data_mesh_matches_single_device():
+    """The multi-host/DCN design: a (replica=2, data=4) mesh with the batch
+    sharded over BOTH axes produces the same step as unsharded (hierarchical
+    gradient reduction is numerically the same psum)."""
+    from multimodal_fusion_tpu.parallel.mesh import make_mesh_2d
+
+    G = 8
+    mesh = make_mesh_2d(2, 4)
+    assert mesh.axis_names == ("replica", "data")
+    assert mesh.devices.shape == (2, 4)
+    model = ModelFactory.create_model(_cfg(), seed=0)
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    tx = make_optimizer("adam", 0.0)
+    opt_state = tx.init(params)
+    win = _window(G)
+    keys = jax.random.split(jax.random.key(0), G)
+
+    @jax.jit
+    def step(params, rest, opt_state, window, keys):
+        def loss_fn(params):
+            def one(channels, masks, label, key):
+                m = nnx.merge(graphdef, params, rest)
+                res = m({"channels": channels, "masks": masks}, label, key=key, train=True)
+                return m.loss_fn(res["logits"], label[None], res), res
+
+            losses, results = jax.vmap(one)(
+                window["channels"], window["masks"], window["label"], keys
+            )
+            m = nnx.merge(graphdef, params, rest)
+            gr = dict(results)
+            gr["label"] = window["label"]
+            return (jnp.sum(losses) + m.group_loss_fn(gr)) / G
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, _ = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, jax.tree.map(lambda u: -1e-3 * u, updates))
+        return loss, params
+
+    loss_ref, params_ref = step(params, rest, opt_state, win, keys)
+
+    win_sh = shard_batch(mesh, win)  # leading axis over (replica, data)
+    keys_sh = jax.device_put(keys, batch_sharding(mesh))
+    assert batch_sharding(mesh).spec == jax.sharding.PartitionSpec(("replica", "data"))
+    params_rep = replicate(mesh, params)
+    with mesh:
+        loss_sh, params_sh = step(params_rep, rest, opt_state, win_sh, keys_sh)
+
+    np.testing.assert_allclose(float(loss_ref), float(loss_sh), rtol=1e-5, atol=1e-6)
+    a = jax.tree.leaves(params_ref)[0]
+    b = jax.tree.leaves(params_sh)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_accepts_replica_mesh_shape(surv_style_dataset_factory=None):
+    from multimodal_fusion_tpu.config import Configs, ExperimentConfig, ModelConfig
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    mc = _cfg()
+    ec = ExperimentConfig(
+        exp_name="t2d", seed=0, k_folds=2, max_epochs=1, batch_size=4,
+        lr=1e-3, patience=5, min_epochs=0, monitor_metric="auc",
+        monitor_mode="max", weighted_sampling=True,
+    )
+    ec.extra["verbose"] = False
+    ec.mesh_shape = {"replica": 2, "data": 4}
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        tr = SurvivalTrainer(Configs(experiment_config=ec, model_config=mc), td)
+        assert tr.mesh is not None
+        assert tr.mesh.devices.shape == (2, 4)
+        assert tr.mesh.axis_names == ("replica", "data")

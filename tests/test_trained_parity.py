@@ -215,3 +215,62 @@ def test_trained_flagship_auc_parity(tmp_path):
     assert ref_auc >= 0.95, f"reference failed to learn: {ref_auc}"
     assert our_auc >= 0.95, f"ours failed to learn: {our_auc}"
     assert abs(ref_auc - our_auc) <= 0.02, (ref_auc, our_auc)
+
+
+def test_cindex_parity_same_weights(tmp_path):
+    """BASELINE north star: 'per-slide risk scores ... C-index parity within
+    0.005'.  With transplanted weights the per-slide risk ordering must be
+    IDENTICAL, so the C-index gap is exactly 0."""
+    from test_torch_parity import (
+        ref_svd_model as _fixture_unused,  # noqa: F401  (fixture import)
+    )
+    from test_torch_parity import _jax_case_from_torch, _torch_inputs, transplant_svd_gate
+
+    from multimodal_fusion_tpu.models.factory import ModelFactory
+    from multimodal_fusion_tpu.train.metrics import concordance_index
+
+    from models.svd_gate_random_clam import SVDGateRandomClam as RefModel
+
+    config = {
+        "model_type": "svd_gate_random_clam", "n_classes": 2, "input_dim": 48,
+        "model_size": "32*16", "dropout": 0.0, "output_dim": 40,
+        "channels_used_in_model": [
+            "wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask",
+        ],
+        "device": "cpu", "enable_svd": True, "enable_dynamic_gate": True,
+        "enable_random_loss": False, "tau1": 0.1, "tau2": 0.1,
+        "lambda1": 1.0, "lambda2": 0.0, "base_weight": 0.7, "inst_number": 3,
+    }
+    torch.manual_seed(0)
+    ref = RefModel(config)
+    ref.eval()
+    data, label = _torch_inputs()
+    with torch.no_grad():
+        ref(data, label)  # materialise lazy layers
+    mine = ModelFactory.create_model(
+        ModelConfig.from_dict({**config, "channel_input_dims": {"clinical=val": 12}}),
+        seed=0,
+    )
+    transplant_svd_gate(ref, mine)
+
+    rng = np.random.default_rng(0)
+    n = 16
+    risks_ref, risks_ours = [], []
+    for i in range(n):
+        data, label = _torch_inputs(seed=200 + i)
+        with torch.no_grad():
+            r = ref(data, label)
+        out = mine(_jax_case_from_torch(data), jnp.asarray(1), train=False)
+        risks_ref.append(float(r["logits"][0, 1]))
+        risks_ours.append(float(out["logits"][0, 1]))
+    risks_ref = np.asarray(risks_ref)
+    risks_ours = np.asarray(risks_ours)
+    np.testing.assert_allclose(risks_ours, risks_ref, rtol=1e-4, atol=1e-5)
+
+    # identical ordering => identical C-index on any survival cohort
+    times = rng.exponential(1.0, n)
+    events = rng.integers(0, 2, n).astype(bool)
+    ci_ref = concordance_index(times, events, risks_ref)
+    ci_ours = concordance_index(times, events, risks_ours)
+    assert abs(ci_ref - ci_ours) < 0.005  # exactly 0 in practice
+    assert (np.argsort(risks_ref) == np.argsort(risks_ours)).all()

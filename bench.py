@@ -293,6 +293,10 @@ def main():
             "ours": round(ours_pps, 1),
             "reference_cpu": round(ref_pps, 1) if ref_pps else None,
             "speedup": round(vs, 2) if vs else None,
+            "candidate_mode": "compute_on_read (save_similarity=False: full "
+            "[N,N] computed on device for exact stats, cache not persisted; "
+            "reference persists its caches — rebuild recomputes ours on "
+            "device, or materialise via --cache_similarity)",
         },
         "survival_inference_slides_per_sec": {
             "ours": round(inf_ours, 2),

@@ -6,6 +6,7 @@ SEED=${1:-5678}
 DATA_ROOT_DIR=${DATA_ROOT_DIR:?set DATA_ROOT_DIR}
 CSV_PATH=${CSV_PATH:?set CSV_PATH}
 RESULTS_DIR=${RESULTS_DIR:-./results}
+DATASET_SPLIT_PATH=${DATASET_SPLIT_PATH:?set DATASET_SPLIT_PATH}
 
 python -m multimodal_fusion_tpu.cli.main_survival \
     --csv_path "$CSV_PATH" \

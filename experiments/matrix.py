@@ -323,7 +323,7 @@ set -euo pipefail
 SEED=${{1:-5678}}
 DATA_ROOT_DIR=${{DATA_ROOT_DIR:?set DATA_ROOT_DIR}}
 CSV_PATH=${{CSV_PATH:?set CSV_PATH}}
-RESULTS_DIR=${{RESULTS_DIR:-./results}}
+RESULTS_DIR=${{RESULTS_DIR:-./results}}{extra_env}
 
 python -m multimodal_fusion_tpu.cli.main_survival \\
 {args} \\
@@ -359,9 +359,13 @@ def generate_scripts(out_root: str | Path) -> List[Path]:
             ) if vals else "")
             for flag, vals in lines
         )
+        extra_env = (
+            "\nDATASET_SPLIT_PATH=${DATASET_SPLIT_PATH:?set DATASET_SPLIT_PATH}"
+            if ENTRIES[name].get("needs_split_path") else ""
+        )
         p = out_root / f"{name}.sh"
         p.parent.mkdir(parents=True, exist_ok=True)
-        p.write_text(_SH_TEMPLATE.format(name=name, args=rendered))
+        p.write_text(_SH_TEMPLATE.format(name=name, args=rendered, extra_env=extra_env))
         p.chmod(0o755)
         written.append(p)
     return written

@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 
 from multimodal_fusion_tpu.channels import h5_path_for_channel
-from multimodal_fusion_tpu.io.h5io import open_h5_retrying
+from multimodal_fusion_tpu.io.h5io import read_h5_retrying
 
 import h5py
 
@@ -133,9 +133,11 @@ class MultimodalDataset:
             path = self.case_to_file[cid]
             if not os.path.exists(path):
                 continue
-            with open_h5_retrying(path, "r") as f:
-                if all(self._channel_present(f, ch) for ch in self.channels):
-                    valid.append(cid)
+            if read_h5_retrying(
+                path,
+                lambda f: all(self._channel_present(f, ch) for ch in self.channels),
+            ):
+                valid.append(cid)
         dropped = len(self.case_ids) - len(valid)
         if dropped and self.print_info:
             print(f"Filtered {dropped} cases missing required channels")
@@ -170,17 +172,21 @@ class MultimodalDataset:
 
     def _load_case(self, case_id: str) -> Tuple[RawCase, int]:
         path = self.case_to_file[case_id]
-        out: RawCase = {}
-        # the dataset hot path goes through the locked retrying opener, like
-        # the reference (multimodal_dataset.py:465-503)
-        with open_h5_retrying(path, "r") as f:
+
+        # the dataset hot path retries the WHOLE read unit, like the
+        # reference (multimodal_dataset.py:465-503)
+        def read(f) -> RawCase:
+            case: RawCase = {}
             for ch in self.channels:
                 if ch.startswith("hypergraph="):
                     data = self._read_hypergraph_channel(f, ch)
                     if data is not None:
-                        out[ch] = data
+                        case[ch] = data
                 else:
-                    out[ch] = _standardize(np.asarray(f[h5_path_for_channel(ch)]))
+                    case[ch] = _standardize(np.asarray(f[h5_path_for_channel(ch)]))
+            return case
+
+        out = read_h5_retrying(path, read)
         if self.alignment_apply_fn is not None and self.align_channels:
             align_in = {
                 mod: out[ch] for ch, mod in self.align_channels.items() if ch in out

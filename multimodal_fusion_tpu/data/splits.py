@@ -109,7 +109,9 @@ def load_fold_split(path: str | Path, case_ids: Sequence[str]) -> FoldSplit:
     """
     import csv
 
-    idx = {cid: i for i, cid in enumerate(case_ids)}
+    # the csv module stringified the ids on save; match on str so numeric
+    # case_id columns (np.int64 in the dataset) still resolve
+    idx = {str(cid): i for i, cid in enumerate(case_ids)}
     cols: Dict[str, List[int]] = {"train": [], "val": [], "test": []}
     with open(path, newline="") as f:
         for row in csv.DictReader(f):

@@ -41,6 +41,7 @@ import pandas as pd
 from multimodal_fusion_tpu.io.h5io import (
     _lock_for,
     open_h5_retrying,
+    read_h5_retrying,
     write_hypergraph_group,
 )
 from multimodal_fusion_tpu.ops.kmeans import kmeans
@@ -54,7 +55,7 @@ from multimodal_fusion_tpu.ops.similarity import combined_similarity, cross_simi
 # ---------------------------------------------------------------------------
 
 def load_wsi_data(h5_path: str | Path) -> Tuple[np.ndarray, np.ndarray]:
-    with open_h5_retrying(h5_path, "r") as f:
+    def read(f):
         if "wsi/features" not in f:
             raise ValueError(f"WSI features not found in {h5_path}")
         feats = np.asarray(f["wsi/features"], np.float32)
@@ -62,14 +63,17 @@ def load_wsi_data(h5_path: str | Path) -> Tuple[np.ndarray, np.ndarray]:
             pos = np.asarray(f["wsi/positions"], np.float32)
         else:
             pos = np.zeros((feats.shape[0], 2), np.float32)
-    return feats, pos
+        return feats, pos
+
+    return read_h5_retrying(h5_path, read)
 
 
 def load_tma_data(h5_path: str | Path) -> Optional[np.ndarray]:
     """Flat ``tma/features`` if present; otherwise concat of the per-marker
     ``tma/<marker>/features`` datasets in sorted marker order (extension —
     the reference only reads the flat layout)."""
-    with open_h5_retrying(h5_path, "r") as f:
+
+    def read(f):
         if "tma" not in f:
             return None
         tma = f["tma"]
@@ -82,15 +86,19 @@ def load_tma_data(h5_path: str | Path) -> Optional[np.ndarray]:
                 parts.append(np.asarray(grp["features"], np.float32))
         return np.concatenate(parts, axis=0) if parts else None
 
+    return read_h5_retrying(h5_path, read)
+
 
 def load_similarity_matrices(h5_path: str | Path):
-    with open_h5_retrying(h5_path, "r") as f:
+    def read(f):
         wsi = wsitma = None
         if "hypergraph/similarity/wsi_internal" in f:
             wsi = np.asarray(f["hypergraph/similarity/wsi_internal"], np.float32)
         if "hypergraph/similarity/wsi_tma" in f:
             wsitma = np.asarray(f["hypergraph/similarity/wsi_tma"], np.float32)
-    return wsi, wsitma
+        return wsi, wsitma
+
+    return read_h5_retrying(h5_path, read)
 
 
 # ---------------------------------------------------------------------------
@@ -538,6 +546,15 @@ def process_single_file(
     host = jax.device_get(out)  # one bulk transfer
     if save_similarity:
         host["K"] = _unpack_triu(host["K"], n)
+    if (host["counts"] == 0).any():
+        # kmeans relocation guarantees non-empty clusters whenever
+        # num_super <= n; this fires only for slides with fewer patches than
+        # super-patches — the reference raises there too
+        # (preprocess_hypergraph.py:163, via sklearn's n_samples check)
+        raise ValueError(
+            "empty cluster in super-patch aggregation "
+            f"(n={n} < num_super_patches={num_wsi_super_patches}?)"
+        )
     sp_feats, sp_pos = host["sp_feats"], host["sp_pos"]
     K_wsi, sim = host.get("K"), host["sim"]
     group_labels = host["group_labels"].astype(np.int64)
@@ -603,7 +620,6 @@ def process_dataset(
         raise ValueError("CSV must contain 'h5_file_path' column")
     all_stats = []
     t0 = time.time()
-    total_patches = 0
 
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
@@ -645,8 +661,11 @@ def process_dataset(
         """Host-side edge assembly + stats + h5 write; runs on the thread
         pool so it overlaps the next files' transfers (numpy/h5py release
         the GIL for the heavy parts)."""
-        nonlocal total_patches
         try:
+            if (host["counts"] == 0).any():
+                # only reachable when n_patches < num_super (see
+                # process_single_file); isolated per-file like the reference
+                raise ValueError("empty cluster in super-patch aggregation")
             K_full = _unpack_triu(host["K"], n_patches) if save_similarity else None
             edge_index, edge_weights = _assemble_edges(
                 host["knn_idx"], host["hyperedge_labels"], host["normed"], num_hyperedges
@@ -683,7 +702,6 @@ def process_dataset(
             stats["case_id"] = case_id
             stats["h5_path"] = row["h5_file_path"]
             stats["num_patches_processed"] = int(n_patches)
-            total_patches += int(n_patches)
             return stats
         except Exception as e:
             return {"case_id": case_id, "error": str(e)}
@@ -726,6 +744,9 @@ def process_dataset(
     for _, fut, immediate in finalize_futures:
         all_stats.append(immediate if fut is None else fut.result())
     finalize_pool.shutdown(wait=True)
+    # summed after the pool drains — finalize() runs on two threads, so a
+    # shared counter would race
+    total_patches = sum(s.get("num_patches_processed", 0) for s in all_stats)
     elapsed = time.time() - t0
     summary = {
         "files": len(all_stats),
@@ -834,33 +855,51 @@ def cache_similarity_matrices(
     ``hypergraph/similarity/{wsi_internal,wsi_tma}`` into an existing
     hypergraph group without touching its other datasets (reference stores
     them unconditionally at preprocess_hypergraph.py:436-511)."""
-    wsi_features, wsi_positions = load_wsi_data(h5_path)
-    tma_features = load_tma_data(h5_path)
-    K = np.asarray(
-        combined_similarity(
-            jnp.asarray(wsi_features), jnp.asarray(wsi_positions), lambda_h, lambda_g
-        ),
-        np.float32,
-    )
-    written = {"similarity/wsi_internal": K.shape}
-    with _lock_for(str(h5_path)):
-        with h5py.File(h5_path, "a") as f:
-            grp = f.require_group("hypergraph")
-            pairs = [("similarity/wsi_internal", K)]
-            if tma_features is not None and "wsi_super/features" in grp:
-                sp = np.asarray(grp["wsi_super/features"], np.float32)
-                sim = np.asarray(
-                    cross_similarity(jnp.asarray(sp), jnp.asarray(tma_features), lambda_h),
-                    np.float32,
-                )
-                pairs.append(("similarity/wsi_tma", sim))
-                written["similarity/wsi_tma"] = sim.shape
-            for key, arr in pairs:
-                if key in grp:
-                    if not overwrite:
-                        continue
-                    del grp[key]
-                grp.create_dataset(key, data=arr)
+    # decide what's needed BEFORE computing: the [N,N] device->host pull is
+    # the expensive part, so a fully-cached file must cost one h5 stat
+    def probe(f):
+        grp = f.get("hypergraph")
+        has_k = grp is not None and "similarity/wsi_internal" in grp
+        has_sim = grp is not None and "similarity/wsi_tma" in grp
+        has_super = grp is not None and "wsi_super/features" in grp
+        return has_k, has_sim, has_super
+
+    has_k, has_sim, has_super = read_h5_retrying(h5_path, probe)
+    need_k = overwrite or not has_k
+    need_sim = has_super and (overwrite or not has_sim)
+    written: Dict = {}
+    if not (need_k or need_sim):
+        return written
+
+    pairs = []
+    if need_k:
+        wsi_features, wsi_positions = load_wsi_data(h5_path)
+        K = np.asarray(
+            combined_similarity(
+                jnp.asarray(wsi_features), jnp.asarray(wsi_positions), lambda_h, lambda_g
+            ),
+            np.float32,
+        )
+        pairs.append(("similarity/wsi_internal", K))
+        written["similarity/wsi_internal"] = K.shape
+    if need_sim:
+        tma_features = load_tma_data(h5_path)
+        if tma_features is not None:
+            sp = read_h5_retrying(
+                h5_path, lambda f: np.asarray(f["hypergraph/wsi_super/features"], np.float32)
+            )
+            sim = np.asarray(
+                cross_similarity(jnp.asarray(sp), jnp.asarray(tma_features), lambda_h),
+                np.float32,
+            )
+            pairs.append(("similarity/wsi_tma", sim))
+            written["similarity/wsi_tma"] = sim.shape
+    with open_h5_retrying(h5_path, "a") as f:
+        grp = f.require_group("hypergraph")
+        for key, arr in pairs:
+            if key in grp:
+                del grp[key]
+            grp.create_dataset(key, data=arr)
     return written
 
 

@@ -68,6 +68,33 @@ def _lock_for(path: str) -> threading.Lock:
 import contextlib
 
 
+def read_h5_retrying(
+    h5_path: str | Path,
+    fn,
+    retries: int = 4,
+    backoff: float = 0.05,
+):
+    """Run ``fn(h5py.File)`` under the per-path lock, retrying the WHOLE
+    read unit (open + reads) with exponential backoff + jitter on transient
+    ``OSError`` — NFS hiccups, or a writer in ANOTHER process truncating the
+    file mid-read (the per-path lock is process-local, so only same-process
+    writers are excluded).  ``fn`` must be a pure read (it may re-run).
+    This is the single read path for every dataset/build hot path; the
+    reference retries its dataset path the same way
+    (multimodal_dataset.py:465-503)."""
+    path = str(h5_path)
+    last_err: Optional[Exception] = None
+    for attempt in range(retries):
+        with _lock_for(path):
+            try:
+                with h5py.File(path, "r") as f:
+                    return fn(f)
+            except OSError as e:  # pragma: no cover - transient-IO path
+                last_err = e
+        time.sleep(backoff * (2**attempt) * (1 + random.random()))
+    raise OSError(f"failed to read {path} after {retries} attempts: {last_err}")
+
+
 @contextlib.contextmanager
 def open_h5_retrying(
     h5_path: str | Path,
@@ -75,15 +102,12 @@ def open_h5_retrying(
     retries: int = 4,
     backoff: float = 0.05,
 ):
-    """Locked ``h5py.File`` handle with exponential backoff + jitter on
-    transient ``OSError`` (NFS hiccups, concurrent writers).  This is the
-    single opener for every dataset/build hot path — the reference retries
-    on its dataset path specifically (multimodal_dataset.py:465-503).
+    """Locked ``h5py.File`` handle whose OPEN is retried with backoff.
 
-    The retry wraps only the *open*; a body raising ``OSError`` mid-read is
-    not re-entered (matching the reference, which retries whole-read units at
-    the call sites that need it — our call sites read everything eagerly
-    right after open, so open covers the window that actually fails)."""
+    The with-block body runs once (the context-manager protocol cannot
+    re-enter a body), so mid-read failures inside the body are NOT retried —
+    use ``read_h5_retrying`` for read units that need whole-unit retry.
+    Appropriate for writes, where re-running a half-applied body is unsafe."""
     path = str(h5_path)
     last_err: Optional[Exception] = None
     for attempt in range(retries):
@@ -110,8 +134,9 @@ def read_channel(
 ) -> np.ndarray:
     """Read one channel (``group=dataset[=dataset]``) from a patient file."""
     dset = h5_path_for_channel(channel)
-    with open_h5_retrying(h5_path, "r", retries, backoff) as f:
-        return np.asarray(f[dset])
+    return read_h5_retrying(
+        h5_path, lambda f: np.asarray(f[dset]), retries, backoff
+    )
 
 
 def has_channel(h5_path: str | Path, channel: str) -> bool:

@@ -13,6 +13,14 @@ H [N, E] with node/edge validity masks, so the convolution
 is two MXU matmuls; no scatter/gather.  N is at most a few hundred nodes
 (super-patches + TMA cores), so dense is strictly faster than sparse here.
 
+Documented deviation: when the h5 carries ``hypergraph=edge_weights`` we
+feed them into the convolution's W (PyG supports ``hyperedge_weight``); the
+reference computes and stores these cosine weights but then calls
+``conv(x, edge_index)`` WITHOUT them (cust_omics.py:101) — i.e. it throws
+its own weights away.  Parity of the op itself (weighted and unweighted) is
+pinned in tests/test_hypergraph_fusion_parity.py against a dense torch
+transcription of PyG's HypergraphConv.
+
 Case channels consumed (produced by ``data.multimodal`` from the
 ``hypergraph/`` h5 group written by the build pipeline):
 - ``hypergraph=wsi_super_features`` [Ns_pad, D] (+ mask)

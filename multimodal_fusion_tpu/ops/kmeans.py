@@ -108,18 +108,28 @@ def _relocate_empty(
 ) -> Tuple[jax.Array, jax.Array]:
     """sklearn-style empty-cluster relocation: the i-th empty cluster takes
     the point with the i-th largest contribution to inertia (sklearn
-    ``_relocate_empty_clusters``).  Guarantees no empty clusters for
-    k <= n_valid points.  No-op (statically) when k > n."""
+    ``_relocate_empty_clusters``).  Guarantees no empty clusters whenever
+    k <= n_valid points.  No-op (statically) when k > n.
+
+    Donor ordering: valid non-singleton points by contribution, then valid
+    singleton points (stealing a cluster's only member would just move the
+    hole), and NEVER padded rows — an empty cluster whose rank exceeds the
+    number of valid points keeps its previous (valid-data) center instead of
+    landing on padding garbage."""
     k, n = centers.shape[0], x.shape[0]
     if k > n:
         return centers, labels
-    contrib = jnp.where(weights > 0, d_min, -1.0)  # padded rows never picked
-    _, far_idx = jax.lax.top_k(contrib, k)  # [K] farthest points, descending
+    valid = weights > 0
+    singleton = counts[labels] <= 1
+    contrib = jnp.where(valid & ~singleton, d_min, jnp.where(valid, -1.0, -2.0))
+    _, far_idx = jax.lax.top_k(contrib, k)  # [K] best donors, descending
     empty = counts == 0
     rank = jnp.cumsum(empty.astype(jnp.int32)) - 1  # rank among empty clusters
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    can = empty & (rank < n_valid)  # never relocate onto padding
     target = far_idx[jnp.clip(rank, 0, k - 1)]  # donor point per empty cluster
-    centers = jnp.where(empty[:, None], x[target], centers)
-    upd = jnp.where(empty, target, n)  # out-of-bounds rows dropped by scatter
+    centers = jnp.where(can[:, None], x[target], centers)
+    upd = jnp.where(can, target, n)  # out-of-bounds rows dropped by scatter
     labels = labels.at[upd].set(jnp.arange(k), mode="drop")
     return centers, labels
 

@@ -69,8 +69,9 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Place every leaf of a window batch with its leading dim sharded."""
+def shard_batch(mesh: Mesh, batch, axis: Optional[str] = None):
+    """Place every leaf of a window batch with its leading dim sharded over
+    ALL mesh axes by default (replica*data-way on a 2-axis mesh)."""
     sh = batch_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 

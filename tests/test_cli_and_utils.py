@@ -320,3 +320,26 @@ def test_tsne_plot_and_ablation_analysis(cli_dataset, tmp_path):
     rows = analyze_ablation(sorted(tmp_path.glob("h*.history.json")))
     assert rows[0]["best_val_loss"] == 0.2
     assert rows[0]["config"]["tau1"] == 0.2
+
+
+def test_load_fold_split_numeric_case_ids(tmp_path):
+    """save/load round-trip when case ids are numeric (the csv module
+    stringifies on save; load must still match — round-2 review)."""
+    import numpy as np
+
+    from multimodal_fusion_tpu.data.splits import (
+        FoldSplit,
+        load_fold_split,
+        save_fold_split,
+    )
+
+    case_ids = [np.int64(10), np.int64(11), np.int64(12), np.int64(13)]
+    split = FoldSplit(
+        np.array([0, 1]), np.array([2]), np.array([3])
+    )
+    p = tmp_path / "splits_0.csv"
+    save_fold_split(split, case_ids, p)
+    got = load_fold_split(p, case_ids)
+    assert got.train_idx.tolist() == [0, 1]
+    assert got.val_idx.tolist() == [2]
+    assert got.test_idx.tolist() == [3]

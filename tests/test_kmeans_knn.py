@@ -174,3 +174,37 @@ def test_duplicate_point_slide_processes(tmp_path, rng):
     stats = process_single_file(p, 8, 3, 2, 4)
     assert "error" not in stats
     assert stats["hypergraph"]["num_edges"] > 0
+
+
+def test_kmeans_relocation_never_uses_padding_when_overfull(rng):
+    """k > n_valid: relocation must keep previous (valid-data) centers for
+    the overflow, never land on padded rows (round-2 review finding)."""
+    from multimodal_fusion_tpu.ops.kmeans import kmeans
+
+    x = np.full((12, 4), 100.0, np.float32)  # padding sentinel
+    x[:3] = rng.standard_normal((3, 4)).astype(np.float32)
+    mask = np.arange(12) < 3
+    res = kmeans(jax.random.key(2), jnp.asarray(x), k=8, n_init=2, mask=jnp.asarray(mask))
+    centers = np.asarray(res.centers)
+    assert not np.any(np.abs(centers - 100.0) < 1.0), centers
+    # the 3 valid points are covered by non-empty clusters
+    labels = np.asarray(res.labels)[:3]
+    counts = np.bincount(labels, minlength=8)
+    assert counts.sum() == 3
+
+
+def test_small_slide_raises_not_silent(tmp_path, rng):
+    """n < num_super must surface an error (reference raises via sklearn),
+    not silently persist zero-vector super-patches (round-2 review)."""
+    import h5py
+    import pytest as _pytest
+
+    from multimodal_fusion_tpu.hypergraph.build import process_single_file
+
+    p = tmp_path / "tiny.h5"
+    with h5py.File(p, "w") as f:
+        f["wsi/features"] = rng.standard_normal((5, 8)).astype(np.float32)
+        f["wsi/positions"] = np.zeros((5, 2), np.float32)
+        f["tma/features"] = rng.standard_normal((3, 8)).astype(np.float32)
+    with _pytest.raises(ValueError, match="empty cluster"):
+        process_single_file(p, 10, 2, 2, 3)

@@ -243,7 +243,7 @@ def test_2d_replica_data_mesh_matches_single_device():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
-def test_trainer_accepts_replica_mesh_shape(surv_style_dataset_factory=None):
+def test_trainer_accepts_replica_mesh_shape():
     from multimodal_fusion_tpu.config import Configs, ExperimentConfig, ModelConfig
     from multimodal_fusion_tpu.train.survival import SurvivalTrainer
 

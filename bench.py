@@ -165,8 +165,15 @@ def _flagship_cfg():
     )
 
 
-def run_inference_ours(n_batches: int = 8) -> float:
-    """Flagship eval forward, vmapped over a window of slides, jitted."""
+def run_inference_ours(n_batches: int = 32, bf16: bool = False) -> float:
+    """Flagship eval forward, vmapped over a window of slides, jitted.
+    32 batches amortize per-step dispatch through the TPU tunnel (8 batches
+    under-measured steady-state throughput ~2.5x — dispatch-bound).
+    ``bf16`` exercises the opt-in compute_dtype="bfloat16" path: params and
+    inputs cast to bf16 so the trunk matmuls run as native MXU bf16; through
+    this tunnel the step is dispatch-bound so bf16 is ~parity wall-clock
+    (measured interleaved, ratio 0.98-1.12) — the option pays on directly
+    attached hosts / larger windows."""
     import jax
     import jax.numpy as jnp
     from flax import nnx
@@ -175,17 +182,25 @@ def run_inference_ours(n_batches: int = 8) -> float:
 
     model = ModelFactory.create_model(_flagship_cfg(), seed=0)
     graphdef, state = nnx.split(model)
+    if bf16:
+        state = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            state,
+        )
+    in_dtype = jnp.bfloat16 if bf16 else jnp.float32
     rng = np.random.default_rng(0)
     window = {
         "channels": {
             "wsi=features": jnp.asarray(
-                rng.standard_normal((INF_BATCH, INF_WSI, DIM)), jnp.float32
+                rng.standard_normal((INF_BATCH, INF_WSI, DIM)), in_dtype
             ),
             "tma=cd3=features": jnp.asarray(
-                rng.standard_normal((INF_BATCH, INF_TMA, DIM)), jnp.float32
+                rng.standard_normal((INF_BATCH, INF_TMA, DIM)), in_dtype
             ),
-            "clinical=val": jnp.asarray(rng.standard_normal((INF_BATCH, 1, 16)), jnp.float32),
-            "clinical=mask": jnp.ones((INF_BATCH, 1, 16), jnp.float32),
+            "clinical=val": jnp.asarray(rng.standard_normal((INF_BATCH, 1, 16)), in_dtype),
+            "clinical=mask": jnp.ones((INF_BATCH, 1, 16), in_dtype),
         },
         "masks": {
             "wsi=features": jnp.ones((INF_BATCH, INF_WSI), bool),
@@ -285,6 +300,7 @@ def main():
         ref_pps = run_reference(ref_paths)
 
     inf_ours = run_inference_ours()
+    inf_ours_bf16 = run_inference_ours(bf16=True)
     inf_ref = run_inference_reference()
 
     vs = (ours_pps / ref_pps) if ref_pps else None
@@ -300,8 +316,10 @@ def main():
         },
         "survival_inference_slides_per_sec": {
             "ours": round(inf_ours, 2),
+            "ours_bf16": round(inf_ours_bf16, 2),
             "reference_cpu": round(inf_ref, 2) if inf_ref else None,
             "speedup": round(inf_ours / inf_ref, 2) if inf_ref else None,
+            "speedup_bf16": round(inf_ours_bf16 / inf_ref, 2) if inf_ref else None,
         },
     }
     Path(__file__).resolve().parent.joinpath("BENCH_DETAILS.json").write_text(

@@ -122,7 +122,9 @@ def _relocate_empty(
     valid = weights > 0
     singleton = counts[labels] <= 1
     contrib = jnp.where(valid & ~singleton, d_min, jnp.where(valid, -1.0, -2.0))
-    _, far_idx = jax.lax.top_k(contrib, k)  # [K] best donors, descending
+    # approx_max_k: TPU's fast partial-reduce top-k — donor selection only
+    # needs far points, not the exact order (exact fallback on CPU)
+    _, far_idx = jax.lax.approx_max_k(contrib, k)  # [K] best donors
     empty = counts == 0
     rank = jnp.cumsum(empty.astype(jnp.int32)) - 1  # rank among empty clusters
     n_valid = jnp.sum(valid.astype(jnp.int32))
@@ -156,9 +158,6 @@ def _lloyd(
             new_centers = jnp.where(
                 counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centers
             )
-            new_centers, _ = _relocate_empty(
-                x, new_centers, labels, jnp.min(d, axis=-1), counts, weights
-            )
             shift = jnp.sum((new_centers - centers) ** 2)
             return new_centers, shift <= tol
 
@@ -168,6 +167,26 @@ def _lloyd(
         return (new_centers, done | now_done), None
 
     (centers, _), _ = jax.lax.scan(step, (centers, jnp.asarray(False)), None, length=n_iters)
+
+    # Relocation refinement OUTSIDE the hot scan: a per-iteration top-k cost
+    # ~40% of the fused hypergraph build on TPU (measured round 2), and at
+    # convergence these two extra passes are exact no-ops (converged centers
+    # are a Lloyd fixed point), so the common all-non-empty case pays only
+    # two cheap approx_max_k calls.
+    for _ in range(2):
+        d = _sq_dists_to_centers(x, centers)
+        labels = jnp.argmin(d, axis=-1)
+        counts = jnp.zeros((k,), x.dtype).at[labels].add(weights)
+        centers, labels = _relocate_empty(
+            x, centers, labels, jnp.min(d, axis=-1), counts, weights
+        )
+        onehot = jax.nn.one_hot(labels, k, dtype=x.dtype) * weights[:, None]
+        counts = jnp.sum(onehot, axis=0)
+        sums = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)
+        centers = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centers
+        )
+
     d = _sq_dists_to_centers(x, centers)
     labels = jnp.argmin(d, axis=-1)
     d_min = jnp.min(d, axis=-1)

@@ -166,9 +166,30 @@ class SurvivalTrainer:
 
     def _make_eval_step(self, model, graphdef, drop_prob: Optional[float] = None):
         use_drop = drop_prob is not None and self._supports_drop_prob
+        # Opt-in bf16 inference (model_config.compute_dtype="bfloat16"):
+        # parameters and floating inputs cast to bf16, so the trunk matmuls
+        # run as native MXU bf16 (accumulation stays f32 via the models'
+        # preferred_element_type); logits/probabilities cast back to f32 for
+        # metrics.  Training and all parity tests stay f32.
+        cdtype = self.configs.model_config.get("compute_dtype", "float32")
+        cast = jnp.bfloat16 if cdtype == "bfloat16" else None
+
+        def _to_compute(tree):
+            if cast is None:
+                return tree
+            return jax.tree.map(
+                lambda x: x.astype(cast)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                tree,
+            )
 
         @jax.jit
         def eval_step(params, rest, window, keys):
+            params = _to_compute(params)
+            rest = _to_compute(rest)
+            window = dict(window, channels=_to_compute(window["channels"]))
+
             def one(channels, masks, label, key):
                 m = nnx.merge(graphdef, params, rest)
                 case = {"channels": channels, "masks": masks}
@@ -180,7 +201,12 @@ class SurvivalTrainer:
                 # log-risk for C-index: Cox head output when present,
                 # positive-class logit otherwise
                 risk = res["risk"] if "risk" in res else res["logits"][0, 1:2]
-                return res["logits"], res["probabilities"], res["predictions"], loss, risk
+                out = (res["logits"], res["probabilities"], res["predictions"], loss, risk)
+                return jax.tree.map(
+                    lambda x: x.astype(jnp.float32)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                    out,
+                )
 
             return jax.vmap(one)(
                 window["channels"], window["masks"], window["label"], keys

@@ -323,3 +323,30 @@ def test_cli_scheduler_params_roundtrip(tmp_path):
 
     loaded = Configs.load(p)
     assert loaded.experiment_config.scheduler_params == {"step_size": 3, "gamma": 0.1}
+
+
+def test_bf16_eval_matches_f32(surv_dataset, tmp_path):
+    """Opt-in bf16 inference (model_config.compute_dtype): probabilities
+    within bf16 tolerance of the f32 path, same AUC on this fixture."""
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    cfgs = _configs(tmp_path)
+    trainer = SurvivalTrainer(cfgs, tmp_path / "run_bf16")
+    splits = create_k_fold_splits(surv_dataset.labels, 3, seed=0)
+    trainer.train_fold(surv_dataset, splits[0], 0)
+
+    res32 = trainer.evaluate_fold(surv_dataset, splits[0], 0)
+    cfgs.model_config.extra["compute_dtype"] = "bfloat16"
+    res16 = trainer.evaluate_fold(surv_dataset, splits[0], 0)
+    cfgs.model_config.extra.pop("compute_dtype")
+
+    p32 = np.asarray(res32["probs"], np.float32)
+    p16 = np.asarray(res16["probs"], np.float32)
+    np.testing.assert_allclose(p16, p32, atol=4e-2)
+    # tiny k=3 test split may be single-class (AUC undefined on both paths);
+    # when defined, bf16 must agree with f32
+    if np.isfinite(res32["auc"]):
+        assert abs(res16["auc"] - res32["auc"]) < 0.05
+    else:
+        assert not np.isfinite(res16["auc"])
+    assert np.isfinite(res16["loss"])

@@ -343,3 +343,44 @@ def test_load_fold_split_numeric_case_ids(tmp_path):
     assert got.train_idx.tolist() == [0, 1]
     assert got.val_idx.tolist() == [2]
     assert got.test_idx.tolist() == [3]
+
+
+def test_main_cli_fixed_split_and_start_k_fold(cli_dataset, tmp_path):
+    """--split_mode fixed with --dataset_split_path (shared test set across
+    folds) and --start_k_fold resume semantics, through the real CLI."""
+    import json as _json
+
+    from multimodal_fusion_tpu.cli.main_survival import main
+    from multimodal_fusion_tpu.data.splits import load_fold_split
+
+    root, csv_path = cli_dataset
+    spec = {"train": [str(i) for i in range(1, 8)], "test": [str(i) for i in range(8, 11)]}
+    split_json = tmp_path / "split.json"
+    split_json.write_text(_json.dumps(spec))
+    log_dir = main([
+        "--csv_path", str(csv_path),
+        "--data_root_dir", str(root),
+        "--results_dir", str(tmp_path / "results"),
+        "--exp_code", "fixed",
+        "--model_type", "clam_mlp",
+        "--target_channels", "wsi=features", "tma=cd3=features",
+        "--channels_used_in_model", "wsi=features", "tma=cd3=features",
+        "--input_dim", "32", "--model_size", "32*16", "--output_dim", "32",
+        "--k", "3", "--start_k_fold", "1",
+        "--split_mode", "fixed", "--dataset_split_path", str(split_json),
+        "--max_epochs", "1", "--batch_size", "4", "--seed", "0",
+    ])
+    # start_k_fold=1 of k=3: folds 1 and 2 trained, fold 0 skipped
+    lines = (log_dir / "summary.csv").read_text().strip().split("\n")
+    assert len(lines) == 3  # header + folds 1,2
+    assert not (log_dir / "splits_0.csv").exists()
+    # fixed mode: identical test membership across trained folds
+    from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
+
+    ds = MultimodalDataset(csv_path, root, channels=["wsi=features", "tma=cd3=features"])
+    s1 = load_fold_split(log_dir / "splits_1.csv", ds.case_ids)
+    s2 = load_fold_split(log_dir / "splits_2.csv", ds.case_ids)
+    assert set(s1.test_idx.tolist()) == set(s2.test_idx.tolist())
+    # the fixed test patients (ids 8..10) are exactly the test set
+    test_pids = {str(ds.case_to_patient[ds.case_ids[i]]) for i in s1.test_idx}
+    assert test_pids == set(spec["test"])

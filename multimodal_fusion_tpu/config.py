@@ -150,6 +150,10 @@ class ExperimentConfig:
     # TPU-native additions
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 8}
     dtype: str = "float32"
+    # rematerialisation: recompute per-case forwards in the backward pass
+    # instead of storing activations — trades FLOPs for HBM, scaling the
+    # accumulation window / bag sizes beyond what activation memory allows
+    remat: bool = False
 
     extra: Dict[str, Any] = field(default_factory=dict)
 

@@ -126,6 +126,7 @@ class SurvivalTrainer:
 
     def _make_train_step(self, model, graphdef, tx):
         has_group = model.has_group_loss()
+        remat = bool(getattr(self.exp, "remat", False))
 
         @jax.jit
         def train_step(params, rest, opt_state, window, keys, lr):
@@ -140,6 +141,13 @@ class SurvivalTrainer:
                     loss = m.loss_fn(res["logits"], label[None], res)
                     _, _, new_rest = nnx.split(m, nnx.Param, ...)
                     return loss, res, new_rest
+
+                if remat:
+                    # exp.remat: recompute each case's forward during the
+                    # backward pass — activation HBM per window drops from
+                    # O(G * bag * hidden) to O(G * outputs), letting window/
+                    # bag sizes scale (jax.checkpoint; SURVEY §7 design note)
+                    one = jax.checkpoint(one)
 
                 losses, results, new_rests = jax.vmap(one)(
                     window["channels"], window["masks"], labels, keys

@@ -60,8 +60,12 @@ def _window_auc(margins, labels):
     return float(np.mean(pos[:, None] > neg[None, :]))
 
 
-def test_auc_clam_training_improves_auc():
-    cfg = make_gate_config("auc_clam")
+import pytest
+
+
+@pytest.mark.parametrize("model_type", ["auc_clam", "gate_auc_mil"])
+def test_auc_model_training_improves_auc(model_type):
+    cfg = make_gate_config(model_type)
     cfg.dropout = 0.0
     model = ModelFactory.create_model(cfg, seed=0)
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)

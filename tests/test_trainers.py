@@ -350,3 +350,25 @@ def test_bf16_eval_matches_f32(surv_dataset, tmp_path):
     else:
         assert not np.isfinite(res16["auc"])
     assert np.isfinite(res16["loss"])
+
+
+def test_remat_training_matches_baseline(surv_dataset, tmp_path):
+    """exp.remat=True (jax.checkpoint per-case forwards) must be numerically
+    identical training — same history losses and final AUCs."""
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    splits = create_k_fold_splits(surv_dataset.labels, 3, seed=0)
+
+    def run(remat, d):
+        cfgs = _configs(tmp_path)
+        cfgs.experiment_config.remat = remat
+        tr = SurvivalTrainer(cfgs, tmp_path / d)
+        return tr.train_fold(surv_dataset, splits[0], 0)
+
+    base = run(False, "r0")
+    rem = run(True, "r1")
+    for h0, h1 in zip(base["history"], rem["history"]):
+        np.testing.assert_allclose(h0["train_loss"], h1["train_loss"], rtol=1e-4, atol=1e-5)
+    assert base["test_auc"] == rem["test_auc"] or abs(base["test_auc"] - rem["test_auc"]) < 1e-6 or (
+        np.isnan(base["test_auc"]) and np.isnan(rem["test_auc"])
+    )

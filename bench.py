@@ -102,7 +102,12 @@ def run_ours(root: Path, paths):
         paths[0], NUM_SUPER, NUM_GROUPS, K, NUM_HYPEREDGES, save_similarity=False
     )
     best = 0.0
-    # best-of-3: the TPU link here has ~2x run-to-run variance
+    # best-of-3: the TPU link here has ~2x run-to-run variance.
+    # file_batch stays 1 here: this link is host->device UPLOAD-bound and the
+    # per-file pipeline overlaps uploads with compute better than the
+    # batched path (measured: 14.3k p/s unbatched vs 10.6k with
+    # file_batch=4). --file_batch exists for direct-attached hosts where
+    # dispatch latency, not link bandwidth, dominates.
     for _trial in range(3):
         t0 = time.time()
         stats, summary = process_dataset(

@@ -26,6 +26,8 @@ def build_parser():
     p.add_argument("--output_stats_path", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no_save_similarity", action="store_true", default=False)
+    # same-shape files batched through one vmapped device program
+    p.add_argument("--file_batch", type=int, default=1)
     # on-demand similarity caching for files built with --no_save_similarity
     p.add_argument("--cache_similarity", action="store_true", default=False)
     # fast-rebuild mode from cached similarity matrices
@@ -68,6 +70,7 @@ def main(argv=None):
         output_stats_path=args.output_stats_path,
         seed=args.seed,
         save_similarity=not args.no_save_similarity,
+        file_batch=args.file_batch,
     )
     print(json.dumps(summary))
     return stats

@@ -596,6 +596,118 @@ def process_single_file(
     return all_stats
 
 
+def _finalize_host(
+    case_id,
+    h5_rel_path,
+    h5_path,
+    n_patches,
+    tma_features,
+    host,
+    save_similarity,
+    num_wsi_super_patches,
+    num_groups,
+    hypergraph_k,
+    num_hyperedges,
+):
+    """Host-side edge assembly + stats + h5 write for ONE file's fused-build
+    outputs; runs on a thread pool so it overlaps other files' transfers
+    (numpy/h5py release the GIL for the heavy parts).  Errors are isolated
+    per file like the reference (preprocess_hypergraph.py:659-670)."""
+    try:
+        if (host["counts"] == 0).any():
+            # only reachable when n_patches < num_super (see
+            # process_single_file)
+            raise ValueError("empty cluster in super-patch aggregation")
+        K_full = _unpack_triu(host["K"], n_patches) if save_similarity else None
+        edge_index, edge_weights = _assemble_edges(
+            host["knn_idx"], host["hyperedge_labels"], host["normed"], num_hyperedges
+        )
+        group_labels = host["group_labels"].astype(np.int64)
+        stats = {
+            "wsi_aggregation": {
+                "num_original_patches": int(n_patches),
+                "num_super_patches": int(num_wsi_super_patches),
+                "avg_intra_cluster_similarity": float(host["intra_mean"]),
+                "wsi_similarity_matrix_stats": _stats_dict(host["K_stats"]),
+            },
+            "similarity": _stats_dict(host["sim_stats"]),
+            "grouping": {
+                "method": "kmeans",
+                "num_groups": int(num_groups),
+                "group_sizes": np.bincount(group_labels, minlength=num_groups).tolist(),
+            },
+            "hypergraph": {
+                "num_nodes": int(host["sp_feats"].shape[0] + tma_features.shape[0]),
+                "num_wsi_super_patches": int(host["sp_feats"].shape[0]),
+                "num_tma_patches": int(tma_features.shape[0]),
+                "num_edges": int(edge_index.shape[1]),
+                "num_hyperedges": int(num_hyperedges),
+                "k": int(hypergraph_k),
+            },
+        }
+        save_hypergraph(
+            h5_path, host["sp_feats"], host["sp_pos"], tma_features,
+            edge_index, edge_weights, group_labels, stats,
+            wsi_similarity_matrix=K_full,
+            wsi_tma_similarity_matrix=host["sim"] if save_similarity else None,
+        )
+        stats["case_id"] = case_id
+        stats["h5_path"] = h5_rel_path
+        stats["num_patches_processed"] = int(n_patches)
+        return stats
+    except Exception as e:
+        return {"case_id": case_id, "error": str(e)}
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "lambda_h", "lambda_g", "num_super", "num_groups", "k",
+        "num_hyperedges", "cache_bf16", "full_stats", "ship_cache",
+    ),
+)
+def _fused_build_batch(
+    keys,  # [B, ...] PRNG keys (identical per file for unbatched parity)
+    feats,  # [B, N, D]
+    pos,  # [B, N, P]
+    tma,  # [B, T, D]
+    triu_idx,
+    lambda_h,
+    lambda_g,
+    num_super,
+    num_groups,
+    k,
+    num_hyperedges,
+    cache_bf16: bool = True,
+    full_stats: bool = True,
+    ship_cache: bool = True,
+):
+    """vmapped fused build over a batch of SAME-SHAPE files: one device
+    dispatch + one device->host transfer per batch instead of per file.
+    Through a remote TPU link the per-dispatch overhead dominates at these
+    sizes, so same-shape batching is the single biggest throughput lever."""
+
+    def one(key, f, p, t):
+        return _fused_build(
+            key, f, p, t, triu_idx, lambda_h, lambda_g, num_super, num_groups,
+            k, num_hyperedges, cache_bf16=cache_bf16, full_stats=full_stats,
+            ship_cache=ship_cache,
+        )
+
+    return jax.vmap(one)(keys, feats, pos, tma)
+
+
+# HBM guard for batched builds: keep the batch's [B, N, N] similarity
+# footprint under ~4 GB f32.
+_BATCH_K_ELEM_BUDGET = 1 << 30
+
+
+def _effective_file_batch(file_batch: int, n: int, full_stats: bool) -> int:
+    if not full_stats:
+        return file_batch
+    return max(1, min(file_batch, _BATCH_K_ELEM_BUDGET // max(n * n, 1)))
+
+
 def process_dataset(
     csv_path,
     data_root_dir,
@@ -609,6 +721,7 @@ def process_dataset(
     seed: int = 42,
     save_similarity: bool = True,
     pipeline_depth: int = 3,
+    file_batch: int = 1,
 ):
     """Dataset-level build, software-pipelined: up to ``pipeline_depth`` files
     have their fused device program dispatched ahead (JAX async dispatch), so
@@ -618,6 +731,12 @@ def process_dataset(
     df = pd.read_csv(csv_path)
     if "h5_file_path" not in df.columns:
         raise ValueError("CSV must contain 'h5_file_path' column")
+    if file_batch > 1:
+        return _process_dataset_batched(
+            df, data_root_dir, num_wsi_super_patches, num_groups, hypergraph_k,
+            num_hyperedges, lambda_h, lambda_g, output_stats_path, seed,
+            save_similarity, file_batch,
+        )
     all_stats = []
     t0 = time.time()
 
@@ -658,53 +777,11 @@ def process_dataset(
         return (idx, row, h5_path, (wsi_features.shape[0], tma_features), out)
 
     def finalize(case_id, row, h5_path, n_patches, tma_features, host):
-        """Host-side edge assembly + stats + h5 write; runs on the thread
-        pool so it overlaps the next files' transfers (numpy/h5py release
-        the GIL for the heavy parts)."""
-        try:
-            if (host["counts"] == 0).any():
-                # only reachable when n_patches < num_super (see
-                # process_single_file); isolated per-file like the reference
-                raise ValueError("empty cluster in super-patch aggregation")
-            K_full = _unpack_triu(host["K"], n_patches) if save_similarity else None
-            edge_index, edge_weights = _assemble_edges(
-                host["knn_idx"], host["hyperedge_labels"], host["normed"], num_hyperedges
-            )
-            group_labels = host["group_labels"].astype(np.int64)
-            stats = {
-                "wsi_aggregation": {
-                    "num_original_patches": int(n_patches),
-                    "num_super_patches": int(num_wsi_super_patches),
-                    "avg_intra_cluster_similarity": float(host["intra_mean"]),
-                    "wsi_similarity_matrix_stats": _stats_dict(host["K_stats"]),
-                },
-                "similarity": _stats_dict(host["sim_stats"]),
-                "grouping": {
-                    "method": "kmeans",
-                    "num_groups": int(num_groups),
-                    "group_sizes": np.bincount(group_labels, minlength=num_groups).tolist(),
-                },
-                "hypergraph": {
-                    "num_nodes": int(host["sp_feats"].shape[0] + tma_features.shape[0]),
-                    "num_wsi_super_patches": int(host["sp_feats"].shape[0]),
-                    "num_tma_patches": int(tma_features.shape[0]),
-                    "num_edges": int(edge_index.shape[1]),
-                    "num_hyperedges": int(num_hyperedges),
-                    "k": int(hypergraph_k),
-                },
-            }
-            save_hypergraph(
-                h5_path, host["sp_feats"], host["sp_pos"], tma_features,
-                edge_index, edge_weights, group_labels, stats,
-                wsi_similarity_matrix=K_full,
-                wsi_tma_similarity_matrix=host["sim"] if save_similarity else None,
-            )
-            stats["case_id"] = case_id
-            stats["h5_path"] = row["h5_file_path"]
-            stats["num_patches_processed"] = int(n_patches)
-            return stats
-        except Exception as e:
-            return {"case_id": case_id, "error": str(e)}
+        return _finalize_host(
+            case_id, row["h5_file_path"], h5_path, n_patches, tma_features,
+            host, save_similarity, num_wsi_super_patches, num_groups,
+            hypergraph_k, num_hyperedges,
+        )
 
     def drain(item):
         idx, row, h5_path, meta, out = item
@@ -746,6 +823,122 @@ def process_dataset(
     finalize_pool.shutdown(wait=True)
     # summed after the pool drains — finalize() runs on two threads, so a
     # shared counter would race
+    total_patches = sum(s.get("num_patches_processed", 0) for s in all_stats)
+    elapsed = time.time() - t0
+    summary = {
+        "files": len(all_stats),
+        "total_patches": total_patches,
+        "elapsed_s": elapsed,
+        "patches_per_sec": total_patches / elapsed if elapsed > 0 else 0.0,
+    }
+    if output_stats_path:
+        from multimodal_fusion_tpu.io.h5io import _json_default
+
+        Path(output_stats_path).write_text(
+            json.dumps({"summary": summary, "files": all_stats}, indent=2, default=_json_default)
+        )
+    return all_stats, summary
+
+
+def _process_dataset_batched(
+    df,
+    data_root_dir,
+    num_wsi_super_patches,
+    num_groups,
+    hypergraph_k,
+    num_hyperedges,
+    lambda_h,
+    lambda_g,
+    output_stats_path,
+    seed,
+    save_similarity,
+    file_batch,
+):
+    """Batched dataset build: files are grouped by (N_patches, N_tma) shape
+    and each group runs through ``_fused_build_batch`` in chunks of up to
+    ``file_batch`` — one device dispatch/transfer per chunk.  Per-file seed
+    semantics match the unbatched path exactly (every file uses
+    ``jax.random.key(seed)``), so outputs are the same pipeline, batched.
+    Load errors, missing files and no-TMA skips stay per-file; results are
+    reported in CSV order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.time()
+    results: Dict[int, Dict] = {}
+    loaded = []  # (order, row, h5_path, feats, pos, tma)
+    for order, (idx, row) in enumerate(df.iterrows()):
+        case_id = str(row.get("case_id", f"case_{idx}"))
+        h5_path = os.path.join(str(data_root_dir), row["h5_file_path"])
+        if not os.path.exists(h5_path):
+            continue
+        try:
+            feats, pos = load_wsi_data(h5_path)
+            tma = load_tma_data(h5_path)
+        except Exception as e:
+            results[order] = {"case_id": case_id, "error": str(e)}
+            continue
+        if tma is None:
+            results[order] = {"case_id": case_id, "status": "skipped", "reason": "no_tma"}
+            continue
+        loaded.append((order, row, h5_path, feats, pos, tma))
+
+    groups: Dict[Tuple[int, int], list] = {}
+    for item in loaded:
+        groups.setdefault((item[3].shape[0], item[5].shape[0]), []).append(item)
+
+    finalize_pool = ThreadPoolExecutor(max_workers=2)
+    futures = []  # (order, future)
+    key = jax.random.key(seed)
+    for (n, t), items in groups.items():
+        full_stats = save_similarity or n <= FULL_STATS_MAX_N
+        eff = _effective_file_batch(file_batch, n, full_stats)
+        triu = jnp.asarray(
+            _triu_flat_indices(n) if save_similarity else np.zeros((0,), np.int32)
+        )
+        pending = []
+        for start in range(0, len(items), eff):
+            chunk = items[start:start + eff]
+            B = len(chunk)
+            out = _fused_build_batch(
+                jnp.broadcast_to(key, (B,) + key.shape),
+                jnp.asarray(np.stack([c[3] for c in chunk])),
+                jnp.asarray(np.stack([c[4] for c in chunk])),
+                jnp.asarray(np.stack([c[5] for c in chunk])),
+                triu,
+                lambda_h, lambda_g,
+                num_wsi_super_patches, num_groups, hypergraph_k, num_hyperedges,
+                full_stats=full_stats,
+                ship_cache=save_similarity,
+            )
+            for leaf in jax.tree.leaves(out):
+                leaf.copy_to_host_async()
+            pending.append((chunk, out))
+        for chunk, out in pending:
+            try:
+                host = jax.device_get(out)
+            except Exception as e:
+                for order, row, *_ in chunk:
+                    results[order] = {
+                        "case_id": str(row.get("case_id", order)), "error": str(e)
+                    }
+                continue
+            for i, (order, row, h5_path, feats, pos, tma) in enumerate(chunk):
+                host_i = jax.tree.map(lambda x: np.asarray(x[i]), host)
+                futures.append((
+                    order,
+                    finalize_pool.submit(
+                        _finalize_host,
+                        str(row.get("case_id", f"case_{order}")),
+                        row["h5_file_path"], h5_path, feats.shape[0], tma,
+                        host_i, save_similarity, num_wsi_super_patches,
+                        num_groups, hypergraph_k, num_hyperedges,
+                    ),
+                ))
+    for order, fut in futures:
+        results[order] = fut.result()
+    finalize_pool.shutdown(wait=True)
+
+    all_stats = [results[o] for o in sorted(results)]
     total_patches = sum(s.get("num_patches_processed", 0) for s in all_stats)
     elapsed = time.time() - t0
     summary = {

@@ -244,3 +244,55 @@ def test_no_cache_large_n_path(tmp_path):
     assert out["wsi_super/features"].shape == (6, 16)
     assert np.isfinite(stats["wsi_aggregation"]["avg_intra_cluster_similarity"])
     assert stats["hypergraph"]["num_edges"] > 0
+
+
+def test_file_batched_build_matches_unbatched(tmp_path):
+    """file_batch > 1 groups same-shape files through one vmapped fused
+    build; outputs must match the per-file path (same seed per file):
+    identical edge sets, matching super-patch features."""
+    import h5py
+
+    from multimodal_fusion_tpu.hypergraph.build import process_dataset
+    from multimodal_fusion_tpu.io.h5io import read_hypergraph_group
+
+    rng = np.random.default_rng(8)
+
+    def write_ds(root, n_per_file):
+        root.mkdir()
+        rows = []
+        for i, n in enumerate(n_per_file):
+            p = root / f"case_{i}.h5"
+            r2 = np.random.default_rng(100 + i)  # same data in both dirs
+            with h5py.File(p, "w") as f:
+                f["wsi/features"] = (r2.standard_normal((n, 16)) * 0.3).astype(np.float32)
+                f["wsi/positions"] = r2.uniform(0, 3, (n, 2)).astype(np.float32)
+                f["tma/features"] = (r2.standard_normal((6, 16)) * 0.3).astype(np.float32)
+            rows.append(f"case_{i},case_{i},living,{p.name}")
+        (root / "d.csv").write_text(
+            "patient_id,case_id,label,h5_file_path\n"
+            + "\n".join(f"{i},{r.split(',',1)[1]}" for i, r in enumerate(rows))
+        )
+        return root / "d.csv"
+
+    # two shape groups: 3 files of 50 patches, 2 of 70
+    shapes = [50, 50, 70, 50, 70]
+    csv_a = write_ds(tmp_path / "a", shapes)
+    csv_b = write_ds(tmp_path / "b", shapes)
+
+    stats_a, _ = process_dataset(csv_a, tmp_path / "a", 8, 3, 2, 4)
+    stats_b, summary_b = process_dataset(csv_b, tmp_path / "b", 8, 3, 2, 4, file_batch=3)
+    assert summary_b["total_patches"] == sum(shapes)
+    assert all("error" not in s for s in stats_a)
+    assert all("error" not in s for s in stats_b), stats_b
+
+    for i in range(len(shapes)):
+        a = read_hypergraph_group(tmp_path / "a" / f"case_{i}.h5")
+        b = read_hypergraph_group(tmp_path / "b" / f"case_{i}.h5")
+        ea = set(map(tuple, np.sort(a["edge_index"].T, axis=1).tolist()))
+        eb = set(map(tuple, np.sort(b["edge_index"].T, axis=1).tolist()))
+        assert ea == eb, f"file {i}: edge sets differ"
+        np.testing.assert_allclose(
+            np.sort(a["wsi_super/features"], axis=0),
+            np.sort(b["wsi_super/features"], axis=0),
+            rtol=1e-4, atol=1e-5,
+        )

@@ -19,10 +19,30 @@ REF = Path("/root/reference")
 torch = pytest.importorskip("torch")
 if not REF.exists():  # pragma: no cover
     pytest.skip("reference tree unavailable", allow_module_level=True)
-if str(REF / "alignment") not in sys.path:
-    sys.path.insert(0, str(REF / "alignment"))
+import contextlib  # noqa: E402
 
 from flax import nnx  # noqa: E402
+
+
+@contextlib.contextmanager
+def _isolated_ref_imports(path, names):
+    """The reference alignment package's top-level module names (trainer,
+    alignment_model, alignment_dataset) collide with downstream_survival's
+    trainer.py that other parity tests import; import under a temporary
+    sys.path and evict/restore afterwards so the suite order is irrelevant."""
+    saved = {n: sys.modules.pop(n, None) for n in names}
+    sys.path.insert(0, str(path))
+    try:
+        yield
+    finally:
+        sys.path.remove(str(path))
+        for n in names:
+            sys.modules.pop(n, None)
+            if saved[n] is not None:
+                sys.modules[n] = saved[n]
+
+
+_ALIGN_NAMES = ("trainer", "alignment_model", "alignment_dataset")
 
 from multimodal_fusion_tpu.io.fixtures import make_alignment_npz_fixtures  # noqa: E402
 
@@ -112,11 +132,11 @@ def test_alignment_trained_loss_parity(tmp_path):
     make_alignment_npz_fixtures(
         tmp_path, n_cores=20, patches_per_core=3, feature_dim=DIM, markers=MARKERS
     )
-    import contextlib
     import io
 
-    with contextlib.redirect_stdout(io.StringIO()):
-        ref_loss, ref_keys = _train_reference(tmp_path)
+    with _isolated_ref_imports(REF / "alignment", _ALIGN_NAMES):
+        with contextlib.redirect_stdout(io.StringIO()):
+            ref_loss, ref_keys = _train_reference(tmp_path)
     our_loss, our_keys = _train_ours(tmp_path, tmp_path)
 
     # both stacks enumerate the identical aligned tuples from the NPZs

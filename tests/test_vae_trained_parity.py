@@ -23,10 +23,31 @@ if not REF.exists():  # pragma: no cover
 # models -> libauc/torch_geometric/perceiver)
 import test_torch_parity  # noqa: F401, E402
 
-if str(REF / "vae") not in sys.path:
-    sys.path.insert(0, str(REF / "vae"))
+import contextlib  # noqa: E402
 
 from flax import nnx  # noqa: E402
+
+
+@contextlib.contextmanager
+def _isolated_ref_imports(path, names):
+    """The reference's vae package uses GENERIC top-level module names
+    (models, train, loss, dataset) that collide with the downstream_survival
+    package other parity tests import.  Import under a temporary sys.path,
+    then evict those names and restore whatever was there before — otherwise
+    this test poisons sys.modules for the rest of the suite."""
+    saved = {n: sys.modules.pop(n, None) for n in names}
+    sys.path.insert(0, str(path))
+    try:
+        yield
+    finally:
+        sys.path.remove(str(path))
+        for n in names:
+            sys.modules.pop(n, None)
+            if saved[n] is not None:
+                sys.modules[n] = saved[n]
+
+
+_VAE_NAMES = ("models", "train", "loss", "dataset")
 
 N, D, LATENT = 512, 24, 4
 EPOCHS = 5
@@ -116,11 +137,11 @@ def test_vae_trained_loss_parity(tmp_path):
     x = _lowrank_features(rng)
     x_train, x_val = x[:448], x[448:]
 
-    import contextlib
     import io
 
-    with contextlib.redirect_stdout(io.StringIO()):
-        ref_loss = _train_reference(x_train, x_val, tmp_path)
+    with _isolated_ref_imports(REF / "vae", _VAE_NAMES):
+        with contextlib.redirect_stdout(io.StringIO()):
+            ref_loss = _train_reference(x_train, x_val, tmp_path)
     our_loss = _train_ours(x_train, x_val, tmp_path)
 
     print(f"\nVAE trained val loss: reference={ref_loss:.4f} ours={our_loss:.4f}")

@@ -7,6 +7,8 @@ from multimodal_fusion_tpu.hypergraph.build import (  # noqa: F401
     process_dataset,
     rebuild_hypergraph_from_similarity,
     batch_rebuild_hypergraph,
+    cache_similarity_matrices,
+    batch_cache_similarity,
     save_hypergraph,
     load_similarity_matrices,
 )

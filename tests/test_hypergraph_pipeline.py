@@ -296,3 +296,43 @@ def test_file_batched_build_matches_unbatched(tmp_path):
             np.sort(b["wsi_super/features"], axis=0),
             rtol=1e-4, atol=1e-5,
         )
+
+
+def test_sampled_stats_path_forced(tmp_path, monkeypatch):
+    """The huge-N path (full_stats=False: statistics from a <=2048-point
+    subsample, [N,N] never materialised) — forced by lowering
+    FULL_STATS_MAX_N, since real 1e5-patch fixtures don't fit a CPU test."""
+    import h5py
+
+    import multimodal_fusion_tpu.hypergraph.build as build_mod
+
+    monkeypatch.setattr(build_mod, "FULL_STATS_MAX_N", 100)
+    rng = np.random.default_rng(12)
+    p = tmp_path / "big.h5"
+    with h5py.File(p, "w") as f:
+        f["wsi/features"] = (rng.standard_normal((300, 16)) * 0.3).astype(np.float32)
+        f["wsi/positions"] = rng.uniform(0, 3, (300, 2)).astype(np.float32)
+        f["tma/features"] = (rng.standard_normal((8, 16)) * 0.3).astype(np.float32)
+    stats = build_mod.process_single_file(p, 6, 2, 2, 3, save_similarity=False)
+    assert "error" not in stats
+    assert np.isfinite(stats["wsi_aggregation"]["avg_intra_cluster_similarity"])
+    assert np.isfinite(stats["wsi_aggregation"]["wsi_similarity_matrix_stats"]["mean"])
+    assert stats["hypergraph"]["num_edges"] > 0
+    from multimodal_fusion_tpu.io.h5io import read_hypergraph_group
+
+    out = read_hypergraph_group(p)
+    assert "similarity/wsi_internal" not in out
+
+    # the batched driver takes the same sampled path
+    import csv
+
+    with open(tmp_path / "d.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["patient_id", "case_id", "label", "h5_file_path"])
+        w.writeheader()
+        w.writerow({"patient_id": 0, "case_id": "big", "label": "living",
+                    "h5_file_path": p.name})
+    stats2, summary = build_mod.process_dataset(
+        tmp_path / "d.csv", tmp_path, 6, 2, 2, 3, save_similarity=False, file_batch=2
+    )
+    assert all("error" not in s for s in stats2), stats2
+    assert summary["total_patches"] == 300

@@ -216,7 +216,9 @@ ALIGNMENT_SWEEPS: Dict[str, Dict] = {
                                 "values": ["0.1", "0.5", "1.0", "2.0", "5.0"]},
     "ablation_loss2_chunk_size": {"flag": "loss2_chunk_size",
                                   "values": ["8", "32", "64", "256", "1024"]},
-    "exp_svd_256_tma": {"flag": None, "opts": {"loss_type": "svd"}},
+    # the reference calls the rank-1 SVD objective "svd"; our CLI names it
+    # "rank1" (choices rank1|volume)
+    "exp_svd_256_tma": {"flag": None, "opts": {"loss_type": "rank1"}},
     "exp_volume_256_tma": {"flag": None, "opts": {"loss_type": "volume"}},
 }
 

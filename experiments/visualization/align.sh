@@ -1,19 +1,15 @@
 #!/usr/bin/env bash
 # Alignment-feature visualization over a finished results dir
-# (mirrors reference downstream_survival/utils/align.sh: heatmap + t-SNE
-# plots of the dumped svd_features for one fold).
+# (mirrors reference downstream_survival/utils/align.sh: dump the fold's
+# aligned SVD features, then heatmap + t-SNE plots).
 set -euo pipefail
 RESULTS_DIR=${1:?usage: align.sh <results_dir> [fold]}
 FOLD=${2:-0}
-python - <<PY
-from pathlib import Path
-from multimodal_fusion_tpu.utils.visualization import (
-    plot_alignment_heatmap, plot_modality_tsne,
-)
-d = Path("${RESULTS_DIR}")
-dump = d / "svd_features" / "fold_${FOLD}_features.npz"
-out = d / "svd_features_fold${FOLD}"
-out.mkdir(parents=True, exist_ok=True)
-print(plot_alignment_heatmap(dump, out / "heatmap.png"))
-print(plot_modality_tsne(dump, out / "tsne.png"))
-PY
+CSV_PATH=${CSV_PATH:?set CSV_PATH}
+DATA_ROOT_DIR=${DATA_ROOT_DIR:?set DATA_ROOT_DIR}
+python -m multimodal_fusion_tpu.cli.alignment_visualization \
+    --results_dir "$RESULTS_DIR" \
+    --csv_path "$CSV_PATH" \
+    --data_root_dir "$DATA_ROOT_DIR" \
+    --fold_idx "$FOLD" \
+    --plots

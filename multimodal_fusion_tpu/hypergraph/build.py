@@ -136,16 +136,23 @@ def _stats_dict(v: np.ndarray) -> Dict[str, float]:
 from functools import partial
 
 
-_TRIU_CACHE: Dict[int, "np.ndarray"] = {}
+_TRIU_CACHE: Dict[int, jax.Array] = {}
 
 
-def _triu_flat_indices(n: int) -> np.ndarray:
-    """Flat indices of the upper triangle (incl. diagonal) of an [n, n]
-    matrix; host-cached per n and uploaded once — K is symmetric, so the
-    device->host cache transfer ships n(n+1)/2 elements instead of n^2."""
+def _triu_flat_indices(n: int):
+    """Row/col indices of the upper triangle (incl. diagonal) of an [n, n]
+    matrix as a DEVICE-cached [M, 2] int32 array — K is symmetric, so the
+    device->host cache transfer ships n(n+1)/2 elements instead of n^2.
+
+    Two-column form (not flat ``i*n + j``): the flat index overflows int32
+    for n > 46340, and JAX's default x64-disabled mode cannot carry int64
+    gather indices.  Device-cached so repeated same-shape files don't re-pay
+    the host->device upload."""
     if n not in _TRIU_CACHE:
         iu0, iu1 = np.triu_indices(n)
-        _TRIU_CACHE[n] = (iu0.astype(np.int32) * n + iu1.astype(np.int32))
+        _TRIU_CACHE[n] = jnp.asarray(
+            np.stack([iu0, iu1], axis=1).astype(np.int32)
+        )
     return _TRIU_CACHE[n]
 
 
@@ -169,7 +176,7 @@ def _fused_build(
     feats: jax.Array,  # [N, D]
     pos: jax.Array,  # [N, P]
     tma: jax.Array,  # [T, D]
-    triu_idx: jax.Array,  # [N*(N+1)/2] flat upper-triangle indices
+    triu_idx: jax.Array,  # [N*(N+1)/2, 2] upper-triangle (row, col) indices
     lambda_h: float,
     lambda_g: float,
     num_super: int,
@@ -245,7 +252,7 @@ def _fused_build(
         # The [N,N] cache crosses the device->host link; it is symmetric, so
         # ship only the packed upper triangle, in bf16 (values are
         # similarities in [0,1]; cache precision documented in README).
-        K_packed = K.reshape(-1)[triu_idx]
+        K_packed = K[triu_idx[:, 0], triu_idx[:, 1]]
         out_cache["K"] = K_packed.astype(jnp.bfloat16) if cache_bf16 else K_packed
     return {
         **out_cache,
@@ -527,7 +534,10 @@ def process_single_file(
 
     n = wsi_features.shape[0]
     full_stats = save_similarity or n <= FULL_STATS_MAX_N
-    triu = _triu_flat_indices(n) if save_similarity else np.zeros((0,), np.int32)
+    triu = (
+        _triu_flat_indices(n) if save_similarity
+        else jnp.zeros((0, 2), jnp.int32)
+    )
     out = _fused_build(
         jax.random.key(seed),
         jnp.asarray(wsi_features),
@@ -698,8 +708,10 @@ def _fused_build_batch(
 
 
 # HBM guard for batched builds: keep the batch's [B, N, N] similarity
-# footprint under ~4 GB f32.
+# footprint under ~4 GB f32, and bound how many dispatched chunks can hold
+# device output buffers before the oldest is drained (backpressure).
 _BATCH_K_ELEM_BUDGET = 1 << 30
+_MAX_INFLIGHT_CHUNKS = 3
 
 
 def _effective_file_batch(file_batch: int, n: int, full_stats: bool) -> int:
@@ -757,7 +769,7 @@ def process_dataset(
             return (idx, row, h5_path, None, None)
         triu = (
             _triu_flat_indices(wsi_features.shape[0])
-            if save_similarity else np.zeros((0,), np.int32)
+            if save_similarity else jnp.zeros((0, 2), jnp.int32)
         )
         out = _fused_build(
             jax.random.key(seed),
@@ -854,86 +866,142 @@ def _process_dataset_batched(
     save_similarity,
     file_batch,
 ):
-    """Batched dataset build: files are grouped by (N_patches, N_tma) shape
-    and each group runs through ``_fused_build_batch`` in chunks of up to
-    ``file_batch`` — one device dispatch/transfer per chunk.  Per-file seed
-    semantics match the unbatched path exactly (every file uses
-    ``jax.random.key(seed)``), so outputs are the same pipeline, batched.
-    Load errors, missing files and no-TMA skips stay per-file; results are
+    """Batched dataset build: files are grouped by their full array shapes
+    (N_patches, feature dim, position dim, N_tma, TMA dim) and each group
+    runs through ``_fused_build_batch`` in chunks of up to ``file_batch`` —
+    one device dispatch/transfer per chunk.  Per-file seed semantics match
+    the unbatched path exactly (every file uses ``jax.random.key(seed)``),
+    so outputs are the same pipeline, batched.
+
+    Memory discipline: the grouping pre-scan reads only dataset SHAPES from
+    the h5 headers (no array data), chunk arrays are loaded lazily right
+    before their dispatch, and at most ``_MAX_INFLIGHT_CHUNKS`` chunks are
+    in flight on device before the oldest is drained.  Load/dispatch errors,
+    missing files and no-TMA skips stay per-file or per-chunk; results are
     reported in CSV order."""
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     t0 = time.time()
     results: Dict[int, Dict] = {}
-    loaded = []  # (order, row, h5_path, feats, pos, tma)
+    entries = []  # (order, row, h5_path, shape_key)
     for order, (idx, row) in enumerate(df.iterrows()):
         case_id = str(row.get("case_id", f"case_{idx}"))
         h5_path = os.path.join(str(data_root_dir), row["h5_file_path"])
         if not os.path.exists(h5_path):
             continue
         try:
-            feats, pos = load_wsi_data(h5_path)
-            tma = load_tma_data(h5_path)
+            def probe(f):
+                if "wsi/features" not in f:
+                    raise ValueError(f"WSI features not found in {h5_path}")
+                fs = f["wsi/features"].shape
+                ps = f["wsi/positions"].shape if "wsi/positions" in f else (fs[0], 2)
+                if "tma" not in f:
+                    return None
+                tma = f["tma"]
+                if "features" in tma and isinstance(tma["features"], h5py.Dataset):
+                    ts = tma["features"].shape
+                else:
+                    rows = sum(
+                        g["features"].shape[0]
+                        for g in (tma[m] for m in sorted(tma.keys()))
+                        if isinstance(g, h5py.Group) and "features" in g
+                    )
+                    if rows == 0:
+                        return None
+                    ts = (rows, fs[1])
+                return fs + ps[1:] + ts
+
+            shape_key = read_h5_retrying(h5_path, probe)
         except Exception as e:
             results[order] = {"case_id": case_id, "error": str(e)}
             continue
-        if tma is None:
+        if shape_key is None:
             results[order] = {"case_id": case_id, "status": "skipped", "reason": "no_tma"}
             continue
-        loaded.append((order, row, h5_path, feats, pos, tma))
+        entries.append((order, row, h5_path, shape_key))
 
-    groups: Dict[Tuple[int, int], list] = {}
-    for item in loaded:
-        groups.setdefault((item[3].shape[0], item[5].shape[0]), []).append(item)
+    groups: Dict[Tuple, list] = {}
+    for item in entries:
+        groups.setdefault(item[3], []).append(item)
 
     finalize_pool = ThreadPoolExecutor(max_workers=2)
     futures = []  # (order, future)
     key = jax.random.key(seed)
-    for (n, t), items in groups.items():
+
+    def drain(chunk, out):
+        try:
+            host = jax.device_get(out)
+        except Exception as e:
+            for order, row, h5_path, tma in chunk:
+                results[order] = {
+                    "case_id": str(row.get("case_id", order)), "error": str(e)
+                }
+            return
+        for i, (order, row, h5_path, tma) in enumerate(chunk):
+            host_i = jax.tree.map(lambda x: np.asarray(x[i]), host)
+            futures.append((
+                order,
+                finalize_pool.submit(
+                    _finalize_host,
+                    str(row.get("case_id", f"case_{order}")),
+                    row["h5_file_path"], h5_path, host_i["labels"].shape[0], tma,
+                    host_i, save_similarity, num_wsi_super_patches,
+                    num_groups, hypergraph_k, num_hyperedges,
+                ),
+            ))
+
+    inflight: deque = deque()
+    for shape_key, items in groups.items():
+        n = shape_key[0]
         full_stats = save_similarity or n <= FULL_STATS_MAX_N
         eff = _effective_file_batch(file_batch, n, full_stats)
-        triu = jnp.asarray(
-            _triu_flat_indices(n) if save_similarity else np.zeros((0,), np.int32)
+        triu = (
+            _triu_flat_indices(n) if save_similarity
+            else jnp.zeros((0, 2), jnp.int32)
         )
-        pending = []
         for start in range(0, len(items), eff):
-            chunk = items[start:start + eff]
-            B = len(chunk)
-            out = _fused_build_batch(
-                jnp.broadcast_to(key, (B,) + key.shape),
-                jnp.asarray(np.stack([c[3] for c in chunk])),
-                jnp.asarray(np.stack([c[4] for c in chunk])),
-                jnp.asarray(np.stack([c[5] for c in chunk])),
-                triu,
-                lambda_h, lambda_g,
-                num_wsi_super_patches, num_groups, hypergraph_k, num_hyperedges,
-                full_stats=full_stats,
-                ship_cache=save_similarity,
-            )
-            for leaf in jax.tree.leaves(out):
-                leaf.copy_to_host_async()
-            pending.append((chunk, out))
-        for chunk, out in pending:
+            chunk_items = items[start:start + eff]
+            # lazy load of just this chunk's arrays
+            loaded, meta = [], []
+            for order, row, h5_path, _ in chunk_items:
+                try:
+                    feats, pos = load_wsi_data(h5_path)
+                    tma = load_tma_data(h5_path)
+                    loaded.append((feats, pos, tma))
+                    meta.append((order, row, h5_path, tma))
+                except Exception as e:
+                    results[order] = {
+                        "case_id": str(row.get("case_id", order)), "error": str(e)
+                    }
+            if not loaded:
+                continue
             try:
-                host = jax.device_get(out)
+                B = len(loaded)
+                out = _fused_build_batch(
+                    jnp.broadcast_to(key, (B,) + key.shape),
+                    jnp.asarray(np.stack([x[0] for x in loaded])),
+                    jnp.asarray(np.stack([x[1] for x in loaded])),
+                    jnp.asarray(np.stack([x[2] for x in loaded])),
+                    triu,
+                    lambda_h, lambda_g,
+                    num_wsi_super_patches, num_groups, hypergraph_k, num_hyperedges,
+                    full_stats=full_stats,
+                    ship_cache=save_similarity,
+                )
+                for leaf in jax.tree.leaves(out):
+                    leaf.copy_to_host_async()
             except Exception as e:
-                for order, row, *_ in chunk:
+                for order, row, h5_path, tma in meta:
                     results[order] = {
                         "case_id": str(row.get("case_id", order)), "error": str(e)
                     }
                 continue
-            for i, (order, row, h5_path, feats, pos, tma) in enumerate(chunk):
-                host_i = jax.tree.map(lambda x: np.asarray(x[i]), host)
-                futures.append((
-                    order,
-                    finalize_pool.submit(
-                        _finalize_host,
-                        str(row.get("case_id", f"case_{order}")),
-                        row["h5_file_path"], h5_path, feats.shape[0], tma,
-                        host_i, save_similarity, num_wsi_super_patches,
-                        num_groups, hypergraph_k, num_hyperedges,
-                    ),
-                ))
+            inflight.append((meta, out))
+            if len(inflight) >= _MAX_INFLIGHT_CHUNKS:
+                drain(*inflight.popleft())
+    while inflight:
+        drain(*inflight.popleft())
     for order, fut in futures:
         results[order] = fut.result()
     finalize_pool.shutdown(wait=True)
@@ -1049,7 +1117,10 @@ def cache_similarity_matrices(
     hypergraph group without touching its other datasets (reference stores
     them unconditionally at preprocess_hypergraph.py:436-511)."""
     # decide what's needed BEFORE computing: the [N,N] device->host pull is
-    # the expensive part, so a fully-cached file must cost one h5 stat
+    # the expensive part, so a fully-cached file must cost one h5 stat.
+    # The per-path lock (re-entrant) is held across probe -> compute ->
+    # write so two same-process callers with overwrite=False cannot both
+    # decide to compute.
     def probe(f):
         grp = f.get("hypergraph")
         has_k = grp is not None and "similarity/wsi_internal" in grp
@@ -1057,6 +1128,13 @@ def cache_similarity_matrices(
         has_super = grp is not None and "wsi_super/features" in grp
         return has_k, has_sim, has_super
 
+    with _lock_for(str(h5_path)):
+        return _cache_similarity_locked(
+            h5_path, lambda_h, lambda_g, overwrite, probe
+        )
+
+
+def _cache_similarity_locked(h5_path, lambda_h, lambda_g, overwrite, probe):
     has_k, has_sim, has_super = read_h5_retrying(h5_path, probe)
     need_k = overwrite or not has_k
     need_sim = has_super and (overwrite or not has_sim)

@@ -54,14 +54,17 @@ def _json_default(o):
     raise TypeError(f"not JSON serializable: {type(o)}")
 
 
-_FILE_LOCKS: Dict[str, threading.Lock] = {}
+# RLock: composite operations (e.g. probe -> compute -> write in
+# cache_similarity_matrices) hold the per-path lock across reads that
+# themselves acquire it — re-entrancy keeps that deadlock-free.
+_FILE_LOCKS: Dict[str, threading.RLock] = {}
 _FILE_LOCKS_GUARD = threading.Lock()
 
 
-def _lock_for(path: str) -> threading.Lock:
+def _lock_for(path: str) -> threading.RLock:
     with _FILE_LOCKS_GUARD:
         if path not in _FILE_LOCKS:
-            _FILE_LOCKS[path] = threading.Lock()
+            _FILE_LOCKS[path] = threading.RLock()
         return _FILE_LOCKS[path]
 
 

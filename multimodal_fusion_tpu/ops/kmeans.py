@@ -128,8 +128,11 @@ def _relocate_empty(
     empty = counts == 0
     rank = jnp.cumsum(empty.astype(jnp.int32)) - 1  # rank among empty clusters
     n_valid = jnp.sum(valid.astype(jnp.int32))
-    can = empty & (rank < n_valid)  # never relocate onto padding
     target = far_idx[jnp.clip(rank, 0, k - 1)]  # donor point per empty cluster
+    # never relocate onto padding: both by rank and by checking the chosen
+    # donor itself (approx_max_k is approximate — a bin-maximum can surface a
+    # sentinel even when enough real donors exist)
+    can = empty & (rank < n_valid) & (contrib[target] > -1.5)
     centers = jnp.where(can[:, None], x[target], centers)
     upd = jnp.where(can, target, n)  # out-of-bounds rows dropped by scatter
     labels = labels.at[upd].set(jnp.arange(k), mode="drop")

@@ -94,8 +94,10 @@ class SurvivalTrainer:
 
             n = int(self.exp.mesh_shape.get("data", 0))
             r = int(self.exp.mesh_shape.get("replica", 0))
-            if r > 1 and n > 1:
-                self.mesh = make_mesh_2d(r, n)
+            if r > 1:
+                # replica-only configs ({"replica": R} or data<=1) still get
+                # an R-way mesh: an (R, 1) grid shards the batch R ways
+                self.mesh = make_mesh_2d(r, max(n, 1))
             elif n > 1:
                 self.mesh = make_mesh(n)
 

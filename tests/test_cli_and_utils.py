@@ -384,3 +384,37 @@ def test_main_cli_fixed_split_and_start_k_fold(cli_dataset, tmp_path):
     # the fixed test patients (ids 8..10) are exactly the test set
     test_pids = {str(ds.case_to_patient[ds.case_ids[i]]) for i in s1.test_idx}
     assert test_pids == set(spec["test"])
+
+
+def test_alignment_visualization_cli(cli_dataset, tmp_path):
+    """The align.sh driver path end-to-end: train a flagship fold, dump
+    svd_features/fold_0_features.npz through the new CLI, plot."""
+    from multimodal_fusion_tpu.cli.alignment_visualization import main as viz_main
+    from multimodal_fusion_tpu.cli.main_survival import main
+
+    root, csv_path = cli_dataset
+    log_dir = main([
+        "--csv_path", str(csv_path),
+        "--data_root_dir", str(root),
+        "--results_dir", str(tmp_path / "results"),
+        "--exp_code", "viz",
+        "--model_type", "svd_gate_random_clam",
+        "--target_channels", "wsi=features", "tma=cd3=features",
+        "--channels_used_in_model", "wsi=features", "tma=cd3=features",
+        "--input_dim", "32", "--model_size", "32*16", "--output_dim", "32",
+        "--k", "2", "--max_epochs", "1", "--batch_size", "4",
+        "--enable_svd", "--enable_dynamic_gate",
+        "--seed", "0",
+    ])
+    outs = viz_main([
+        "--results_dir", str(log_dir),
+        "--csv_path", str(csv_path),
+        "--data_root_dir", str(root),
+        "--fold_idx", "0",
+        "--plots",
+    ])
+    dump = log_dir / "svd_features" / "fold_0_features.npz"
+    assert dump.exists()
+    payload = np.load(dump)
+    assert any(k.startswith("aligned__") for k in payload.files)
+    assert any(k.startswith("original__") for k in payload.files)

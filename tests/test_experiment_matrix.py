@@ -119,3 +119,18 @@ def test_alignment_scripts_in_sync(tmp_path):
         ours = (REPO / "experiments" / "alignment" / f"{name}.sh").read_text()
         fresh = (tmp_path / "alignment" / f"{name}.sh").read_text()
         assert ours == fresh, f"alignment/{name}.sh is stale"
+
+
+def test_alignment_entries_parse():
+    """Every alignment sweep entry must satisfy the real run_alignment
+    parser (caught the generated exp_svd script passing loss_type=svd,
+    which the CLI rejects)."""
+    from multimodal_fusion_tpu.cli.run_alignment import build_parser
+
+    parser = build_parser()
+    for name, sweep in matrix.ALIGNMENT_SWEEPS.items():
+        values = sweep.get("values") or [None]
+        for v in values:
+            argv = matrix.build_alignment_argv(name, value=v)
+            argv += ["--base_dir", "x", "--save_path", "m.npz"]
+            parser.parse_args([str(a) for a in argv])

@@ -136,24 +136,19 @@ def _stats_dict(v: np.ndarray) -> Dict[str, float]:
 from functools import partial
 
 
-_TRIU_CACHE: Dict[int, jax.Array] = {}
-
-
-def _triu_flat_indices(n: int):
-    """Row/col indices of the upper triangle (incl. diagonal) of an [n, n]
-    matrix as a DEVICE-cached [M, 2] int32 array — K is symmetric, so the
-    device->host cache transfer ships n(n+1)/2 elements instead of n^2.
-
-    Two-column form (not flat ``i*n + j``): the flat index overflows int32
-    for n > 46340, and JAX's default x64-disabled mode cannot carry int64
-    gather indices.  Device-cached so repeated same-shape files don't re-pay
-    the host->device upload."""
-    if n not in _TRIU_CACHE:
-        iu0, iu1 = np.triu_indices(n)
-        _TRIU_CACHE[n] = jnp.asarray(
-            np.stack([iu0, iu1], axis=1).astype(np.int32)
-        )
-    return _TRIU_CACHE[n]
+def _device_triu_indices(n: int):
+    """(row, col) indices of the upper triangle (incl. diagonal) of an
+    [n, n] matrix, derived ON DEVICE inside the enclosing jit from the
+    static n: zero host->device upload, zero persistent HBM (an earlier
+    design cached an [M, 2] index array in HBM per distinct N — ~4*n^2
+    bytes pinned forever, and per-shape uploads through the tunnel).
+    ``jnp.nonzero(size=...)`` scans row-major, matching np.triu_indices
+    ordering, and two int32 columns avoid the int32 overflow of flat
+    ``i*n + j`` for n > 46340.  K is symmetric, so the device->host cache
+    transfer ships n(n+1)/2 elements instead of n^2."""
+    ii = jnp.arange(n, dtype=jnp.int32)
+    mask = ii[None, :] >= ii[:, None]
+    return jnp.nonzero(mask, size=n * (n + 1) // 2)
 
 
 def _unpack_triu(packed: np.ndarray, n: int) -> np.ndarray:
@@ -176,7 +171,6 @@ def _fused_build(
     feats: jax.Array,  # [N, D]
     pos: jax.Array,  # [N, P]
     tma: jax.Array,  # [T, D]
-    triu_idx: jax.Array,  # [N*(N+1)/2, 2] upper-triangle (row, col) indices
     lambda_h: float,
     lambda_g: float,
     num_super: int,
@@ -252,7 +246,8 @@ def _fused_build(
         # The [N,N] cache crosses the device->host link; it is symmetric, so
         # ship only the packed upper triangle, in bf16 (values are
         # similarities in [0,1]; cache precision documented in README).
-        K_packed = K[triu_idx[:, 0], triu_idx[:, 1]]
+        iu0, iu1 = _device_triu_indices(n)
+        K_packed = K[iu0, iu1]
         out_cache["K"] = K_packed.astype(jnp.bfloat16) if cache_bf16 else K_packed
     return {
         **out_cache,
@@ -534,16 +529,11 @@ def process_single_file(
 
     n = wsi_features.shape[0]
     full_stats = save_similarity or n <= FULL_STATS_MAX_N
-    triu = (
-        _triu_flat_indices(n) if save_similarity
-        else jnp.zeros((0, 2), jnp.int32)
-    )
     out = _fused_build(
         jax.random.key(seed),
         jnp.asarray(wsi_features),
         jnp.asarray(wsi_positions),
         jnp.asarray(tma_features),
-        jnp.asarray(triu),
         lambda_h,
         lambda_g,
         num_wsi_super_patches,
@@ -681,7 +671,6 @@ def _fused_build_batch(
     feats,  # [B, N, D]
     pos,  # [B, N, P]
     tma,  # [B, T, D]
-    triu_idx,
     lambda_h,
     lambda_g,
     num_super,
@@ -699,7 +688,7 @@ def _fused_build_batch(
 
     def one(key, f, p, t):
         return _fused_build(
-            key, f, p, t, triu_idx, lambda_h, lambda_g, num_super, num_groups,
+            key, f, p, t, lambda_h, lambda_g, num_super, num_groups,
             k, num_hyperedges, cache_bf16=cache_bf16, full_stats=full_stats,
             ship_cache=ship_cache,
         )
@@ -767,16 +756,11 @@ def process_dataset(
         tma_features = load_tma_data(h5_path)
         if tma_features is None:
             return (idx, row, h5_path, None, None)
-        triu = (
-            _triu_flat_indices(wsi_features.shape[0])
-            if save_similarity else jnp.zeros((0, 2), jnp.int32)
-        )
         out = _fused_build(
             jax.random.key(seed),
             jnp.asarray(wsi_features),
             jnp.asarray(wsi_positions),
             jnp.asarray(tma_features),
-            jnp.asarray(triu),
             lambda_h, lambda_g,
             num_wsi_super_patches, num_groups, hypergraph_k, num_hyperedges,
             full_stats=save_similarity or wsi_features.shape[0] <= FULL_STATS_MAX_N,
@@ -902,14 +886,18 @@ def _process_dataset_batched(
                 if "features" in tma and isinstance(tma["features"], h5py.Dataset):
                     ts = tma["features"].shape
                 else:
-                    rows = sum(
-                        g["features"].shape[0]
-                        for g in (tma[m] for m in sorted(tma.keys()))
-                        if isinstance(g, h5py.Group) and "features" in g
-                    )
-                    if rows == 0:
+                    # mirror load_tma_data: None only when NO marker group
+                    # carries a features dataset; empty (0, D) parts still
+                    # count (the unbatched path builds with a 0-row TMA and
+                    # both paths must take the same branch)
+                    part_shapes = [
+                        tma[m]["features"].shape
+                        for m in sorted(tma.keys())
+                        if isinstance(tma[m], h5py.Group) and "features" in tma[m]
+                    ]
+                    if not part_shapes:
                         return None
-                    ts = (rows, fs[1])
+                    ts = (sum(sh[0] for sh in part_shapes), part_shapes[0][1])
                 return fs + ps[1:] + ts
 
             shape_key = read_h5_retrying(h5_path, probe)
@@ -956,10 +944,6 @@ def _process_dataset_batched(
         n = shape_key[0]
         full_stats = save_similarity or n <= FULL_STATS_MAX_N
         eff = _effective_file_batch(file_batch, n, full_stats)
-        triu = (
-            _triu_flat_indices(n) if save_similarity
-            else jnp.zeros((0, 2), jnp.int32)
-        )
         for start in range(0, len(items), eff):
             chunk_items = items[start:start + eff]
             # lazy load of just this chunk's arrays
@@ -983,7 +967,6 @@ def _process_dataset_batched(
                     jnp.asarray(np.stack([x[0] for x in loaded])),
                     jnp.asarray(np.stack([x[1] for x in loaded])),
                     jnp.asarray(np.stack([x[2] for x in loaded])),
-                    triu,
                     lambda_h, lambda_g,
                     num_wsi_super_patches, num_groups, hypergraph_k, num_hyperedges,
                     full_stats=full_stats,

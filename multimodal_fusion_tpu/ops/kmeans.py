@@ -122,16 +122,19 @@ def _relocate_empty(
     valid = weights > 0
     singleton = counts[labels] <= 1
     contrib = jnp.where(valid & ~singleton, d_min, jnp.where(valid, -1.0, -2.0))
-    # approx_max_k: TPU's fast partial-reduce top-k — donor selection only
-    # needs far points, not the exact order (exact fallback on CPU)
-    _, far_idx = jax.lax.approx_max_k(contrib, k)  # [K] best donors
+    # EXACT top-k for donors: approx_max_k's bin-wise partial reduce can
+    # surface a padding sentinel as a bin maximum even when >= k real donors
+    # exist, silently skipping a relocation (TPU-only; CPU falls back to
+    # exact, so tests would never catch it).  Relocation runs only in the
+    # post-scan refinement + final pass, so the exact sort is off the hot
+    # Lloyd loop and its cost is negligible.
+    _, far_idx = jax.lax.top_k(contrib, k)  # [K] best donors, descending
     empty = counts == 0
     rank = jnp.cumsum(empty.astype(jnp.int32)) - 1  # rank among empty clusters
     n_valid = jnp.sum(valid.astype(jnp.int32))
     target = far_idx[jnp.clip(rank, 0, k - 1)]  # donor point per empty cluster
-    # never relocate onto padding: both by rank and by checking the chosen
-    # donor itself (approx_max_k is approximate — a bin-maximum can surface a
-    # sentinel even when enough real donors exist)
+    # never relocate onto padding: by rank, and belt-and-braces by checking
+    # the chosen donor's own contribution
     can = empty & (rank < n_valid) & (contrib[target] > -1.5)
     centers = jnp.where(can[:, None], x[target], centers)
     upd = jnp.where(can, target, n)  # out-of-bounds rows dropped by scatter
@@ -175,7 +178,7 @@ def _lloyd(
     # ~40% of the fused hypergraph build on TPU (measured round 2), and at
     # convergence these two extra passes are exact no-ops (converged centers
     # are a Lloyd fixed point), so the common all-non-empty case pays only
-    # two cheap approx_max_k calls.
+    # two top-k calls total.
     for _ in range(2):
         d = _sq_dists_to_centers(x, centers)
         labels = jnp.argmin(d, axis=-1)

@@ -94,7 +94,16 @@ class SurvivalTrainer:
 
             n = int(self.exp.mesh_shape.get("data", 0))
             r = int(self.exp.mesh_shape.get("replica", 0))
-            if r > 1:
+            need = max(r, 1) * max(n, 1)
+            if need > len(jax.devices()):
+                # persisted configs from larger hosts must stay loadable for
+                # eval/viz on small hosts: run unsharded with a warning
+                # instead of refusing to construct
+                print(
+                    f"mesh_shape {self.exp.mesh_shape} needs {need} devices, "
+                    f"have {len(jax.devices())}; running unsharded"
+                )
+            elif r > 1:
                 # replica-only configs ({"replica": R} or data<=1) still get
                 # an R-way mesh: an (R, 1) grid shards the batch R ways
                 self.mesh = make_mesh_2d(r, max(n, 1))

@@ -12,6 +12,7 @@ from multimodal_fusion_tpu.ops.masked import (  # noqa: F401
 )
 from multimodal_fusion_tpu.ops.kmeans import kmeans, kmeans_plus_plus_init  # noqa: F401
 from multimodal_fusion_tpu.ops.knn import knn_indices, knn_indices_blockwise  # noqa: F401
+from multimodal_fusion_tpu.ops.pallas_knn import knn_indices_auto, pallas_knn  # noqa: F401
 from multimodal_fusion_tpu.ops.losses import (  # noqa: F401
     cross_entropy,
     binary_cross_entropy,

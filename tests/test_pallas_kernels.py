@@ -28,3 +28,43 @@ def test_pallas_similarity_odd_sizes():
         pallas_combined_similarity(f, p, 1.0, 1.0, tile_m=64, tile_n=64, interpret=True)
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_knn_matches_bruteforce():
+    """Running-top-k Pallas KNN (interpret mode on CPU) vs the exact
+    brute-force oracle: same neighbour sets, same ascending distances."""
+    from multimodal_fusion_tpu.ops.knn import knn_indices
+    from multimodal_fusion_tpu.ops.pallas_knn import pallas_knn
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((300, 24)) * 2.0).astype(np.float32)
+    k = 6
+    d_ref, i_ref = knn_indices(jnp.asarray(x), k)
+    d_pl, i_pl = pallas_knn(jnp.asarray(x), k, tile_m=128, tile_n=128, interpret=True)
+    assert d_pl.shape == (300, k) and i_pl.shape == (300, k)
+    # norm-expansion cancellation leaves ~1e-2 absolute noise after sqrt
+    # (same tolerance as test_knn_matches_sklearn)
+    np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_ref), rtol=1e-3, atol=2e-2)
+    match = (np.sort(np.asarray(i_pl), 1) == np.sort(np.asarray(i_ref), 1)).mean()
+    assert match >= 0.99  # ties may order differently
+    # ascending distances per row
+    dv = np.asarray(d_pl)
+    assert (np.diff(dv, axis=1) >= -1e-6).all()
+    # self always present (distance 0 at slot 0)
+    assert (np.asarray(i_pl)[:, 0] == np.arange(300)).mean() >= 0.99
+
+
+def test_pallas_knn_non_divisible_and_auto():
+    from multimodal_fusion_tpu.ops.knn import knn_indices
+    from multimodal_fusion_tpu.ops.pallas_knn import knn_indices_auto, pallas_knn
+
+    rng = np.random.default_rng(4)
+    x = (rng.standard_normal((197, 17)) * 2.0).astype(np.float32)
+    d_ref, i_ref = knn_indices(jnp.asarray(x), 5)
+    d_pl, i_pl = pallas_knn(jnp.asarray(x), 5, tile_m=128, tile_n=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_ref), rtol=1e-3, atol=2e-2)
+    # padded key columns must never appear as neighbours
+    assert (np.asarray(i_pl) < 197).all()
+    # auto dispatch below the pallas threshold: exact path
+    d_a, i_a = knn_indices_auto(jnp.asarray(x), 5)
+    np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_ref), rtol=1e-4, atol=1e-4)

@@ -28,6 +28,10 @@ def build_parser():
     p.add_argument("--no_save_similarity", action="store_true", default=False)
     # same-shape files batched through one vmapped device program
     p.add_argument("--file_batch", type=int, default=1)
+    # pad patch counts to bucket multiples: one compile serves the bucket
+    # (heterogeneous N otherwise compiles per distinct patch count);
+    # compute-on-read mode only
+    p.add_argument("--bucket_patches", type=int, default=None)
     # on-demand similarity caching for files built with --no_save_similarity
     p.add_argument("--cache_similarity", action="store_true", default=False)
     # fast-rebuild mode from cached similarity matrices
@@ -71,6 +75,7 @@ def main(argv=None):
         seed=args.seed,
         save_similarity=not args.no_save_similarity,
         file_batch=args.file_batch,
+        bucket_patches=args.bucket_patches,
     )
     print(json.dumps(summary))
     return stats

@@ -123,6 +123,16 @@ def _matrix_stats_dev(K: jax.Array) -> jax.Array:
     )
 
 
+def _matrix_stats_dev_masked(K: jax.Array, mask: jax.Array) -> jax.Array:
+    """Masked [mean, std, min, max, median]: invalid entries -> NaN, nan-ops
+    reduce over the valid block only (exactly the unpadded statistics)."""
+    Km = jnp.where(mask, K, jnp.nan)
+    return jnp.stack([
+        jnp.nanmean(Km), jnp.nanstd(Km), jnp.nanmin(Km), jnp.nanmax(Km),
+        jnp.nanmedian(Km),
+    ])
+
+
 def _stats_dict(v: np.ndarray) -> Dict[str, float]:
     return {
         "mean": float(v[0]),
@@ -163,14 +173,15 @@ def _unpack_triu(packed: np.ndarray, n: int) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "lambda_h", "lambda_g", "num_super", "num_groups", "k",
-        "num_hyperedges", "cache_bf16", "full_stats", "ship_cache",
+        "num_hyperedges", "cache_bf16", "full_stats", "ship_cache", "padded",
     ),
 )
 def _fused_build(
     key: jax.Array,
-    feats: jax.Array,  # [N, D]
+    feats: jax.Array,  # [N, D]   (N may be a padded bucket size)
     pos: jax.Array,  # [N, P]
     tma: jax.Array,  # [T, D]
+    n_valid: jax.Array,  # [] int32: valid patch count (== N when unpadded)
     lambda_h: float,
     lambda_g: float,
     num_super: int,
@@ -180,6 +191,7 @@ def _fused_build(
     cache_bf16: bool = True,
     full_stats: bool = True,
     ship_cache: bool = True,
+    padded: bool = False,
 ):
     """The entire per-file numeric pipeline as ONE compiled program:
     similarity -> KMeans super-patches (+ intra-cluster stats) -> cross-modal
@@ -195,10 +207,22 @@ def _fused_build(
     ``cache_similarity_matrices``).  ``full_stats=False`` never materialises
     [N,N] at all: statistics come from a deterministic <=2048-point
     subsample, unlocking 10^5-patch slides (the [N,N] object is the
-    reference's scaling wall — SURVEY §5)."""
+    reference's scaling wall — SURVEY §5).
+
+    ``padded=True`` enables PATCH-COUNT BUCKETING: feats/pos are padded to a
+    bucket size and only the first ``n_valid`` rows are real.  One compiled
+    program then serves every slide in the bucket — without this, every
+    distinct patch count in a heterogeneous dataset triggers a fresh XLA
+    compile (~30-120s through the remote TPU link).  Only stage 1 needs
+    masking (statistics + the super-patch kmeans); everything downstream
+    operates on the fixed-size super-patch/TMA arrays.  Bucketing is only
+    supported with ship_cache=False (the persisted cache keeps exact
+    shapes)."""
     assert full_stats or not ship_cache
+    assert not (padded and ship_cache)
     k1, k2, k3 = jax.random.split(key, 3)
     n = feats.shape[0]
+    mask = (jnp.arange(n) < n_valid) if padded else None
     if full_stats:
         # Pallas fused kernel on TPU for large N (one exp, no intermediate
         # [N,N] distance matrices in HBM; ~1.3x over the XLA formulation
@@ -207,13 +231,17 @@ def _fused_build(
         stat_sel = None
     else:
         S = min(2048, n)
-        stat_sel = jnp.linspace(0, n - 1, S).round().astype(jnp.int32)
+        last = (n_valid - 1).astype(jnp.float32) if padded else float(n - 1)
+        stat_sel = jnp.linspace(0.0, 1.0, S)
+        stat_sel = (stat_sel * last).round().astype(jnp.int32)
         K = combined_similarity_auto(
             feats[stat_sel], pos[stat_sel], lambda_h, lambda_g
-        )  # [S, S] sample for statistics only
+        )  # [S, S] sample for statistics only (valid rows only when padded)
 
-    km = kmeans(k1, feats, k=num_super, n_init=10)
+    km = kmeans(k1, feats, k=num_super, n_init=10, mask=mask)
     onehot = jax.nn.one_hot(km.labels, num_super, dtype=feats.dtype)  # [N,S]
+    if padded:
+        onehot = onehot * mask[:, None].astype(feats.dtype)
     counts = jnp.sum(onehot, axis=0)  # [S]
     denom = jnp.maximum(counts, 1.0)[:, None]
     sp_feats = jnp.dot(onehot.T, feats, preferred_element_type=jnp.float32) / denom
@@ -241,6 +269,11 @@ def _fused_build(
     he = kmeans(k3, all_feats, k=num_hyperedges, n_init=10)
     normed = all_feats / (jnp.linalg.norm(all_feats, axis=1, keepdims=True) + 1e-12)
 
+    if padded and full_stats:
+        K_stats = _matrix_stats_dev_masked(K, mask[:, None] & mask[None, :])
+    else:
+        K_stats = _matrix_stats_dev(K)
+
     out_cache = {}
     if ship_cache:
         # The [N,N] cache crosses the device->host link; it is symmetric, so
@@ -251,7 +284,7 @@ def _fused_build(
         out_cache["K"] = K_packed.astype(jnp.bfloat16) if cache_bf16 else K_packed
     return {
         **out_cache,
-        "K_stats": _matrix_stats_dev(K),
+        "K_stats": K_stats,
         "labels": km.labels,
         "counts": counts,
         "sp_feats": sp_feats,
@@ -511,6 +544,22 @@ def _assemble_edges(
 FULL_STATS_MAX_N = 32768
 
 
+def _bucketed(wsi_features, wsi_positions, bucket_patches):
+    """Pad the patch axis up to the next multiple of ``bucket_patches`` so one
+    compiled program serves every slide in the bucket (heterogeneous patch
+    counts otherwise compile once PER DISTINCT N — ~30-120s each through the
+    remote TPU link)."""
+    n = wsi_features.shape[0]
+    n_pad = ((n + bucket_patches - 1) // bucket_patches) * bucket_patches
+    if n_pad == n:
+        return wsi_features, wsi_positions, n, False
+    f = np.zeros((n_pad, wsi_features.shape[1]), np.float32)
+    f[:n] = wsi_features
+    p = np.zeros((n_pad, wsi_positions.shape[1]), np.float32)
+    p[:n] = wsi_positions
+    return f, p, n, True
+
+
 def process_single_file(
     h5_path,
     num_wsi_super_patches: int = 100,
@@ -521,6 +570,7 @@ def process_single_file(
     lambda_g: float = 1.0,
     seed: int = 42,
     save_similarity: bool = True,
+    bucket_patches: Optional[int] = None,
 ) -> Dict:
     wsi_features, wsi_positions = load_wsi_data(h5_path)
     tma_features = load_tma_data(h5_path)
@@ -528,12 +578,18 @@ def process_single_file(
         return {"status": "skipped", "reason": "no_tma"}
 
     n = wsi_features.shape[0]
-    full_stats = save_similarity or n <= FULL_STATS_MAX_N
+    padded = False
+    if bucket_patches and not save_similarity:
+        wsi_features, wsi_positions, n, padded = _bucketed(
+            wsi_features, wsi_positions, bucket_patches
+        )
+    full_stats = save_similarity or wsi_features.shape[0] <= FULL_STATS_MAX_N
     out = _fused_build(
         jax.random.key(seed),
         jnp.asarray(wsi_features),
         jnp.asarray(wsi_positions),
         jnp.asarray(tma_features),
+        jnp.asarray(n, jnp.int32),
         lambda_h,
         lambda_g,
         num_wsi_super_patches,
@@ -542,6 +598,7 @@ def process_single_file(
         num_hyperedges,
         full_stats=full_stats,
         ship_cache=save_similarity,
+        padded=padded,
     )
     host = jax.device_get(out)  # one bulk transfer
     if save_similarity:
@@ -562,7 +619,7 @@ def process_single_file(
         host["knn_idx"], host["hyperedge_labels"], host["normed"], num_hyperedges
     )
     wsi_stats = {
-        "num_original_patches": int(wsi_features.shape[0]),
+        "num_original_patches": int(n),
         "num_super_patches": int(num_wsi_super_patches),
         "avg_intra_cluster_similarity": float(host["intra_mean"]),
         "wsi_similarity_matrix_stats": _stats_dict(host["K_stats"]),
@@ -592,7 +649,7 @@ def process_single_file(
         wsi_similarity_matrix=K_wsi if save_similarity else None,
         wsi_tma_similarity_matrix=sim if save_similarity else None,
     )
-    all_stats["num_patches_processed"] = int(wsi_features.shape[0])
+    all_stats["num_patches_processed"] = int(n)
     return all_stats
 
 
@@ -686,14 +743,15 @@ def _fused_build_batch(
     Through a remote TPU link the per-dispatch overhead dominates at these
     sizes, so same-shape batching is the single biggest throughput lever."""
 
-    def one(key, f, p, t):
+    def one(key, f, p, t, nv):
         return _fused_build(
-            key, f, p, t, lambda_h, lambda_g, num_super, num_groups,
+            key, f, p, t, nv, lambda_h, lambda_g, num_super, num_groups,
             k, num_hyperedges, cache_bf16=cache_bf16, full_stats=full_stats,
             ship_cache=ship_cache,
         )
 
-    return jax.vmap(one)(keys, feats, pos, tma)
+    n_valid = jnp.full((feats.shape[0],), feats.shape[1], jnp.int32)
+    return jax.vmap(one)(keys, feats, pos, tma, n_valid)
 
 
 # HBM guard for batched builds: keep the batch's [B, N, N] similarity
@@ -723,6 +781,7 @@ def process_dataset(
     save_similarity: bool = True,
     pipeline_depth: int = 3,
     file_batch: int = 1,
+    bucket_patches: Optional[int] = None,
 ):
     """Dataset-level build, software-pipelined: up to ``pipeline_depth`` files
     have their fused device program dispatched ahead (JAX async dispatch), so
@@ -756,21 +815,29 @@ def process_dataset(
         tma_features = load_tma_data(h5_path)
         if tma_features is None:
             return (idx, row, h5_path, None, None)
+        n_valid = wsi_features.shape[0]
+        padded = False
+        if bucket_patches and not save_similarity:
+            wsi_features, wsi_positions, n_valid, padded = _bucketed(
+                wsi_features, wsi_positions, bucket_patches
+            )
         out = _fused_build(
             jax.random.key(seed),
             jnp.asarray(wsi_features),
             jnp.asarray(wsi_positions),
             jnp.asarray(tma_features),
+            jnp.asarray(n_valid, jnp.int32),
             lambda_h, lambda_g,
             num_wsi_super_patches, num_groups, hypergraph_k, num_hyperedges,
             full_stats=save_similarity or wsi_features.shape[0] <= FULL_STATS_MAX_N,
             ship_cache=save_similarity,
+            padded=padded,
         )
         # start the device->host copies now so they overlap the host-side
         # edge assembly + h5 writes of earlier files
         for leaf in jax.tree.leaves(out):
             leaf.copy_to_host_async()
-        return (idx, row, h5_path, (wsi_features.shape[0], tma_features), out)
+        return (idx, row, h5_path, (n_valid, tma_features), out)
 
     def finalize(case_id, row, h5_path, n_patches, tma_features, host):
         return _finalize_host(

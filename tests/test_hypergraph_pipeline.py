@@ -336,3 +336,59 @@ def test_sampled_stats_path_forced(tmp_path, monkeypatch):
     )
     assert all("error" not in s for s in stats2), stats2
     assert summary["total_patches"] == 300
+
+
+def test_bucketed_build(tmp_path):
+    """Patch-count bucketing: padded builds succeed, similarity statistics
+    are EXACT (masked nan-stats equal the unpadded stats), no padded node
+    leaks into the hypergraph, and two different patch counts land on the
+    same padded shape (one compile serves the bucket)."""
+    import h5py
+
+    from multimodal_fusion_tpu.hypergraph.build import (
+        _bucketed,
+        process_single_file,
+    )
+    from multimodal_fusion_tpu.io.h5io import read_hypergraph_group
+
+    rng = np.random.default_rng(21)
+
+    def write(p, n):
+        r = np.random.default_rng(50)  # same leading rows across files
+        feats = (r.standard_normal((n, 16)) * 0.4).astype(np.float32)
+        pos = r.uniform(0, 3, (n, 2)).astype(np.float32)
+        with h5py.File(p, "w") as f:
+            f["wsi/features"] = feats
+            f["wsi/positions"] = pos
+            f["tma/features"] = (r.standard_normal((6, 16)) * 0.4).astype(np.float32)
+
+    # same file, exact vs bucketed: similarity stats identical
+    pa, pb = tmp_path / "a.h5", tmp_path / "b.h5"
+    write(pa, 300)
+    write(pb, 300)
+    s_exact = process_single_file(pa, 8, 3, 2, 4, save_similarity=False)
+    s_bucket = process_single_file(
+        pb, 8, 3, 2, 4, save_similarity=False, bucket_patches=128
+    )
+    for k in ("mean", "std", "min", "max", "median"):
+        np.testing.assert_allclose(
+            s_bucket["wsi_aggregation"]["wsi_similarity_matrix_stats"][k],
+            s_exact["wsi_aggregation"]["wsi_similarity_matrix_stats"][k],
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
+    assert s_bucket["wsi_aggregation"]["num_original_patches"] == 300
+    assert np.isfinite(s_bucket["wsi_aggregation"]["avg_intra_cluster_similarity"])
+    out = read_hypergraph_group(pb)
+    n_nodes = 8 + 6
+    assert out["edge_index"].max() < n_nodes
+    assert out["wsi_super/features"].shape == (8, 16)
+    assert np.isfinite(out["wsi_super/features"]).all()
+    # padded rows must not drag super-patch features toward zero rows:
+    # every super-patch is a mean of real patches (nonzero)
+    assert (np.abs(out["wsi_super/features"]).sum(1) > 1e-3).all()
+
+    # different patch counts -> same bucketed shape (one compile per bucket)
+    f1, _, n1, _ = _bucketed(np.zeros((300, 4), np.float32), np.zeros((300, 2), np.float32), 512)
+    f2, _, n2, _ = _bucketed(np.zeros((450, 4), np.float32), np.zeros((450, 2), np.float32), 512)
+    assert f1.shape == f2.shape == (512, 4)
+    assert (n1, n2) == (300, 450)

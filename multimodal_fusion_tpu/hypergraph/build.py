@@ -720,14 +720,15 @@ def _finalize_host(
     jax.jit,
     static_argnames=(
         "lambda_h", "lambda_g", "num_super", "num_groups", "k",
-        "num_hyperedges", "cache_bf16", "full_stats", "ship_cache",
+        "num_hyperedges", "cache_bf16", "full_stats", "ship_cache", "padded",
     ),
 )
 def _fused_build_batch(
     keys,  # [B, ...] PRNG keys (identical per file for unbatched parity)
-    feats,  # [B, N, D]
+    feats,  # [B, N, D]   (N may be a padded bucket size)
     pos,  # [B, N, P]
     tma,  # [B, T, D]
+    n_valid,  # [B] int32 valid patch counts
     lambda_h,
     lambda_g,
     num_super,
@@ -737,6 +738,7 @@ def _fused_build_batch(
     cache_bf16: bool = True,
     full_stats: bool = True,
     ship_cache: bool = True,
+    padded: bool = False,
 ):
     """vmapped fused build over a batch of SAME-SHAPE files: one device
     dispatch + one device->host transfer per batch instead of per file.
@@ -747,10 +749,9 @@ def _fused_build_batch(
         return _fused_build(
             key, f, p, t, nv, lambda_h, lambda_g, num_super, num_groups,
             k, num_hyperedges, cache_bf16=cache_bf16, full_stats=full_stats,
-            ship_cache=ship_cache,
+            ship_cache=ship_cache, padded=padded,
         )
 
-    n_valid = jnp.full((feats.shape[0],), feats.shape[1], jnp.int32)
     return jax.vmap(one)(keys, feats, pos, tma, n_valid)
 
 
@@ -795,7 +796,7 @@ def process_dataset(
         return _process_dataset_batched(
             df, data_root_dir, num_wsi_super_patches, num_groups, hypergraph_k,
             num_hyperedges, lambda_h, lambda_g, output_stats_path, seed,
-            save_similarity, file_batch,
+            save_similarity, file_batch, bucket_patches,
         )
     all_stats = []
     t0 = time.time()
@@ -916,6 +917,7 @@ def _process_dataset_batched(
     seed,
     save_similarity,
     file_batch,
+    bucket_patches=None,
 ):
     """Batched dataset build: files are grouped by their full array shapes
     (N_patches, feature dim, position dim, N_tma, TMA dim) and each group
@@ -929,7 +931,13 @@ def _process_dataset_batched(
     before their dispatch, and at most ``_MAX_INFLIGHT_CHUNKS`` chunks are
     in flight on device before the oldest is drained.  Load/dispatch errors,
     missing files and no-TMA skips stay per-file or per-chunk; results are
-    reported in CSV order."""
+    reported in CSV order.
+
+    With ``bucket_patches`` (compute-on-read mode only) the patch axis of the
+    GROUP KEY is rounded up to the bucket, so slides with different patch
+    counts share one group, one compiled program, and one dispatch — the
+    production combination: bucketing amortizes compiles, batching amortizes
+    dispatch."""
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
@@ -974,11 +982,15 @@ def _process_dataset_batched(
         if shape_key is None:
             results[order] = {"case_id": case_id, "status": "skipped", "reason": "no_tma"}
             continue
-        entries.append((order, row, h5_path, shape_key))
+        n_true = shape_key[0]
+        if bucket_patches and not save_similarity:
+            n_pad = ((n_true + bucket_patches - 1) // bucket_patches) * bucket_patches
+            shape_key = (n_pad,) + tuple(shape_key[1:])
+        entries.append((order, row, h5_path, shape_key, n_true))
 
     groups: Dict[Tuple, list] = {}
     for item in entries:
-        groups.setdefault(item[3], []).append(item)
+        groups.setdefault(tuple(item[3]), []).append(item)
 
     finalize_pool = ThreadPoolExecutor(max_workers=2)
     futures = []  # (order, future)
@@ -988,19 +1000,19 @@ def _process_dataset_batched(
         try:
             host = jax.device_get(out)
         except Exception as e:
-            for order, row, h5_path, tma in chunk:
+            for order, row, h5_path, tma, n_true in chunk:
                 results[order] = {
                     "case_id": str(row.get("case_id", order)), "error": str(e)
                 }
             return
-        for i, (order, row, h5_path, tma) in enumerate(chunk):
+        for i, (order, row, h5_path, tma, n_true) in enumerate(chunk):
             host_i = jax.tree.map(lambda x: np.asarray(x[i]), host)
             futures.append((
                 order,
                 finalize_pool.submit(
                     _finalize_host,
                     str(row.get("case_id", f"case_{order}")),
-                    row["h5_file_path"], h5_path, host_i["labels"].shape[0], tma,
+                    row["h5_file_path"], h5_path, n_true, tma,
                     host_i, save_similarity, num_wsi_super_patches,
                     num_groups, hypergraph_k, num_hyperedges,
                 ),
@@ -1013,14 +1025,23 @@ def _process_dataset_batched(
         eff = _effective_file_batch(file_batch, n, full_stats)
         for start in range(0, len(items), eff):
             chunk_items = items[start:start + eff]
-            # lazy load of just this chunk's arrays
-            loaded, meta = [], []
-            for order, row, h5_path, _ in chunk_items:
+            # lazy load of just this chunk's arrays (padded to the group's
+            # bucketed N when bucketing is on)
+            loaded, meta, n_valids = [], [], []
+            n_group = shape_key[0]
+            for order, row, h5_path, _, n_true in chunk_items:
                 try:
                     feats, pos = load_wsi_data(h5_path)
                     tma = load_tma_data(h5_path)
+                    if feats.shape[0] != n_group:
+                        f_pad = np.zeros((n_group, feats.shape[1]), np.float32)
+                        f_pad[: feats.shape[0]] = feats
+                        p_pad = np.zeros((n_group, pos.shape[1]), np.float32)
+                        p_pad[: pos.shape[0]] = pos
+                        feats, pos = f_pad, p_pad
                     loaded.append((feats, pos, tma))
-                    meta.append((order, row, h5_path, tma))
+                    n_valids.append(n_true)
+                    meta.append((order, row, h5_path, tma, n_true))
                 except Exception as e:
                     results[order] = {
                         "case_id": str(row.get("case_id", order)), "error": str(e)
@@ -1034,15 +1055,17 @@ def _process_dataset_batched(
                     jnp.asarray(np.stack([x[0] for x in loaded])),
                     jnp.asarray(np.stack([x[1] for x in loaded])),
                     jnp.asarray(np.stack([x[2] for x in loaded])),
+                    jnp.asarray(n_valids, jnp.int32),
                     lambda_h, lambda_g,
                     num_wsi_super_patches, num_groups, hypergraph_k, num_hyperedges,
                     full_stats=full_stats,
                     ship_cache=save_similarity,
+                    padded=bool(bucket_patches) and not save_similarity,
                 )
                 for leaf in jax.tree.leaves(out):
                     leaf.copy_to_host_async()
             except Exception as e:
-                for order, row, h5_path, tma in meta:
+                for order, row, h5_path, tma, n_true in meta:
                     results[order] = {
                         "case_id": str(row.get("case_id", order)), "error": str(e)
                     }

@@ -392,3 +392,54 @@ def test_bucketed_build(tmp_path):
     f2, _, n2, _ = _bucketed(np.zeros((450, 4), np.float32), np.zeros((450, 2), np.float32), 512)
     assert f1.shape == f2.shape == (512, 4)
     assert (n1, n2) == (300, 450)
+
+
+def test_bucketed_batched_matches_bucketed_unbatched(tmp_path):
+    """bucket_patches + file_batch: heterogeneous patch counts collapse into
+    one bucket group and one vmapped program; outputs match the unbatched
+    bucketed path exactly (same per-file seed, same padded shapes)."""
+    import h5py
+
+    from multimodal_fusion_tpu.hypergraph.build import process_dataset
+    from multimodal_fusion_tpu.io.h5io import read_hypergraph_group
+
+    def write_ds(root, n_per_file):
+        root.mkdir()
+        rows = []
+        for i, n in enumerate(n_per_file):
+            r2 = np.random.default_rng(300 + i)
+            p = root / f"case_{i}.h5"
+            with h5py.File(p, "w") as f:
+                f["wsi/features"] = (r2.standard_normal((n, 16)) * 0.3).astype(np.float32)
+                f["wsi/positions"] = r2.uniform(0, 3, (n, 2)).astype(np.float32)
+                f["tma/features"] = (r2.standard_normal((6, 16)) * 0.3).astype(np.float32)
+            rows.append(f"{i},case_{i},living,{p.name}")
+        (root / "d.csv").write_text(
+            "patient_id,case_id,label,h5_file_path\n" + "\n".join(rows)
+        )
+        return root / "d.csv"
+
+    shapes = [40, 55, 70, 90]  # all land in one 128-bucket
+    csv_a = write_ds(tmp_path / "a", shapes)
+    csv_b = write_ds(tmp_path / "b", shapes)
+
+    stats_a, _ = process_dataset(
+        csv_a, tmp_path / "a", 8, 3, 2, 4, save_similarity=False, bucket_patches=128
+    )
+    stats_b, summary_b = process_dataset(
+        csv_b, tmp_path / "b", 8, 3, 2, 4, save_similarity=False,
+        bucket_patches=128, file_batch=4,
+    )
+    assert all("error" not in s for s in stats_a), stats_a
+    assert all("error" not in s for s in stats_b), stats_b
+    assert summary_b["total_patches"] == sum(shapes)
+    for i, n in enumerate(shapes):
+        assert stats_b[i]["num_patches_processed"] == n
+        a = read_hypergraph_group(tmp_path / "a" / f"case_{i}.h5")
+        b = read_hypergraph_group(tmp_path / "b" / f"case_{i}.h5")
+        ea = set(map(tuple, np.sort(a["edge_index"].T, axis=1).tolist()))
+        eb = set(map(tuple, np.sort(b["edge_index"].T, axis=1).tolist()))
+        assert ea == eb, f"file {i}"
+        np.testing.assert_allclose(
+            a["wsi_super/features"], b["wsi_super/features"], rtol=1e-4, atol=1e-5
+        )

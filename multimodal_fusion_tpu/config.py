@@ -154,6 +154,10 @@ class ExperimentConfig:
     # instead of storing activations — trades FLOPs for HBM, scaling the
     # accumulation window / bag sizes beyond what activation memory allows
     remat: bool = False
+    # fuse W gradient-accumulation windows into ONE device dispatch via
+    # lax.scan (numerics identical to W sequential updates); pays off when
+    # per-step dispatch latency dominates (remote TPU links, tiny models)
+    scan_windows: int = 1
 
     extra: Dict[str, Any] = field(default_factory=dict)
 

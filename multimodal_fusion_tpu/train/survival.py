@@ -76,6 +76,13 @@ class EarlyStopping:
         return False
 
 
+def _window_sig(window):
+    """Shape signature of a window pytree (scanned steps require identical
+    shapes across the group)."""
+    leaves, treedef = jax.tree.flatten(window)
+    return treedef, tuple(np.shape(x) for x in leaves)
+
+
 class SurvivalTrainer:
     def __init__(self, configs: Configs, log_dir: str | Path):
         self.configs = configs
@@ -125,6 +132,22 @@ class SurvivalTrainer:
         keys = jax.device_put(keys, sh)
         return window, keys
 
+    def _place_windows_scanned(self, windows, keys):
+        """Shard a stacked [W, G, ...] scan group over the data mesh: the
+        scan axis W stays unsharded (it is sequential), the case axis G
+        shards over every mesh axis."""
+        if self.mesh is None:
+            return windows, keys
+        n_dev = self.mesh.devices.size
+        if windows["label"].shape[1] % n_dev != 0:
+            return windows, keys
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P(None, tuple(self.mesh.axis_names)))
+        windows = jax.tree.map(lambda x: jax.device_put(x, sh), windows)
+        keys = jax.device_put(keys, sh)
+        return windows, keys
+
     # ------------------------------------------------------------------
     # jitted step builders
     # ------------------------------------------------------------------
@@ -135,11 +158,12 @@ class SurvivalTrainer:
         self._supports_drop_prob = "drop_prob" in inspect.signature(model.__call__).parameters
         return model, graphdef, params, rest
 
-    def _make_train_step(self, model, graphdef, tx):
+    def _window_update_fn(self, model, graphdef, tx):
+        """The pure per-window update (fwd+bwd+group loss+optimizer step) —
+        shared by the single-window jit and the scanned multi-window jit."""
         has_group = model.has_group_loss()
         remat = bool(getattr(self.exp, "remat", False))
 
-        @jax.jit
         def train_step(params, rest, opt_state, window, keys, lr):
             labels = window["label"]
             G = labels.shape[0]
@@ -182,6 +206,35 @@ class SurvivalTrainer:
             return params, new_rest, opt_state, mean_loss, results
 
         return train_step
+
+    def _make_train_step(self, model, graphdef, tx):
+        return jax.jit(self._window_update_fn(model, graphdef, tx))
+
+    def _make_scanned_train_step(self, model, graphdef, tx):
+        """W gradient-accumulation windows fused into ONE device dispatch:
+        ``lax.scan`` threads (params, rest, opt_state) through W sequential
+        window updates — numerics identical to W single-window dispatches,
+        but the per-step host->device dispatch cost (which dominates training
+        wall-clock through a remote TPU link) is paid once per W windows.
+        Enabled by ``experiment_config.scan_windows = W``."""
+        update = self._window_update_fn(model, graphdef, tx)
+
+        @jax.jit
+        def train_steps(params, rest, opt_state, windows, keys, lr):
+            def body(carry, xs):
+                params, rest, opt_state = carry
+                window, kk = xs
+                params, rest, opt_state, mean_loss, _ = update(
+                    params, rest, opt_state, window, kk, lr
+                )
+                return (params, rest, opt_state), mean_loss
+
+            (params, rest, opt_state), losses = jax.lax.scan(
+                body, (params, rest, opt_state), (windows, keys)
+            )
+            return params, rest, opt_state, losses
+
+        return train_steps
 
     def _make_eval_step(self, model, graphdef, drop_prob: Optional[float] = None):
         use_drop = drop_prob is not None and self._supports_drop_prob
@@ -294,17 +347,19 @@ class SurvivalTrainer:
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, n)
             logits, probs, preds, losses, risk = eval_step(params, rest, window, keys)
-            all_probs.append(np.asarray(probs[:, 0, :]))
-            all_preds.append(np.asarray(preds).reshape(n))
+            # keep results as device arrays so eval windows pipeline (JAX
+            # async dispatch); one host sync below after the last window
+            all_probs.append(probs)
+            all_preds.append(preds)
             all_labels.append(np.asarray(window["label"]))
-            all_loss.append(np.asarray(losses))
-            all_risk.append(np.asarray(risk).reshape(n))
+            all_loss.append(losses)
+            all_risk.append(risk)
             patient_ids.extend(chunk)
-        probs = np.concatenate(all_probs)
-        preds = np.concatenate(all_preds)
+        probs = np.concatenate([np.asarray(p)[:, 0, :] for p in all_probs])
+        preds = np.concatenate([np.asarray(p).reshape(-1) for p in all_preds])
         labels = np.concatenate(all_labels)
-        risk = np.concatenate(all_risk)
-        loss = float(np.concatenate(all_loss).mean())
+        risk = np.concatenate([np.asarray(r).reshape(-1) for r in all_risk])
+        loss = float(np.concatenate([np.asarray(l) for l in all_loss]).mean())
         out = {
             "auc": binary_auroc(probs[:, 1], labels),
             "acc": accuracy(preds, labels),
@@ -335,6 +390,10 @@ class SurvivalTrainer:
         tx = make_optimizer(exp.optimizer, exp.weight_decay)
         opt_state = tx.init(params)
         train_step = self._make_train_step(model, graphdef, tx)
+        scanW = max(1, int(exp.get("scan_windows", 1) or 1))
+        scan_step = (
+            self._make_scanned_train_step(model, graphdef, tx) if scanW > 1 else None
+        )
         eval_step = self._make_eval_step(model, graphdef)
         schedule = LRSchedule(exp.lr, exp.scheduler_params if exp.scheduler else None)
         if exp.scheduler:
@@ -367,17 +426,67 @@ class SurvivalTrainer:
             else:
                 order = shuffle_rng.permutation(split.train_idx)
             lr = schedule.lr_for_epoch(epoch)
-            epoch_losses = []
+            # per-window mean losses stay ON DEVICE until epoch end: pulling
+            # them per window (`float(mean_loss)`) would block the host on a
+            # device round-trip every step, serializing dispatch through the
+            # TPU link.  np.asarray at epoch end syncs once.
+            epoch_losses: List[Any] = []
+            buf: List[Any] = []
+            buf_sig = None
+
+            def flush_buf():
+                nonlocal params, rest, opt_state, buf, buf_sig
+                if not buf:
+                    return
+                if scan_step is not None and len(buf) == scanW:
+                    windows = jax.tree.map(
+                        lambda *xs: np.stack(xs), *[w for w, _ in buf]
+                    )
+                    kstack = jnp.stack([k for _, k in buf])
+                    windows, kstack = self._place_windows_scanned(windows, kstack)
+                    params, rest, opt_state, losses = scan_step(
+                        params, rest, opt_state, windows, kstack, lr
+                    )
+                    epoch_losses.append(losses)
+                else:
+                    # partial group (epoch tail / shape change): single steps
+                    for window, keys in buf:
+                        n = window["label"].shape[0]
+                        window, keys = self._place_window(window, keys, n)
+                        params, rest, opt_state, mean_loss, _ = train_step(
+                            params, rest, opt_state, window, keys, lr
+                        )
+                        epoch_losses.append(mean_loss)
+                buf = []
+                buf_sig = None
+
             for _, window in self._windows_prefetched(dataset, order, exp.batch_size):
                 n = window["label"].shape[0]
                 key, sub = jax.random.split(key)
                 keys = jax.random.split(sub, n)
-                window, keys = self._place_window(window, keys, n)
-                params, rest, opt_state, mean_loss, _ = train_step(
-                    params, rest, opt_state, window, keys, lr
-                )
-                epoch_losses.append(float(mean_loss))
+                if scan_step is None:
+                    window, keys = self._place_window(window, keys, n)
+                    params, rest, opt_state, mean_loss, _ = train_step(
+                        params, rest, opt_state, window, keys, lr
+                    )
+                    epoch_losses.append(mean_loss)
+                    continue
+                # scanned windows must share shapes; bucketed bag sizes make
+                # consecutive windows usually identical — flush on change
+                sig = _window_sig(window)
+                if buf and sig != buf_sig:
+                    flush_buf()
+                buf.append((window, keys))
+                buf_sig = sig
+                if len(buf) == scanW:
+                    flush_buf()
+            flush_buf()
 
+            losses_np = (
+                np.concatenate([np.atleast_1d(np.asarray(x)) for x in epoch_losses])
+                if epoch_losses
+                else np.asarray([])
+            )
             key, sub = jax.random.split(key)
             val = self._evaluate(dataset, split.val_idx, eval_step, params, rest, sub)
             metric = val[exp.monitor_metric]
@@ -389,7 +498,7 @@ class SurvivalTrainer:
                 {
                     "epoch": epoch,
                     "lr": lr,
-                    "train_loss": float(np.mean(epoch_losses)) if epoch_losses else float("nan"),
+                    "train_loss": float(losses_np.mean()) if losses_np.size else float("nan"),
                     "val_loss": val["loss"],
                     "val_auc": val["auc"],
                     "val_acc": val["acc"],

@@ -372,3 +372,31 @@ def test_remat_training_matches_baseline(surv_dataset, tmp_path):
     assert base["test_auc"] == rem["test_auc"] or abs(base["test_auc"] - rem["test_auc"]) < 1e-6 or (
         np.isnan(base["test_auc"]) and np.isnan(rem["test_auc"])
     )
+
+
+def test_scan_windows_matches_sequential(surv_dataset, tmp_path):
+    """exp.scan_windows=W (W window updates fused into one lax.scan dispatch)
+    must train identically to the sequential per-window dispatch path: same
+    RNG consumption order, same window order, same update math."""
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    splits = create_k_fold_splits(surv_dataset.labels, 3, seed=0)
+
+    def run(scan_windows, d):
+        cfgs = _configs(tmp_path)
+        cfgs.experiment_config.scan_windows = scan_windows
+        tr = SurvivalTrainer(cfgs, tmp_path / d)
+        summary = tr.train_fold(surv_dataset, splits[0], 0)
+        ckpt = np.load(tmp_path / d / "s_0_checkpoint.npz")
+        return summary, {k: ckpt[k] for k in ckpt.files}
+
+    base, st0 = run(1, "s1")
+    # W=2 exercises full scan groups AND an epoch-tail partial group
+    # (12 patients / batch_size 4 -> 2 train windows of 4 + leftover)
+    scan, st2 = run(2, "s2")
+    for h0, h1 in zip(base["history"], scan["history"]):
+        np.testing.assert_allclose(h0["train_loss"], h1["train_loss"], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(h0["val_loss"], h1["val_loss"], rtol=1e-5, atol=1e-6)
+    assert set(st0) == set(st2)
+    for k in st0:
+        np.testing.assert_allclose(st0[k], st2[k], rtol=1e-5, atol=1e-6, err_msg=k)

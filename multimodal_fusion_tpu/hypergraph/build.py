@@ -47,7 +47,11 @@ from multimodal_fusion_tpu.io.h5io import (
 from multimodal_fusion_tpu.ops.kmeans import kmeans
 from multimodal_fusion_tpu.ops.knn import knn_indices
 from multimodal_fusion_tpu.ops.pallas_similarity import combined_similarity_auto
-from multimodal_fusion_tpu.ops.similarity import combined_similarity, cross_similarity
+from multimodal_fusion_tpu.ops.similarity import (
+    combined_similarity,
+    cross_similarity,
+    pairwise_sq_dists,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -146,6 +150,84 @@ def _stats_dict(v: np.ndarray) -> Dict[str, float]:
 from functools import partial
 
 
+def _blockwise_similarity_stats(
+    feats: jax.Array,
+    pos: jax.Array,
+    lambda_h: float,
+    lambda_g: float,
+    onehot: jax.Array,
+    n_valid: jax.Array,
+    padded: bool,
+    block: int = 1024,
+):
+    """EXACT [N,N]-similarity statistics without materialising [N,N].
+
+    A ``lax.scan`` over row blocks computes each [B, N] similarity stripe on
+    the MXU (same fused single-exp kernel as ``combined_similarity``), folds
+    it into running (sum, sum-of-squares, min, max) reductions plus the
+    intra-cluster accumulators (the K @ onehot contraction and the
+    diagonal's per-cluster sum), then discards the stripe — peak memory is
+    O(B*N) instead of O(N^2), so EXACT statistics survive far past the
+    ``FULL_STATS_MAX_N`` boundary (the [N,N] f32 object is 4 GB at 32k and
+    40 GB at 1e5; the stripe at B=1024, N=1e5 is 400 MB).  The reference
+    materialises [N,N] on the host and walls here (SURVEY §5).
+
+    Median is NOT computed (an exact median is a selection over N^2 values —
+    O(N^2 D) recompute passes per bisection step); callers take it from the
+    deterministic <=2048-point subsample (see ``_fused_build``).
+
+    Returns (sum, sumsq, min, max, s_cc [S], diag_c [S]) over VALID entries
+    only (rows/cols >= ``n_valid`` excluded when ``padded``)."""
+    n, d = feats.shape
+    s = onehot.shape[1]
+    block = min(block, n)
+    n_pad = ((n + block - 1) // block) * block
+    fp = jnp.zeros((n_pad, d), feats.dtype).at[:n].set(feats)
+    pp = jnp.zeros((n_pad, pos.shape[1]), pos.dtype).at[:n].set(pos)
+    op = jnp.zeros((n_pad, s), jnp.float32).at[:n].set(onehot)
+    n_eff = n_valid.astype(jnp.int32) if padded else jnp.int32(n)
+    col_valid = jnp.arange(n_pad) < n_eff  # [n_pad]
+
+    init = (
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+        jnp.float32(jnp.inf),
+        jnp.float32(-jnp.inf),
+        jnp.zeros((s,), jnp.float32),
+        jnp.zeros((s,), jnp.float32),
+    )
+
+    def body(carry, j):
+        tsum, tsumsq, tmn, tmx, s_cc, diag_c = carry
+        r0 = j * block
+        fb = jax.lax.dynamic_slice_in_dim(fp, r0, block)
+        pb = jax.lax.dynamic_slice_in_dim(pp, r0, block)
+        ob = jax.lax.dynamic_slice_in_dim(op, r0, block)
+        d_h = pairwise_sq_dists(fb, fp)
+        d_g = pairwise_sq_dists(pb, pp)
+        K_blk = jnp.exp(-(lambda_h * d_h + lambda_g * d_g))  # [B, n_pad]
+        row_valid = (r0 + jnp.arange(block)) < n_eff
+        tile_valid = row_valid[:, None] & col_valid[None, :]
+        Kv = jnp.where(tile_valid, K_blk, 0.0)
+        tsum = tsum + jnp.sum(Kv)
+        tsumsq = tsumsq + jnp.sum(Kv * Kv)
+        tmn = jnp.minimum(tmn, jnp.min(jnp.where(tile_valid, K_blk, jnp.inf)))
+        tmx = jnp.maximum(tmx, jnp.max(jnp.where(tile_valid, K_blk, -jnp.inf)))
+        # intra-cluster accumulators: zero rows of `op`/`ob` (padding and, in
+        # padded mode, rows >= n_valid — the onehot is pre-masked) make the
+        # contraction self-masking
+        KH = jnp.dot(K_blk, op, preferred_element_type=jnp.float32)  # [B, S]
+        s_cc = s_cc + jnp.einsum("bs,bs->s", ob, KH)
+        diag_vals = jnp.diagonal(
+            jax.lax.dynamic_slice(K_blk, (0, r0), (block, block))
+        )
+        diag_c = diag_c + jnp.dot(diag_vals, ob, preferred_element_type=jnp.float32)
+        return (tsum, tsumsq, tmn, tmx, s_cc, diag_c), None
+
+    carry, _ = jax.lax.scan(body, init, jnp.arange(n_pad // block))
+    return carry
+
+
 def _device_triu_indices(n: int):
     """(row, col) indices of the upper triangle (incl. diagonal) of an
     [n, n] matrix, derived ON DEVICE inside the enclosing jit from the
@@ -174,6 +256,7 @@ def _unpack_triu(packed: np.ndarray, n: int) -> np.ndarray:
     static_argnames=(
         "lambda_h", "lambda_g", "num_super", "num_groups", "k",
         "num_hyperedges", "cache_bf16", "full_stats", "ship_cache", "padded",
+        "block_stats",
     ),
 )
 def _fused_build(
@@ -192,6 +275,7 @@ def _fused_build(
     full_stats: bool = True,
     ship_cache: bool = True,
     padded: bool = False,
+    block_stats: bool = False,
 ):
     """The entire per-file numeric pipeline as ONE compiled program:
     similarity -> KMeans super-patches (+ intra-cluster stats) -> cross-modal
@@ -217,7 +301,15 @@ def _fused_build(
     masking (statistics + the super-patch kmeans); everything downstream
     operates on the fixed-size super-patch/TMA arrays.  Bucketing is only
     supported with ship_cache=False (the persisted cache keeps exact
-    shapes)."""
+    shapes).
+
+    ``block_stats=True`` (with ``full_stats=False``) streams the [N,N]
+    similarity through a blockwise scan instead of sampling: mean/std/min/
+    max and the intra-cluster statistics are EXACT (identical to the
+    full-stats numbers), only the median comes from the deterministic
+    subsample — see ``_blockwise_similarity_stats``.  This is the default
+    above ``FULL_STATS_MAX_N`` (``LARGE_N_STATS``)."""
+    assert not (block_stats and full_stats)
     assert full_stats or not ship_cache
     assert not (padded and ship_cache)
     k1, k2, k3 = jax.random.split(key, 3)
@@ -249,11 +341,19 @@ def _fused_build(
 
     # intra-cluster mean off-diagonal similarity via two matmuls:
     # s_cc = 1_c^T K 1_c ; off-diag mean = (s_cc - sum(diag K within c)) / (n_c^2 - n_c)
-    stat_onehot = onehot if full_stats else onehot[stat_sel]
-    KH = jnp.dot(K, stat_onehot, preferred_element_type=jnp.float32)
-    s_cc = jnp.einsum("ns,ns->s", stat_onehot, KH)
-    diag_c = jnp.dot(stat_onehot.T, jnp.diagonal(K), preferred_element_type=jnp.float32)
-    stat_counts = counts if full_stats else jnp.sum(stat_onehot, axis=0)
+    block_carry = None
+    if block_stats:
+        block_carry = _blockwise_similarity_stats(
+            feats, pos, lambda_h, lambda_g, onehot, n_valid, padded
+        )
+        s_cc, diag_c = block_carry[4], block_carry[5]
+        stat_counts = counts
+    else:
+        stat_onehot = onehot if full_stats else onehot[stat_sel]
+        KH = jnp.dot(K, stat_onehot, preferred_element_type=jnp.float32)
+        s_cc = jnp.einsum("ns,ns->s", stat_onehot, KH)
+        diag_c = jnp.dot(stat_onehot.T, jnp.diagonal(K), preferred_element_type=jnp.float32)
+        stat_counts = counts if full_stats else jnp.sum(stat_onehot, axis=0)
     pair_counts = stat_counts * stat_counts - stat_counts
     intra_mean_per = jnp.where(
         pair_counts > 0, (s_cc - diag_c) / jnp.maximum(pair_counts, 1.0), jnp.nan
@@ -271,6 +371,15 @@ def _fused_build(
 
     if padded and full_stats:
         K_stats = _matrix_stats_dev_masked(K, mask[:, None] & mask[None, :])
+    elif block_stats:
+        # exact moments/extrema from the blockwise pass; median from the
+        # deterministic subsample K (exact median = selection over N^2)
+        gsum, gsumsq, gmn, gmx = block_carry[:4]
+        n_eff = n_valid.astype(jnp.float32) if padded else jnp.float32(n)
+        cnt = n_eff * n_eff
+        mean = gsum / cnt
+        std = jnp.sqrt(jnp.maximum(gsumsq / cnt - mean * mean, 0.0))
+        K_stats = jnp.stack([mean, std, gmn, gmx, jnp.median(K)])
     else:
         K_stats = _matrix_stats_dev(K)
 
@@ -538,10 +647,26 @@ def _assemble_edges(
     return und.T.astype(np.int64), np.maximum(w, 0.0).astype(np.float32)
 
 
-# Above this many patches, save_similarity=False also skips computing the
-# device-side [N,N] matrix (statistics fall back to a deterministic
-# subsample) — [N,N] f32 at N=1e5 is 40GB and exceeds HBM.
+# Above this many patches, save_similarity=False also skips materialising the
+# device-side [N,N] matrix — [N,N] f32 at N=1e5 is 40GB and exceeds HBM.
 FULL_STATS_MAX_N = 32768
+
+# How statistics are computed above FULL_STATS_MAX_N:
+#   "blockwise" (default) — EXACT mean/std/min/max + intra-cluster stats via
+#       a streaming O(B*N)-memory scan (_blockwise_similarity_stats); median
+#       from the deterministic <=2048-point subsample.
+#   "sampled" — all statistics from the subsample (cheapest: skips the
+#       O(N^2 D) similarity pass entirely).
+LARGE_N_STATS = "blockwise"
+
+
+def _stats_modes(save_similarity: bool, n: int) -> Tuple[bool, bool]:
+    """(full_stats, block_stats) for a slide of ``n`` patches: the full [N,N]
+    when it fits in HBM (or must be shipped for persistence); above the
+    boundary, exact blockwise statistics unless ``LARGE_N_STATS`` opts into
+    the legacy subsample."""
+    full = save_similarity or n <= FULL_STATS_MAX_N
+    return full, (not full) and LARGE_N_STATS == "blockwise"
 
 
 def _bucketed(wsi_features, wsi_positions, bucket_patches):
@@ -583,7 +708,7 @@ def process_single_file(
         wsi_features, wsi_positions, n, padded = _bucketed(
             wsi_features, wsi_positions, bucket_patches
         )
-    full_stats = save_similarity or wsi_features.shape[0] <= FULL_STATS_MAX_N
+    full_stats, block_stats = _stats_modes(save_similarity, wsi_features.shape[0])
     out = _fused_build(
         jax.random.key(seed),
         jnp.asarray(wsi_features),
@@ -599,6 +724,7 @@ def process_single_file(
         full_stats=full_stats,
         ship_cache=save_similarity,
         padded=padded,
+        block_stats=block_stats,
     )
     host = jax.device_get(out)  # one bulk transfer
     if save_similarity:
@@ -721,6 +847,7 @@ def _finalize_host(
     static_argnames=(
         "lambda_h", "lambda_g", "num_super", "num_groups", "k",
         "num_hyperedges", "cache_bf16", "full_stats", "ship_cache", "padded",
+        "block_stats",
     ),
 )
 def _fused_build_batch(
@@ -739,6 +866,7 @@ def _fused_build_batch(
     full_stats: bool = True,
     ship_cache: bool = True,
     padded: bool = False,
+    block_stats: bool = False,
 ):
     """vmapped fused build over a batch of SAME-SHAPE files: one device
     dispatch + one device->host transfer per batch instead of per file.
@@ -749,7 +877,7 @@ def _fused_build_batch(
         return _fused_build(
             key, f, p, t, nv, lambda_h, lambda_g, num_super, num_groups,
             k, num_hyperedges, cache_bf16=cache_bf16, full_stats=full_stats,
-            ship_cache=ship_cache, padded=padded,
+            ship_cache=ship_cache, padded=padded, block_stats=block_stats,
         )
 
     return jax.vmap(one)(keys, feats, pos, tma, n_valid)
@@ -822,6 +950,7 @@ def process_dataset(
             wsi_features, wsi_positions, n_valid, padded = _bucketed(
                 wsi_features, wsi_positions, bucket_patches
             )
+        full_stats, block_stats = _stats_modes(save_similarity, wsi_features.shape[0])
         out = _fused_build(
             jax.random.key(seed),
             jnp.asarray(wsi_features),
@@ -830,9 +959,10 @@ def process_dataset(
             jnp.asarray(n_valid, jnp.int32),
             lambda_h, lambda_g,
             num_wsi_super_patches, num_groups, hypergraph_k, num_hyperedges,
-            full_stats=save_similarity or wsi_features.shape[0] <= FULL_STATS_MAX_N,
+            full_stats=full_stats,
             ship_cache=save_similarity,
             padded=padded,
+            block_stats=block_stats,
         )
         # start the device->host copies now so they overlap the host-side
         # edge assembly + h5 writes of earlier files
@@ -1021,7 +1151,7 @@ def _process_dataset_batched(
     inflight: deque = deque()
     for shape_key, items in groups.items():
         n = shape_key[0]
-        full_stats = save_similarity or n <= FULL_STATS_MAX_N
+        full_stats, block_stats = _stats_modes(save_similarity, n)
         eff = _effective_file_batch(file_batch, n, full_stats)
         for start in range(0, len(items), eff):
             chunk_items = items[start:start + eff]
@@ -1061,6 +1191,7 @@ def _process_dataset_batched(
                     full_stats=full_stats,
                     ship_cache=save_similarity,
                     padded=bool(bucket_patches) and not save_similarity,
+                    block_stats=block_stats,
                 )
                 for leaf in jax.tree.leaves(out):
                     leaf.copy_to_host_async()

@@ -298,15 +298,104 @@ def test_file_batched_build_matches_unbatched(tmp_path):
         )
 
 
+def test_blockwise_stats_exact(tmp_path, monkeypatch):
+    """Above FULL_STATS_MAX_N the DEFAULT path streams the [N,N] similarity
+    blockwise (LARGE_N_STATS='blockwise'): mean/std/min/max and the
+    intra-cluster statistic must EQUAL the full-stats numbers to f32
+    rounding — [N,N] never materialised.  Forced by lowering the boundary."""
+    import h5py
+
+    import multimodal_fusion_tpu.hypergraph.build as build_mod
+
+    rng = np.random.default_rng(12)
+    feats = (rng.standard_normal((300, 16)) * 0.3).astype(np.float32)
+    pos = rng.uniform(0, 3, (300, 2)).astype(np.float32)
+    tma = (rng.standard_normal((8, 16)) * 0.3).astype(np.float32)
+    for name in ("full.h5", "block.h5"):
+        with h5py.File(tmp_path / name, "w") as f:
+            f["wsi/features"] = feats
+            f["wsi/positions"] = pos
+            f["tma/features"] = tma
+
+    full = build_mod.process_single_file(
+        tmp_path / "full.h5", 6, 2, 2, 3, save_similarity=False
+    )
+    monkeypatch.setattr(build_mod, "FULL_STATS_MAX_N", 100)
+    block = build_mod.process_single_file(
+        tmp_path / "block.h5", 6, 2, 2, 3, save_similarity=False
+    )
+    fs = full["wsi_aggregation"]["wsi_similarity_matrix_stats"]
+    bs = block["wsi_aggregation"]["wsi_similarity_matrix_stats"]
+    for k in ("mean", "std", "min", "max"):
+        np.testing.assert_allclose(bs[k], fs[k], rtol=1e-5, atol=1e-8, err_msg=k)
+    # n=300 <= 2048, so the median subsample covers every row -> exact too
+    np.testing.assert_allclose(bs["median"], fs["median"], rtol=1e-5)
+    np.testing.assert_allclose(
+        block["wsi_aggregation"]["avg_intra_cluster_similarity"],
+        full["wsi_aggregation"]["avg_intra_cluster_similarity"],
+        rtol=1e-5,
+    )
+    # identical structure downstream (same kmeans/knn inputs)
+    assert block["hypergraph"]["num_edges"] == full["hypergraph"]["num_edges"]
+
+
+def test_blockwise_stats_oracle_multiblock():
+    """Direct oracle check of _blockwise_similarity_stats with a block size
+    that forces multiple scan steps AND row padding (300 % 64 != 0), plus the
+    padded-bucket mode (trailing zero rows masked out of every statistic)."""
+    import jax.numpy as jnp
+
+    from multimodal_fusion_tpu.hypergraph.build import _blockwise_similarity_stats
+    from multimodal_fusion_tpu.ops.similarity import combined_similarity
+
+    rng = np.random.default_rng(0)
+    n, d, s = 300, 16, 6
+    feats = jnp.asarray(rng.standard_normal((n, d)) * 0.3, jnp.float32)
+    pos = jnp.asarray(rng.uniform(0, 3, (n, 2)), jnp.float32)
+    onehot = jnp.asarray(np.eye(s, dtype=np.float32)[rng.integers(0, s, n)])
+
+    K = combined_similarity(feats, pos, 1.0, 1.0)
+    ref = (
+        float(K.sum()),
+        float((K * K).sum()),
+        float(K.min()),
+        float(K.max()),
+        np.asarray(jnp.einsum("ns,ns->s", onehot, K @ onehot)),
+        np.asarray(onehot.T @ jnp.diagonal(K)),
+    )
+
+    def check(out):
+        got = [np.asarray(x) for x in out]
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(g, r, rtol=1e-5)
+
+    check(
+        _blockwise_similarity_stats(
+            feats, pos, 1.0, 1.0, onehot, jnp.int32(n), False, block=64
+        )
+    )
+    # padded-bucket mode: 20 trailing garbage rows, n_valid=300
+    npad = 320
+    fp = jnp.ones((npad, d)).at[:n].set(feats)
+    pp = jnp.ones((npad, 2)).at[:n].set(pos)
+    op = jnp.zeros((npad, s)).at[:n].set(onehot)  # pre-masked like _fused_build
+    check(
+        _blockwise_similarity_stats(
+            fp, pp, 1.0, 1.0, op, jnp.int32(n), True, block=64
+        )
+    )
+
+
 def test_sampled_stats_path_forced(tmp_path, monkeypatch):
-    """The huge-N path (full_stats=False: statistics from a <=2048-point
-    subsample, [N,N] never materialised) — forced by lowering
+    """The legacy huge-N path (LARGE_N_STATS='sampled': statistics from a
+    <=2048-point subsample, no O(N^2 D) pass at all) — forced by lowering
     FULL_STATS_MAX_N, since real 1e5-patch fixtures don't fit a CPU test."""
     import h5py
 
     import multimodal_fusion_tpu.hypergraph.build as build_mod
 
     monkeypatch.setattr(build_mod, "FULL_STATS_MAX_N", 100)
+    monkeypatch.setattr(build_mod, "LARGE_N_STATS", "sampled")
     rng = np.random.default_rng(12)
     p = tmp_path / "big.h5"
     with h5py.File(p, "w") as f:

@@ -304,7 +304,55 @@ def run_training_ours(n_steps: int = 16) -> float:
             params, opt_state = train_step(params, rest, opt_state, window, keys)
         jax.block_until_ready(params)
         best = max(best, n_steps * G / (time.time() - t0))
-    return best
+
+    # scan_windows path: W window updates fused into ONE dispatch via
+    # lax.scan (the trainer's exp.scan_windows option) — removes the
+    # per-step dispatch cost, which dominates through the TPU tunnel.
+    W = 8
+    windows = jax.tree.map(lambda x: jnp.broadcast_to(x, (W,) + x.shape), window)
+    keys_w = jnp.broadcast_to(keys, (W,) + keys.shape)
+
+    @jax.jit
+    def train_steps_scanned(params, rest, opt_state, windows, keys_w):
+        def body(carry, xs):
+            params, opt_state = carry
+            window, kk = xs
+
+            def loss_fn(params):
+                def one(channels, masks, label, key):
+                    m = nnx.merge(graphdef, params, rest)
+                    res = m({"channels": channels, "masks": masks}, label, key=key, train=True)
+                    return m.loss_fn(res["logits"], label[None], res), res
+
+                losses, results = jax.vmap(one)(
+                    window["channels"], window["masks"], window["label"], kk
+                )
+                m = nnx.merge(graphdef, params, rest)
+                gr = dict(results)
+                gr["label"] = window["label"]
+                return (jnp.sum(losses) + m.group_loss_fn(gr)) / G
+
+            grads = jax.grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(
+                params, jax.tree.map(lambda u: -1e-4 * u, updates)
+            )
+            return (params, opt_state), None
+
+        (params, opt_state), _ = jax.lax.scan(body, (params, opt_state), (windows, keys_w))
+        return params, opt_state
+
+    params, opt_state = train_steps_scanned(params, rest, opt_state, windows, keys_w)
+    jax.block_until_ready(params)
+    best_scan = 0.0
+    n_scan = max(2, n_steps // W)
+    for _trial in range(2):
+        t0 = time.time()
+        for _ in range(n_scan):
+            params, opt_state = train_steps_scanned(params, rest, opt_state, windows, keys_w)
+        jax.block_until_ready(params)
+        best_scan = max(best_scan, n_scan * W * G / (time.time() - t0))
+    return best, best_scan
 
 
 def _stub_module(name, attrs=()):
@@ -380,7 +428,7 @@ def main():
     inf_ours = run_inference_ours()
     inf_ours_bf16 = run_inference_ours(bf16=True)
     inf_ref = run_inference_reference()
-    train_ours = run_training_ours()
+    train_ours, train_ours_scan = run_training_ours()
 
     vs = (ours_pps / ref_pps) if ref_pps else None
     details = {
@@ -402,10 +450,14 @@ def main():
         },
         "survival_training_slides_per_sec": {
             "ours": round(train_ours, 2),
+            "ours_scan_windows_8": round(train_ours_scan, 2),
             "note": "full window step: fwd+bwd+SVD group loss+Adam on "
                     "4096-patch bags; the reference trains batch_size=1 "
                     "with gradient accumulation on CPU (no comparable "
-                    "throughput mode)",
+                    "throughput mode). scan_windows_8 fuses 8 window "
+                    "updates into one dispatch (exp.scan_windows=8, "
+                    "numerics identical — test_scan_windows_matches_"
+                    "sequential), removing per-step dispatch latency",
         },
     }
     Path(__file__).resolve().parent.joinpath("BENCH_DETAILS.json").write_text(

@@ -69,6 +69,7 @@ class MultiModalAlignmentTrainer:
         early_stopping_patience: int = 10,
         early_stopping_min_delta: float = 1e-4,
         verbose_timing: bool = False,
+        scan_steps: int = 1,
     ):
         if loss_type not in ("rank1", "volume"):
             raise ValueError(f"unsupported loss type {loss_type}")
@@ -81,6 +82,10 @@ class MultiModalAlignmentTrainer:
         self.patience = early_stopping_patience
         self.min_delta = early_stopping_min_delta
         self.base_lr = learning_rate
+        # fuse S train steps into one lax.scan dispatch between validation/
+        # save boundaries (numerics identical; pays when per-step dispatch
+        # latency dominates — remote TPU links)
+        self.scan_steps = max(1, int(scan_steps))
 
         self.graphdef, self.state = nnx.split(model)
 
@@ -149,10 +154,7 @@ class MultiModalAlignmentTrainer:
         return loss, svd_vals
 
     def _build_steps(self):
-        lam2 = self.lambda2
-
-        @partial(jax.jit, static_argnames=("train", "has_neg"))
-        def step(state, opt_state, pos, neg, key, lr, train: bool, has_neg: bool):
+        def update(state, opt_state, pos, neg, key, lr, train: bool, has_neg: bool):
             def loss_fn(sd):
                 return self._loss(sd, pos, neg if has_neg else None, key, train)
 
@@ -162,12 +164,33 @@ class MultiModalAlignmentTrainer:
             state = optax.apply_updates(state, updates)
             return state, opt_state, loss, svd_vals
 
+        step = partial(jax.jit, static_argnames=("train", "has_neg"))(update)
+
+        @partial(jax.jit, static_argnames=("train", "has_neg"))
+        def steps_scanned(state, opt_state, pos_s, neg_s, keys, lrs, train: bool, has_neg: bool):
+            """S sequential updates in ONE dispatch; per-step (loss, svd_vals)
+            come back stacked, so the step-indexed history is preserved."""
+
+            def body(carry, xs):
+                state, opt_state = carry
+                pos, neg, key, lr = xs
+                state, opt_state, loss, svd_vals = update(
+                    state, opt_state, pos, neg, key, lr, train, has_neg
+                )
+                return (state, opt_state), (loss, svd_vals)
+
+            (state, opt_state), (losses, svds) = jax.lax.scan(
+                body, (state, opt_state), (pos_s, neg_s, keys, lrs)
+            )
+            return state, opt_state, losses, svds
+
         @partial(jax.jit, static_argnames=("has_neg",))
         def eval_loss(state, pos, neg, has_neg: bool):
             loss, svd_vals = self._loss(state, pos, neg if has_neg else None, None, False)
             return loss, svd_vals
 
         self._step = step
+        self._steps_scanned = steps_scanned
         self._eval_loss = eval_loss
 
     # ------------------------------------------------------------------
@@ -202,53 +225,102 @@ class MultiModalAlignmentTrainer:
         epoch = 0
         t0 = time.time()
 
-        for step_i in range(max_steps):
+        # per-step (loss, svd_vals) stay on device until the next validation/
+        # save boundary — pulling them every step would block the host on a
+        # device round-trip per step (see SurvivalTrainer epoch loop)
+        pending: List = []  # (n_steps, losses, svds)
+
+        def flush_pending():
+            for cnt, losses, svds in pending:
+                la = np.atleast_1d(np.asarray(losses, dtype=np.float32))
+                sa = np.asarray(svds)
+                if cnt == 1:
+                    sa = sa[None]
+                base = len(self.history["train_loss"])
+                for i in range(cnt):
+                    self.history["train_loss"].append(float(la[i]))
+                    self.history["svd_values"].append(sa[i].tolist())
+                    self.history["steps"].append(base + i)
+            pending.clear()
+
+        def make_batch(step_id):
+            nonlocal order, pos_in_epoch, epoch, key
             if pos_in_epoch + batch_size > n:
                 order = rng.permutation(n)
                 pos_in_epoch = 0
                 epoch += 1
             batch_positions = order[pos_in_epoch : pos_in_epoch + batch_size]
             pos_in_epoch += batch_size
-            t_data = time.perf_counter()
-            pos, neg = train_view.collate(batch_positions, step_i)
+            pos, neg = train_view.collate(batch_positions, step_id)
             has_neg = neg is not None and self.lambda2 != 0
             pos = {k: jnp.asarray(v) for k, v in pos.items()}
             neg_j = {k: jnp.asarray(v) for k, v in neg.items()} if has_neg else pos
-            if self.timer:
-                self.timer.record("data_loading", time.perf_counter() - t_data)
             key, sub = jax.random.split(key)
-            lr = self._lr_for_epoch(epoch)
-            t_step = time.perf_counter()
-            state, opt_state, loss, svd_vals = self._step(
-                state, opt_state, pos, neg_j, sub, lr, True, has_neg
-            )
-            if self.timer:
-                jax.block_until_ready(loss)
-                self.timer.record("train_step", time.perf_counter() - t_step)
-            self.history["train_loss"].append(float(loss))
-            self.history["svd_values"].append(np.asarray(svd_vals).tolist())
-            self.history["steps"].append(step_i)
+            return pos, neg_j, has_neg, self._lr_for_epoch(epoch), sub
 
-            if save_interval and save_path and (step_i + 1) % save_interval == 0:
-                save_state(f"{save_path}.step_{step_i + 1}", state)
+        step_i = 0
+        while step_i < max_steps:
+            boundary = max_steps
+            boundary = min(boundary, ((step_i // val_interval) + 1) * val_interval)
+            if save_interval and save_path:
+                boundary = min(boundary, ((step_i // save_interval) + 1) * save_interval)
+            chunk = min(self.scan_steps, boundary - step_i)
+            t_data = time.perf_counter()
+            if chunk >= 2:
+                batches = [make_batch(step_i + j) for j in range(chunk)]
+                has_neg = batches[0][2]
+                pos_s = jax.tree.map(lambda *xs: jnp.stack(xs), *[b[0] for b in batches])
+                neg_s = jax.tree.map(lambda *xs: jnp.stack(xs), *[b[1] for b in batches])
+                lrs = jnp.asarray([b[3] for b in batches], jnp.float32)
+                keys = jnp.stack([b[4] for b in batches])
+                if self.timer:
+                    self.timer.record("data_loading", time.perf_counter() - t_data)
+                t_step = time.perf_counter()
+                state, opt_state, losses, svds = self._steps_scanned(
+                    state, opt_state, pos_s, neg_s, keys, lrs, True, has_neg
+                )
+                pending.append((chunk, losses, svds))
+                if self.timer:
+                    jax.block_until_ready(losses)
+                    self.timer.record("train_step", time.perf_counter() - t_step)
+                step_i += chunk
+            else:
+                pos, neg_j, has_neg, lr, sub = make_batch(step_i)
+                if self.timer:
+                    self.timer.record("data_loading", time.perf_counter() - t_data)
+                t_step = time.perf_counter()
+                state, opt_state, loss, svd_vals = self._step(
+                    state, opt_state, pos, neg_j, sub, lr, True, has_neg
+                )
+                if self.timer:
+                    jax.block_until_ready(loss)
+                    self.timer.record("train_step", time.perf_counter() - t_step)
+                pending.append((1, loss, svd_vals))
+                step_i += 1
 
-            if (step_i + 1) % val_interval == 0 or step_i + 1 == max_steps:
+            if save_interval and save_path and step_i % save_interval == 0:
+                save_state(f"{save_path}.step_{step_i}", state)
+
+            if step_i % val_interval == 0 or step_i == max_steps:
+                flush_pending()
                 t_val = time.perf_counter()
                 val_loss = self.validate(val_view, state, batch_size)
                 if self.timer:
                     self.timer.record("validation", time.perf_counter() - t_val)
-                self.history["val_loss"].append({"step": step_i, "loss": val_loss})
+                self.history["val_loss"].append({"step": step_i - 1, "loss": val_loss})
                 if verbose:
-                    print(f"step {step_i+1}: train={float(loss):.4f} val={val_loss:.4f}")
+                    last = self.history["train_loss"][-1]
+                    print(f"step {step_i}: train={last:.4f} val={val_loss:.4f}")
                 if val_loss < self.best_val_loss - self.min_delta:
                     self.best_val_loss = val_loss
                     self.early_stop_counter = 0
                     if save_path:
-                        save_state(save_path, state, extra={"step": step_i})
+                        save_state(save_path, state, extra={"step": step_i - 1})
                 else:
                     self.early_stop_counter += 1
                     if self.patience > 0 and self.early_stop_counter >= self.patience:
                         break
+        flush_pending()
 
         if self.timer:
             self.timer.print_report()

@@ -39,6 +39,7 @@ class VAETrainer:
         plateau_factor: float = 0.5,
         min_lr: float = 1e-6,
         checkpoint_dir: Optional[str | Path] = None,
+        scan_steps: int = 1,
     ):
         self.model = model
         self.graphdef, self.state = nnx.split(model)
@@ -61,11 +62,13 @@ class VAETrainer:
         }
         self.epoch = 0
         self.global_step = 0
+        # fuse S batch updates into one lax.scan dispatch (numerics identical;
+        # pays when per-step dispatch latency dominates — remote TPU links)
+        self.scan_steps = max(1, int(scan_steps))
         self._build_steps()
 
     def _build_steps(self):
-        @jax.jit
-        def train_step(state, opt_state, x, key, lr):
+        def update(state, opt_state, x, key, lr):
             def loss_fn(state):
                 m = nnx.merge(self.graphdef, state)
                 x_hat, mean, log_var = m(x, key=key, train=True)
@@ -79,42 +82,87 @@ class VAETrainer:
             return state, opt_state, loss, recon, kld
 
         @jax.jit
+        def train_steps_scanned(state, opt_state, xs, keys, lr):
+            def body(carry, inp):
+                state, opt_state = carry
+                x, key = inp
+                state, opt_state, loss, recon, kld = update(state, opt_state, x, key, lr)
+                return (state, opt_state), (loss, recon, kld)
+
+            (state, opt_state), (losses, recons, klds) = jax.lax.scan(
+                body, (state, opt_state), (xs, keys)
+            )
+            return state, opt_state, losses, recons, klds
+
+        @jax.jit
         def eval_step(state, x, key):
             m = nnx.merge(self.graphdef, state)
             x_hat, mean, log_var = m(x, key=key, train=False)
             return vae_loss(x, x_hat, mean, log_var)
 
-        self._train_step = train_step
+        self._train_step = jax.jit(update)
+        self._train_steps_scanned = train_steps_scanned
         self._eval_step = eval_step
 
     # ------------------------------------------------------------------
 
     def train_epoch(self, dataset, batch_size: int, key, shuffle_rng) -> Dict[str, float]:
+        # per-batch losses stay on device until epoch end (one host sync)
         losses, recons, klds = [], [], []
         state, opt_state = self.state, self.opt_state
+        buf: List = []
+
+        def flush():
+            nonlocal state, opt_state
+            if not buf:
+                return
+            if len(buf) == self.scan_steps and self.scan_steps > 1:
+                xs = jnp.stack([b[0] for b in buf])
+                keys = jnp.stack([b[1] for b in buf])
+                state, opt_state, l, r, k2 = self._train_steps_scanned(
+                    state, opt_state, xs, keys, self.lr
+                )
+                losses.append(l)
+                recons.append(r)
+                klds.append(k2)
+            else:
+                for x, sub in buf:
+                    state, opt_state, loss, recon, kld = self._train_step(
+                        state, opt_state, x, sub, self.lr
+                    )
+                    losses.append(loss)
+                    recons.append(recon)
+                    klds.append(kld)
+            self.global_step += len(buf)
+            buf.clear()
+
         for x in dataset.batches(batch_size, shuffle_rng):
             key, sub = jax.random.split(key)
-            state, opt_state, loss, recon, kld = self._train_step(
-                state, opt_state, jnp.asarray(x), sub, self.lr
-            )
-            losses.append(float(loss))
-            recons.append(float(recon))
-            klds.append(float(kld))
-            self.global_step += 1
+            x = jnp.asarray(x)
+            if buf and x.shape != buf[0][0].shape:
+                flush()
+            buf.append((x, sub))
+            if len(buf) == self.scan_steps:
+                flush()
+        flush()
         self.state, self.opt_state = state, opt_state
-        return {
-            "loss": float(np.mean(losses)) if losses else float("nan"),
-            "recon": float(np.mean(recons)) if recons else float("nan"),
-            "kld": float(np.mean(klds)) if klds else float("nan"),
-        }
+
+        def agg(parts):
+            if not parts:
+                return float("nan")
+            return float(np.mean(np.concatenate([np.atleast_1d(np.asarray(p)) for p in parts])))
+
+        return {"loss": agg(losses), "recon": agg(recons), "kld": agg(klds)}
 
     def validate(self, dataset, batch_size: int, key) -> float:
         losses = []
         for x in dataset.batches(batch_size):
             key, sub = jax.random.split(key)
             total, _, _ = self._eval_step(self.state, jnp.asarray(x), sub)
-            losses.append(float(total))
-        return float(np.mean(losses)) if losses else float("nan")
+            losses.append(total)
+        if not losses:
+            return float("nan")
+        return float(np.mean(np.asarray([np.asarray(l) for l in losses])))
 
     def plateau_step(self, val_loss: float) -> None:
         """ReduceLROnPlateau(min) semantics + reduce-count tracking."""

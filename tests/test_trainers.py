@@ -127,6 +127,36 @@ def test_vae_fit_and_reconstruct(tmp_path):
     np.testing.assert_array_equal(rec, rec2)
 
 
+def test_vae_scan_steps_matches_sequential(tmp_path):
+    """VAETrainer(scan_steps=S) must reproduce the sequential history and
+    weights exactly (same batch order and RNG stream; the epoch tail that
+    doesn't fill a scan group falls back to single steps)."""
+    from multimodal_fusion_tpu.data.vae_patches import WSIVAEDataset
+    from multimodal_fusion_tpu.models.vae import VAE
+    from multimodal_fusion_tpu.train.vae import VAETrainer
+
+    root = tmp_path / "data"
+    csv_path = make_synthetic_dataset(
+        root, n_patients=4, seed=3, min_wsi_patches=30, max_wsi_patches=50, feature_dim=16
+    )
+    ds = WSIVAEDataset(csv_path, root, label_filter="living", preload=True)
+
+    def run(scan_steps):
+        model = VAE(input_dim=16, encoder_hidden=[32, 16], decoder_hidden=[16, 32],
+                    latent_dim=8, rngs=nnx.Rngs(0))
+        tr = VAETrainer(model, learning_rate=1e-3, scan_steps=scan_steps)
+        out = tr.fit(ds, ds, epochs=2, batch_size=8, verbose=False, resample=False)
+        return out, nnx.state(model)
+
+    seq, st1 = run(1)
+    scan, st3 = run(3)
+    for k in ("train_loss", "val_loss", "recon_loss", "kld_loss"):
+        np.testing.assert_allclose(seq["history"][k], scan["history"][k], rtol=1e-5,
+                                   err_msg=k)
+    for a, b in zip(jax.tree.leaves(st1), jax.tree.leaves(st3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
 def test_alignment_training(tmp_path):
     from multimodal_fusion_tpu.data.alignment import TMANpzAlignedWithNegDataset
     from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
@@ -175,6 +205,53 @@ def test_alignment_training(tmp_path):
     fn = make_alignment_apply_fn(model)
     aligned = fn({"cd3": np.ones((2, 16), np.float32)})
     assert aligned["cd3"].shape == (2, 16)
+
+
+def test_alignment_scan_steps_matches_sequential(tmp_path):
+    """scan_steps=S (S updates fused into one lax.scan dispatch) must produce
+    the identical step-indexed history and final weights as the sequential
+    loop — same batch order, same RNG consumption, same update math."""
+    from multimodal_fusion_tpu.data.alignment import TMANpzAlignedWithNegDataset
+    from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
+    from multimodal_fusion_tpu.train.alignment import MultiModalAlignmentTrainer
+
+    markers = ("cd3", "cd8")
+    make_alignment_npz_fixtures(
+        tmp_path, n_cores=12, patches_per_core=1, feature_dim=8, markers=markers
+    )
+    ds = TMANpzAlignedWithNegDataset(
+        tmp_path, list(markers), filename_template="{marker}.npz", mismatch_ratio=1.0
+    )
+
+    def run(scan_steps):
+        model = MultiModalAlignmentModel(
+            list(markers), feature_dim=8, num_layers=1, rngs=nnx.Rngs(3)
+        )
+        tr = MultiModalAlignmentTrainer(
+            model, learning_rate=1e-3, lambda2=0.1, scan_steps=scan_steps
+        )
+        # val_interval=4 with scan_steps=3 exercises a partial chunk (3+1)
+        out = tr.train(ds, ds, max_steps=8, batch_size=4, val_interval=4, seed=5)
+        return out, nnx.state(model)
+
+    seq, st1 = run(1)
+    scan, st3 = run(3)
+    assert seq["history"]["steps"] == scan["history"]["steps"]
+    np.testing.assert_allclose(
+        seq["history"]["train_loss"], scan["history"]["train_loss"], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(seq["history"]["svd_values"]),
+        np.asarray(scan["history"]["svd_values"]),
+        rtol=1e-5,
+    )
+    for (a, b) in zip(
+        [v["loss"] for v in seq["history"]["val_loss"]],
+        [v["loss"] for v in scan["history"]["val_loss"]],
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(st1), jax.tree.leaves(st3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
 
 
 def test_volume_loss_training(tmp_path):

@@ -190,6 +190,49 @@ def test_trainer_with_mesh(tmp_path):
     assert np.isfinite(summary["test_acc"])
 
 
+def test_trainer_mesh_with_scan_windows(tmp_path):
+    """scan_windows composes with mesh data parallelism: the stacked [W, G,
+    ...] scan group shards its CASE axis (axis 1) over the mesh and trains
+    identically to the unsharded sequential path."""
+    from multimodal_fusion_tpu.config import Configs, ExperimentConfig
+    from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
+    from multimodal_fusion_tpu.data.splits import create_k_fold_splits
+    from multimodal_fusion_tpu.io.fixtures import make_synthetic_dataset
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    root = tmp_path / "d"
+    csv_path = make_synthetic_dataset(
+        root, n_patients=12, seed=11, min_wsi_patches=16, max_wsi_patches=24,
+        feature_dim=D, n_tma_patches=3,
+    )
+    ds = MultimodalDataset(
+        csv_path, root,
+        channels=["wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask"],
+    )
+
+    def run(mesh_shape, scan_windows, d):
+        mc = _cfg()
+        mc.channel_input_dims = {"clinical=val": 16}
+        ec = ExperimentConfig(
+            exp_name="ms", seed=0, k_folds=3, max_epochs=2, batch_size=4,
+            lr=1e-3, patience=5, min_epochs=0, mesh_shape=mesh_shape,
+            scan_windows=scan_windows,
+        )
+        ec.extra["verbose"] = False
+        tr = SurvivalTrainer(Configs(experiment_config=ec, model_config=mc), tmp_path / d)
+        splits = create_k_fold_splits(ds.labels, 3, seed=0)
+        summary = tr.train_fold(ds, splits[0], 0)
+        if mesh_shape:
+            assert tr.mesh is not None
+        return summary
+
+    base = run(None, 1, "r_base")
+    sharded_scan = run({"data": 4}, 2, "r_scan_mesh")
+    for h0, h1 in zip(base["history"], sharded_scan["history"]):
+        np.testing.assert_allclose(h0["train_loss"], h1["train_loss"], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(h0["val_loss"], h1["val_loss"], rtol=1e-5, atol=1e-6)
+
+
 def test_2d_replica_data_mesh_matches_single_device():
     """The multi-host/DCN design: a (replica=2, data=4) mesh with the batch
     sharded over BOTH axes produces the same step as unsharded (hierarchical

@@ -231,7 +231,34 @@ def run_inference_ours(n_batches: int = 32, bf16: bool = False) -> float:
             out = eval_step(state, window)
         jax.block_until_ready(out)
         best = max(best, n_batches * INF_BATCH / (time.time() - t0))
-    return best
+
+    # scan_windows eval path (the trainer's _evaluate fusion): W windows per
+    # dispatch via lax.map
+    W = 8
+    windows = jax.tree.map(lambda x: jnp.broadcast_to(x, (W,) + x.shape), window)
+
+    @jax.jit
+    def eval_scanned(state, windows):
+        def one_window(window):
+            def one(channels, masks, label):
+                m = nnx.merge(graphdef, state)
+                res = m({"channels": channels, "masks": masks}, label, train=False)
+                return res["probabilities"]
+
+            return jax.vmap(one)(window["channels"], window["masks"], window["label"])
+
+        return jax.lax.map(one_window, windows)
+
+    jax.block_until_ready(eval_scanned(state, windows))
+    best_scan = 0.0
+    n_scan = max(2, n_batches // W)
+    for _trial in range(2):
+        t0 = time.time()
+        for _ in range(n_scan):
+            out = eval_scanned(state, windows)
+        jax.block_until_ready(out)
+        best_scan = max(best_scan, n_scan * W * INF_BATCH / (time.time() - t0))
+    return best, best_scan
 
 
 def run_training_ours(n_steps: int = 16) -> float:
@@ -425,8 +452,8 @@ def main():
         ref_paths = make_fixtures(root / "ref", n_ref)
         ref_pps = run_reference(ref_paths)
 
-    inf_ours = run_inference_ours()
-    inf_ours_bf16 = run_inference_ours(bf16=True)
+    inf_ours, inf_ours_scan = run_inference_ours()
+    inf_ours_bf16, _ = run_inference_ours(bf16=True)
     inf_ref = run_inference_reference()
     train_ours, train_ours_scan = run_training_ours()
 
@@ -443,9 +470,11 @@ def main():
         },
         "survival_inference_slides_per_sec": {
             "ours": round(inf_ours, 2),
+            "ours_scan_windows_8": round(inf_ours_scan, 2),
             "ours_bf16": round(inf_ours_bf16, 2),
             "reference_cpu": round(inf_ref, 2) if inf_ref else None,
             "speedup": round(inf_ours / inf_ref, 2) if inf_ref else None,
+            "speedup_scan": round(inf_ours_scan / inf_ref, 2) if inf_ref else None,
             "speedup_bf16": round(inf_ours_bf16 / inf_ref, 2) if inf_ref else None,
         },
         "survival_training_slides_per_sec": {

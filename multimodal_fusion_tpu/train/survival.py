@@ -256,12 +256,7 @@ class SurvivalTrainer:
                 tree,
             )
 
-        @jax.jit
-        def eval_step(params, rest, window, keys):
-            params = _to_compute(params)
-            rest = _to_compute(rest)
-            window = dict(window, channels=_to_compute(window["channels"]))
-
+        def eval_window(params, rest, window, keys):
             def one(channels, masks, label, key):
                 m = nnx.merge(graphdef, params, rest)
                 case = {"channels": channels, "masks": masks}
@@ -284,6 +279,25 @@ class SurvivalTrainer:
                 window["channels"], window["masks"], window["label"], keys
             )
 
+        @jax.jit
+        def eval_step(params, rest, window, keys):
+            params = _to_compute(params)
+            rest = _to_compute(rest)
+            window = dict(window, channels=_to_compute(window["channels"]))
+            return eval_window(params, rest, window, keys)
+
+        @jax.jit
+        def eval_steps_scanned(params, rest, windows, keys):
+            """W same-shape eval windows in ONE dispatch via lax.map (no
+            carried state — outputs come back stacked [W, G, ...])."""
+            params = _to_compute(params)
+            rest = _to_compute(rest)
+            windows = dict(windows, channels=_to_compute(windows["channels"]))
+            return jax.lax.map(
+                lambda wk: eval_window(params, rest, wk[0], wk[1]), (windows, keys)
+            )
+
+        eval_step.scanned = eval_steps_scanned
         return eval_step
 
     # ------------------------------------------------------------------
@@ -340,21 +354,61 @@ class SurvivalTrainer:
     def _evaluate(self, dataset, indices, eval_step, params, rest, key) -> Dict[str, Any]:
         all_probs, all_preds, all_labels, all_loss, all_risk, patient_ids = [], [], [], [], [], []
         G = min(self.exp.batch_size, 16)
+        scanW = max(1, int(self.exp.get("scan_windows", 1) or 1))
+        scanned = getattr(eval_step, "scanned", None) if scanW > 1 else None
+        buf: List[Any] = []
+        buf_sig = None
+
+        def emit(probs, preds, losses, risk):
+            # keep results as device arrays so eval windows pipeline (JAX
+            # async dispatch); one host sync after the last window
+            all_probs.append(probs)
+            all_preds.append(preds)
+            all_loss.append(losses)
+            all_risk.append(risk)
+
+        def flush_buf():
+            nonlocal buf, buf_sig
+            if not buf:
+                return
+            if scanned is not None and len(buf) == scanW:
+                windows = jax.tree.map(lambda *xs: np.stack(xs), *[w for _, w, _ in buf])
+                kstack = jnp.stack([k for _, _, k in buf])
+                logits, probs, preds, losses, risk = scanned(params, rest, windows, kstack)
+                # stacked [W, G, ...] -> flatten the scan axis
+                emit(
+                    probs.reshape((-1,) + probs.shape[2:]),
+                    preds.reshape((-1,) + preds.shape[2:]),
+                    losses.reshape(-1),
+                    risk.reshape((-1,) + risk.shape[2:]),
+                )
+            else:
+                for _, window, keys in buf:
+                    logits, probs, preds, losses, risk = eval_step(params, rest, window, keys)
+                    emit(probs, preds, losses, risk)
+            buf = []
+            buf_sig = None
+
         for chunk, window in self._windows(dataset, indices, G):
             window.pop("time", None)  # eval step consumes channels/masks/label
             window.pop("event", None)
             n = window["label"].shape[0]
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, n)
-            logits, probs, preds, losses, risk = eval_step(params, rest, window, keys)
-            # keep results as device arrays so eval windows pipeline (JAX
-            # async dispatch); one host sync below after the last window
-            all_probs.append(probs)
-            all_preds.append(preds)
             all_labels.append(np.asarray(window["label"]))
-            all_loss.append(losses)
-            all_risk.append(risk)
             patient_ids.extend(chunk)
+            if scanned is None:
+                logits, probs, preds, losses, risk = eval_step(params, rest, window, keys)
+                emit(probs, preds, losses, risk)
+                continue
+            sig = _window_sig(window)
+            if buf and sig != buf_sig:
+                flush_buf()
+            buf.append((chunk, window, keys))
+            buf_sig = sig
+            if len(buf) == scanW:
+                flush_buf()
+        flush_buf()
         probs = np.concatenate([np.asarray(p)[:, 0, :] for p in all_probs])
         preds = np.concatenate([np.asarray(p).reshape(-1) for p in all_preds])
         labels = np.concatenate(all_labels)

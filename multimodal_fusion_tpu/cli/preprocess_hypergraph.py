@@ -37,6 +37,10 @@ def build_parser():
     # fast-rebuild mode from cached similarity matrices
     p.add_argument("--rebuild", action="store_true", default=False)
     p.add_argument("--threshold_median_ratio", type=float, default=None)
+    # shard each slide's patch axis over N devices (intra-slide data
+    # parallelism via GSPMD; for pod slices where one slide's [N,N] work
+    # should split across ICI)
+    p.add_argument("--mesh_data", type=int, default=None)
     return p
 
 
@@ -62,6 +66,11 @@ def main(argv=None):
         )
         print(f"rebuilt {len(out)} files")
         return out
+    mesh = None
+    if args.mesh_data and args.mesh_data > 1:
+        from multimodal_fusion_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_data)
     stats, summary = process_dataset(
         args.csv_path,
         args.data_root_dir,
@@ -76,6 +85,7 @@ def main(argv=None):
         save_similarity=not args.no_save_similarity,
         file_batch=args.file_batch,
         bucket_patches=args.bucket_patches,
+        mesh=mesh,
     )
     print(json.dumps(summary))
     return stats

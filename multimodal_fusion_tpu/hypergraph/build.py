@@ -685,6 +685,42 @@ def _bucketed(wsi_features, wsi_positions, bucket_patches):
     return f, p, n, True
 
 
+def _place_for_mesh(mesh, feats, pos, tma, key):
+    """Shard one slide's build inputs over a device mesh: the PATCH axis of
+    feats/pos splits across every mesh axis (ICI data parallelism *within*
+    one slide), everything small replicates.  ``_fused_build`` is then
+    GSPMD-partitioned by XLA from the argument shardings alone — the [N,N]
+    similarity computes as row stripes per device, the KMeans center update
+    lowers to a psum, and sharded==unsharded is exact
+    (``test_parallel.py::test_sharded_single_slide_build``).  This is how a
+    slide too large for one chip's HBM builds on a pod slice; the reference
+    is single-device-only (SURVEY §2.6).
+
+    The patch axis is zero-padded up to a multiple of the mesh size (sharded
+    dims must divide evenly); returns (feats, pos, tma, key, padded) — when
+    ``padded`` is True the caller must run the masked build
+    (``_fused_build(padded=True)``, which excludes pad rows from every
+    statistic and the kmeans)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = int(mesh.devices.size)
+    n = feats.shape[0]
+    n_pad = ((n + n_dev - 1) // n_dev) * n_dev
+    pad = n_pad != n
+    if pad:
+        feats = jnp.zeros((n_pad,) + feats.shape[1:], feats.dtype).at[:n].set(feats)
+        pos = jnp.zeros((n_pad,) + pos.shape[1:], pos.dtype).at[:n].set(pos)
+    shard = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    rep = NamedSharding(mesh, P())
+    return (
+        jax.device_put(feats, shard),
+        jax.device_put(pos, shard),
+        jax.device_put(tma, rep),
+        jax.device_put(key, rep),
+        pad,
+    )
+
+
 def process_single_file(
     h5_path,
     num_wsi_super_patches: int = 100,
@@ -696,6 +732,7 @@ def process_single_file(
     seed: int = 42,
     save_similarity: bool = True,
     bucket_patches: Optional[int] = None,
+    mesh=None,
 ) -> Dict:
     wsi_features, wsi_positions = load_wsi_data(h5_path)
     tma_features = load_tma_data(h5_path)
@@ -709,11 +746,27 @@ def process_single_file(
             wsi_features, wsi_positions, bucket_patches
         )
     full_stats, block_stats = _stats_modes(save_similarity, wsi_features.shape[0])
+    key_j = jax.random.key(seed)
+    feats_j = jnp.asarray(wsi_features)
+    pos_j = jnp.asarray(wsi_positions)
+    tma_j = jnp.asarray(tma_features)
+    if mesh is not None:
+        feats_j, pos_j, tma_j, key_j, mesh_pad = _place_for_mesh(
+            mesh, feats_j, pos_j, tma_j, key_j
+        )
+        if mesh_pad:
+            if save_similarity:
+                raise ValueError(
+                    "mesh-sharded build needs the patch count to divide the "
+                    "mesh size when save_similarity=True (the persisted "
+                    "cache keeps exact shapes); use save_similarity=False"
+                )
+            padded = True
     out = _fused_build(
-        jax.random.key(seed),
-        jnp.asarray(wsi_features),
-        jnp.asarray(wsi_positions),
-        jnp.asarray(tma_features),
+        key_j,
+        feats_j,
+        pos_j,
+        tma_j,
         jnp.asarray(n, jnp.int32),
         lambda_h,
         lambda_g,
@@ -911,16 +964,26 @@ def process_dataset(
     pipeline_depth: int = 3,
     file_batch: int = 1,
     bucket_patches: Optional[int] = None,
+    mesh=None,
 ):
     """Dataset-level build, software-pipelined: up to ``pipeline_depth`` files
     have their fused device program dispatched ahead (JAX async dispatch), so
     device compute, device->host transfer and h5 writes of different files
     overlap.  Results drain in submission order; per-file errors are isolated
-    like the reference (preprocess_hypergraph.py:659-670)."""
+    like the reference (preprocess_hypergraph.py:659-670).
+
+    ``mesh``: shard each slide's patch axis over a device mesh (GSPMD; see
+    ``_place_for_mesh``) — intra-slide parallelism for pod slices, orthogonal
+    to the file-level pipeline."""
     df = pd.read_csv(csv_path)
     if "h5_file_path" not in df.columns:
         raise ValueError("CSV must contain 'h5_file_path' column")
     if file_batch > 1:
+        if mesh is not None:
+            raise ValueError(
+                "mesh (intra-slide sharding) and file_batch (inter-file "
+                "batching) are mutually exclusive"
+            )
         return _process_dataset_batched(
             df, data_root_dir, num_wsi_super_patches, num_groups, hypergraph_k,
             num_hyperedges, lambda_h, lambda_g, output_stats_path, seed,
@@ -951,11 +1014,23 @@ def process_dataset(
                 wsi_features, wsi_positions, bucket_patches
             )
         full_stats, block_stats = _stats_modes(save_similarity, wsi_features.shape[0])
+        key_j = jax.random.key(seed)
+        feats_j = jnp.asarray(wsi_features)
+        pos_j = jnp.asarray(wsi_positions)
+        tma_j = jnp.asarray(tma_features)
+        if mesh is not None:
+            feats_j, pos_j, tma_j, key_j, mesh_pad = _place_for_mesh(
+                mesh, feats_j, pos_j, tma_j, key_j
+            )
+            if mesh_pad:
+                if save_similarity:
+                    raise ValueError(
+                        "mesh-sharded build needs save_similarity=False when "
+                        "the patch count does not divide the mesh size"
+                    )
+                padded = True
         out = _fused_build(
-            jax.random.key(seed),
-            jnp.asarray(wsi_features),
-            jnp.asarray(wsi_positions),
-            jnp.asarray(tma_features),
+            key_j, feats_j, pos_j, tma_j,
             jnp.asarray(n_valid, jnp.int32),
             lambda_h, lambda_g,
             num_wsi_super_patches, num_groups, hypergraph_k, num_hyperedges,

@@ -286,6 +286,115 @@ def test_2d_replica_data_mesh_matches_single_device():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_single_slide_build(tmp_path):
+    """Intra-slide data parallelism: one slide's fused hypergraph build with
+    the patch axis sharded over the 8-device mesh (GSPMD from argument
+    shardings — similarity stripes per device, psum'd kmeans center updates)
+    equals the unsharded build, in both full-stats and blockwise-stats
+    modes."""
+    import h5py
+
+    import multimodal_fusion_tpu.hypergraph.build as build_mod
+
+    rng = np.random.default_rng(5)
+    feats = (rng.standard_normal((400, 16)) * 0.3).astype(np.float32)
+    pos = rng.uniform(0, 3, (400, 2)).astype(np.float32)
+    tma = (rng.standard_normal((8, 16)) * 0.3).astype(np.float32)
+    for name in ("a.h5", "b.h5", "c.h5", "d.h5"):
+        with h5py.File(tmp_path / name, "w") as f:
+            f["wsi/features"] = feats
+            f["wsi/positions"] = pos
+            f["tma/features"] = tma
+
+    mesh = make_mesh(8)
+    ref = build_mod.process_single_file(tmp_path / "a.h5", 6, 2, 2, 3,
+                                        save_similarity=False)
+    sharded = build_mod.process_single_file(tmp_path / "b.h5", 6, 2, 2, 3,
+                                            save_similarity=False, mesh=mesh)
+    assert "error" not in sharded
+    np.testing.assert_allclose(
+        sharded["wsi_aggregation"]["avg_intra_cluster_similarity"],
+        ref["wsi_aggregation"]["avg_intra_cluster_similarity"],
+        rtol=1e-4,
+    )
+    for k in ("mean", "std", "min", "max", "median"):
+        np.testing.assert_allclose(
+            sharded["wsi_aggregation"]["wsi_similarity_matrix_stats"][k],
+            ref["wsi_aggregation"]["wsi_similarity_matrix_stats"][k],
+            rtol=1e-4, atol=1e-6, err_msg=k,
+        )
+    assert sharded["hypergraph"]["num_edges"] == ref["hypergraph"]["num_edges"]
+
+    from multimodal_fusion_tpu.io.h5io import read_hypergraph_group
+
+    ga = read_hypergraph_group(tmp_path / "a.h5")
+    gb = read_hypergraph_group(tmp_path / "b.h5")
+    np.testing.assert_array_equal(ga["edge_index"], gb["edge_index"])
+    np.testing.assert_allclose(
+        ga["wsi_super/features"], gb["wsi_super/features"], rtol=1e-4, atol=1e-5
+    )
+
+    # blockwise-stats mode sharded (the large-N path on a mesh)
+    try:
+        orig = build_mod.FULL_STATS_MAX_N
+        build_mod.FULL_STATS_MAX_N = 100
+        blk = build_mod.process_single_file(tmp_path / "c.h5", 6, 2, 2, 3,
+                                            save_similarity=False, mesh=mesh)
+    finally:
+        build_mod.FULL_STATS_MAX_N = orig
+    assert "error" not in blk
+    for k in ("mean", "std", "min", "max"):
+        np.testing.assert_allclose(
+            blk["wsi_aggregation"]["wsi_similarity_matrix_stats"][k],
+            ref["wsi_aggregation"]["wsi_similarity_matrix_stats"][k],
+            rtol=1e-4, atol=1e-6, err_msg=k,
+        )
+
+    # patch count NOT divisible by the mesh -> zero-padded + masked build,
+    # stats still exact vs an unsharded reference of the same 300 patches
+    with h5py.File(tmp_path / "odd.h5", "w") as f:
+        f["wsi/features"] = feats[:300]
+        f["wsi/positions"] = pos[:300]
+        f["tma/features"] = tma
+    with h5py.File(tmp_path / "odd_ref.h5", "w") as f:
+        f["wsi/features"] = feats[:300]
+        f["wsi/positions"] = pos[:300]
+        f["tma/features"] = tma
+    odd_ref = build_mod.process_single_file(tmp_path / "odd_ref.h5", 6, 2, 2, 3,
+                                            save_similarity=False)
+    odd = build_mod.process_single_file(tmp_path / "odd.h5", 6, 2, 2, 3,
+                                        save_similarity=False, mesh=mesh)
+    assert "error" not in odd
+    for k in ("mean", "std", "min", "max"):
+        np.testing.assert_allclose(
+            odd["wsi_aggregation"]["wsi_similarity_matrix_stats"][k],
+            odd_ref["wsi_aggregation"]["wsi_similarity_matrix_stats"][k],
+            rtol=1e-4, atol=1e-6, err_msg=k,
+        )
+    # save_similarity=True + indivisible N is refused (cache keeps exact shapes)
+    with pytest.raises(ValueError, match="save_similarity"):
+        build_mod.process_single_file(tmp_path / "odd.h5", 6, 2, 2, 3,
+                                      save_similarity=True, mesh=mesh)
+
+    # dataset driver accepts the mesh; file_batch is mutually exclusive
+    import csv as _csv
+
+    with open(tmp_path / "d.csv", "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["patient_id", "case_id", "label", "h5_file_path"])
+        w.writeheader()
+        w.writerow({"patient_id": 0, "case_id": "d", "label": "living",
+                    "h5_file_path": "d.h5"})
+    stats, summary = build_mod.process_dataset(
+        tmp_path / "d.csv", tmp_path, 6, 2, 2, 3, save_similarity=False, mesh=mesh
+    )
+    assert all("error" not in s for s in stats), stats
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build_mod.process_dataset(
+            tmp_path / "d.csv", tmp_path, 6, 2, 2, 3,
+            save_similarity=False, mesh=mesh, file_batch=2,
+        )
+
+
 def test_trainer_accepts_replica_mesh_shape():
     from multimodal_fusion_tpu.config import Configs, ExperimentConfig, ModelConfig
     from multimodal_fusion_tpu.train.survival import SurvivalTrainer

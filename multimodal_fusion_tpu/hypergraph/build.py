@@ -155,7 +155,8 @@ def _blockwise_similarity_stats(
     pos: jax.Array,
     lambda_h: float,
     lambda_g: float,
-    onehot: jax.Array,
+    labels: jax.Array,  # [N] int32 cluster ids; -1 marks invalid/padded rows
+    num_clusters: int,
     n_valid: jax.Array,
     padded: bool,
     block: int = 1024,
@@ -165,26 +166,34 @@ def _blockwise_similarity_stats(
     A ``lax.scan`` over row blocks computes each [B, N] similarity stripe on
     the MXU (same fused single-exp kernel as ``combined_similarity``), folds
     it into running (sum, sum-of-squares, min, max) reductions plus the
-    intra-cluster accumulators (the K @ onehot contraction and the
-    diagonal's per-cluster sum), then discards the stripe — peak memory is
+    intra-cluster accumulators, then discards the stripe — peak memory is
     O(B*N) instead of O(N^2), so EXACT statistics survive far past the
     ``FULL_STATS_MAX_N`` boundary (the [N,N] f32 object is 4 GB at 32k and
     40 GB at 1e5; the stripe at B=1024, N=1e5 is 400 MB).  The reference
     materialises [N,N] on the host and walls here (SURVEY §5).
 
+    The intra-cluster sums use a same-label mask + column reduction — O(N^2)
+    ELEMENTWISE work — instead of the dense K @ onehot contraction, which is
+    O(N^2 * K) matmul FLOPs and dominated everything at large N (2e15 FLOPs
+    at N=1e5, K=100: measured 28.7s -> the mask formulation removes it).
+    Per-cluster totals come from one segment-sum over the accumulated column
+    vector after the scan.
+
     Median is NOT computed (an exact median is a selection over N^2 values —
     O(N^2 D) recompute passes per bisection step); callers take it from the
     deterministic <=2048-point subsample (see ``_fused_build``).
 
-    Returns (sum, sumsq, min, max, s_cc [S], diag_c [S]) over VALID entries
-    only (rows/cols >= ``n_valid`` excluded when ``padded``)."""
+    Returns (sum, sumsq, min, max, s_cc [K], diag_c [K]) over VALID entries
+    only (rows/cols with label -1 excluded)."""
     n, d = feats.shape
-    s = onehot.shape[1]
     block = min(block, n)
     n_pad = ((n + block - 1) // block) * block
     fp = jnp.zeros((n_pad, d), feats.dtype).at[:n].set(feats)
     pp = jnp.zeros((n_pad, pos.shape[1]), pos.dtype).at[:n].set(pos)
-    op = jnp.zeros((n_pad, s), jnp.float32).at[:n].set(onehot)
+    # invalid rows -1; scan-padding rows also -1; column copy uses -2 so an
+    # invalid row never matches an invalid column
+    lab = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(labels.astype(jnp.int32))
+    lab_col = jnp.where(lab >= 0, lab, -2)
     n_eff = n_valid.astype(jnp.int32) if padded else jnp.int32(n)
     col_valid = jnp.arange(n_pad) < n_eff  # [n_pad]
 
@@ -193,16 +202,16 @@ def _blockwise_similarity_stats(
         jnp.float32(0.0),
         jnp.float32(jnp.inf),
         jnp.float32(-jnp.inf),
-        jnp.zeros((s,), jnp.float32),
-        jnp.zeros((s,), jnp.float32),
+        jnp.zeros((n_pad,), jnp.float32),  # per-column same-cluster row sums
+        jnp.zeros((n_pad,), jnp.float32),  # diagonal values
     )
 
     def body(carry, j):
-        tsum, tsumsq, tmn, tmx, s_cc, diag_c = carry
+        tsum, tsumsq, tmn, tmx, colsum, diag_all = carry
         r0 = j * block
         fb = jax.lax.dynamic_slice_in_dim(fp, r0, block)
         pb = jax.lax.dynamic_slice_in_dim(pp, r0, block)
-        ob = jax.lax.dynamic_slice_in_dim(op, r0, block)
+        lb = jax.lax.dynamic_slice_in_dim(lab, r0, block)
         d_h = pairwise_sq_dists(fb, fp)
         d_g = pairwise_sq_dists(pb, pp)
         K_blk = jnp.exp(-(lambda_h * d_h + lambda_g * d_g))  # [B, n_pad]
@@ -213,19 +222,25 @@ def _blockwise_similarity_stats(
         tsumsq = tsumsq + jnp.sum(Kv * Kv)
         tmn = jnp.minimum(tmn, jnp.min(jnp.where(tile_valid, K_blk, jnp.inf)))
         tmx = jnp.maximum(tmx, jnp.max(jnp.where(tile_valid, K_blk, -jnp.inf)))
-        # intra-cluster accumulators: zero rows of `op`/`ob` (padding and, in
-        # padded mode, rows >= n_valid — the onehot is pre-masked) make the
-        # contraction self-masking
-        KH = jnp.dot(K_blk, op, preferred_element_type=jnp.float32)  # [B, S]
-        s_cc = s_cc + jnp.einsum("bs,bs->s", ob, KH)
+        # same-cluster pairs: label match is only possible between two VALID
+        # points (invalid rows are -1, invalid columns -2)
+        same = lb[:, None] == lab_col[None, :]
+        colsum = colsum + jnp.sum(jnp.where(same, K_blk, 0.0), axis=0)
         diag_vals = jnp.diagonal(
             jax.lax.dynamic_slice(K_blk, (0, r0), (block, block))
         )
-        diag_c = diag_c + jnp.dot(diag_vals, ob, preferred_element_type=jnp.float32)
-        return (tsum, tsumsq, tmn, tmx, s_cc, diag_c), None
+        diag_all = jax.lax.dynamic_update_slice(diag_all, diag_vals, (r0,))
+        return (tsum, tsumsq, tmn, tmx, colsum, diag_all), None
 
-    carry, _ = jax.lax.scan(body, init, jnp.arange(n_pad // block))
-    return carry
+    (tsum, tsumsq, tmn, tmx, colsum, diag_all), _ = jax.lax.scan(
+        body, init, jnp.arange(n_pad // block)
+    )
+    # one segment-sum each outside the scan: per-cluster totals
+    lab_safe = jnp.clip(lab, 0, num_clusters - 1)
+    w = (lab >= 0).astype(jnp.float32)
+    s_cc = jnp.zeros((num_clusters,), jnp.float32).at[lab_safe].add(colsum * w)
+    diag_c = jnp.zeros((num_clusters,), jnp.float32).at[lab_safe].add(diag_all * w)
+    return tsum, tsumsq, tmn, tmx, s_cc, diag_c
 
 
 def _device_triu_indices(n: int):
@@ -343,8 +358,11 @@ def _fused_build(
     # s_cc = 1_c^T K 1_c ; off-diag mean = (s_cc - sum(diag K within c)) / (n_c^2 - n_c)
     block_carry = None
     if block_stats:
+        labels_eff = (
+            jnp.where(mask, km.labels, -1) if padded else km.labels
+        )
         block_carry = _blockwise_similarity_stats(
-            feats, pos, lambda_h, lambda_g, onehot, n_valid, padded
+            feats, pos, lambda_h, lambda_g, labels_eff, num_super, n_valid, padded
         )
         s_cc, diag_c = block_carry[4], block_carry[5]
         stat_counts = counts

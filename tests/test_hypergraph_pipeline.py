@@ -352,7 +352,8 @@ def test_blockwise_stats_oracle_multiblock():
     n, d, s = 300, 16, 6
     feats = jnp.asarray(rng.standard_normal((n, d)) * 0.3, jnp.float32)
     pos = jnp.asarray(rng.uniform(0, 3, (n, 2)), jnp.float32)
-    onehot = jnp.asarray(np.eye(s, dtype=np.float32)[rng.integers(0, s, n)])
+    labels = jnp.asarray(rng.integers(0, s, n), jnp.int32)
+    onehot = jnp.asarray(np.eye(s, dtype=np.float32)[np.asarray(labels)])
 
     K = combined_similarity(feats, pos, 1.0, 1.0)
     ref = (
@@ -371,17 +372,18 @@ def test_blockwise_stats_oracle_multiblock():
 
     check(
         _blockwise_similarity_stats(
-            feats, pos, 1.0, 1.0, onehot, jnp.int32(n), False, block=64
+            feats, pos, 1.0, 1.0, labels, s, jnp.int32(n), False, block=64
         )
     )
-    # padded-bucket mode: 20 trailing garbage rows, n_valid=300
+    # padded-bucket mode: 20 trailing garbage rows, labels -1 (pre-masked
+    # like _fused_build), n_valid=300
     npad = 320
     fp = jnp.ones((npad, d)).at[:n].set(feats)
     pp = jnp.ones((npad, 2)).at[:n].set(pos)
-    op = jnp.zeros((npad, s)).at[:n].set(onehot)  # pre-masked like _fused_build
+    lp = jnp.full((npad,), -1, jnp.int32).at[:n].set(labels)
     check(
         _blockwise_similarity_stats(
-            fp, pp, 1.0, 1.0, op, jnp.int32(n), True, block=64
+            fp, pp, 1.0, 1.0, lp, s, jnp.int32(n), True, block=64
         )
     )
 

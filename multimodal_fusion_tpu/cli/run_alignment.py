@@ -43,6 +43,11 @@ def build_parser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--save_path", type=str, default="alignment_model.npz")
     p.add_argument("--verbose", action="store_true", default=False)
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help="fuse S train steps into one lax.scan dispatch (numerics identical)")
+    p.add_argument("--device_data", action="store_true", default=False,
+                   help="keep the whole training view resident in device memory; "
+                        "batches become device-side gathers (numerics identical)")
     return p
 
 
@@ -85,6 +90,7 @@ def main(argv=None):
         loss2_chunk_size=args.loss2_chunk_size,
         val_max_batches=args.val_max_batches,
         early_stopping_patience=args.early_stopping_patience,
+        scan_steps=args.scan_steps,
     )
     out = trainer.train(
         views["train"],
@@ -96,6 +102,7 @@ def main(argv=None):
         save_interval=args.save_interval,
         seed=args.seed,
         verbose=args.verbose,
+        device_data=args.device_data,
     )
     trainer.save_history(f"{args.save_path}.history.json", config=vars(args))
     return out

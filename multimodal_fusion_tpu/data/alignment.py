@@ -210,6 +210,25 @@ class TMANpzAlignedWithNegDataset(TMANpzAlignedDataset):
             neg = None
         return pos, neg
 
+    def device_tables(self):
+        """Materialise the whole aligned dataset for device residency:
+        (features {marker: [N, D] f32}, neg_idx {marker: [P] int32 positions
+        into the features}).  A batch then becomes two device-side gathers —
+        zero per-step host->device feature upload (the host collate re-reads
+        NPZ rows and ships ~MBs per step, which dominates alignment training
+        through a remote TPU link)."""
+        feats = {
+            m: np.stack([self._fetch(m, k) for k in self.normalized_keys]).astype(
+                np.float32
+            )
+            for m in self.modality_names
+        }
+        neg_idx = {
+            m: np.asarray([c[m] for c in self.neg_pool], np.int32)
+            for m in self.modality_names
+        }
+        return feats, neg_idx
+
     def split_by_ids_with_neg(
         self,
         id_groups: Dict[str, List],
@@ -269,6 +288,25 @@ class AlignedSubsetView:
                 for m in p.modality_names
             }
         return pos, neg
+
+
+    def device_tables(self):
+        """View-local device tables (see TMANpzAlignedWithNegDataset
+        .device_tables): features for THIS view's rows, negative-pool
+        combos as positions into the view."""
+        p = self.parent
+        feats = {
+            m: np.stack(
+                [p._fetch(m, p.normalized_keys[i]) for i in self.indices]
+            ).astype(np.float32)
+            for m in p.modality_names
+        }
+        pos_of = {idx: j for j, idx in enumerate(self.indices)}
+        neg_idx = {
+            m: np.asarray([pos_of[c[m]] for c in self.neg_pool], np.int32)
+            for m in p.modality_names
+        }
+        return feats, neg_idx
 
 
 def create_tma_aligned_with_neg_dataset(

@@ -189,8 +189,48 @@ class MultiModalAlignmentTrainer:
             loss, svd_vals = self._loss(state, pos, neg if has_neg else None, None, False)
             return loss, svd_vals
 
+        # Device-resident data variants: the whole aligned dataset lives in
+        # HBM (data/alignment.py:device_tables) and a batch is two gathers —
+        # the per-step host->device payload drops from ~MBs of features to a
+        # [B] index vector, turning the upload-bound alignment step into a
+        # dispatch-bound one (which scan_steps then amortises).
+        def gather(feats, neg_idx, bp, start, need: int, has_neg: bool):
+            pos = {m: feats[m][bp] for m in feats}
+            if has_neg and need > 0:
+                pool = next(iter(neg_idx.values())).shape[0]
+                sel = (start + jnp.arange(need)) % pool
+                neg = {m: feats[m][neg_idx[m][sel]] for m in feats}
+            else:
+                neg = pos
+            return pos, neg
+
+        @partial(jax.jit, static_argnames=("train", "has_neg", "need"))
+        def step_dev(state, opt_state, feats, neg_idx, bp, start, key, lr,
+                     train: bool, has_neg: bool, need: int):
+            pos, neg = gather(feats, neg_idx, bp, start, need, has_neg)
+            return update(state, opt_state, pos, neg, key, lr, train, has_neg)
+
+        @partial(jax.jit, static_argnames=("train", "has_neg", "need"))
+        def steps_dev_scanned(state, opt_state, feats, neg_idx, bps, starts,
+                              keys, lrs, train: bool, has_neg: bool, need: int):
+            def body(carry, xs):
+                state, opt_state = carry
+                bp, start, key, lr = xs
+                pos, neg = gather(feats, neg_idx, bp, start, need, has_neg)
+                state, opt_state, loss, svd_vals = update(
+                    state, opt_state, pos, neg, key, lr, train, has_neg
+                )
+                return (state, opt_state), (loss, svd_vals)
+
+            (state, opt_state), (losses, svds) = jax.lax.scan(
+                body, (state, opt_state), (bps, starts, keys, lrs)
+            )
+            return state, opt_state, losses, svds
+
         self._step = step
         self._steps_scanned = steps_scanned
+        self._step_dev = step_dev
+        self._steps_dev_scanned = steps_dev_scanned
         self._eval_loss = eval_loss
 
     # ------------------------------------------------------------------
@@ -211,9 +251,15 @@ class MultiModalAlignmentTrainer:
         save_interval: Optional[int] = None,
         seed: int = 42,
         verbose: bool = False,
+        device_data: bool = False,
     ) -> Dict:
         """``train_view``/``val_view``: AlignedSubsetView (or the dataset
-        itself) exposing __len__ and collate(batch_positions, batch_id)."""
+        itself) exposing __len__ and collate(batch_positions, batch_id).
+
+        ``device_data=True`` uploads the training view ONCE (device_tables)
+        and turns each batch into device-side gathers — numerically identical
+        to the host collate (same rows, same negative-pool slicing), tested
+        in test_alignment_device_data_matches_host."""
         rng = np.random.default_rng(seed)
         state = self.state
         opt_state = self.opt_state
@@ -243,7 +289,7 @@ class MultiModalAlignmentTrainer:
                     self.history["steps"].append(base + i)
             pending.clear()
 
-        def make_batch(step_id):
+        def next_positions():
             nonlocal order, pos_in_epoch, epoch, key
             if pos_in_epoch + batch_size > n:
                 order = rng.permutation(n)
@@ -251,12 +297,34 @@ class MultiModalAlignmentTrainer:
                 epoch += 1
             batch_positions = order[pos_in_epoch : pos_in_epoch + batch_size]
             pos_in_epoch += batch_size
+            key, sub = jax.random.split(key)
+            return batch_positions, self._lr_for_epoch(epoch), sub
+
+        def make_batch(step_id):
+            batch_positions, lr, sub = next_positions()
             pos, neg = train_view.collate(batch_positions, step_id)
             has_neg = neg is not None and self.lambda2 != 0
             pos = {k: jnp.asarray(v) for k, v in pos.items()}
             neg_j = {k: jnp.asarray(v) for k, v in neg.items()} if has_neg else pos
-            key, sub = jax.random.split(key)
-            return pos, neg_j, has_neg, self._lr_for_epoch(epoch), sub
+            return pos, neg_j, has_neg, lr, sub
+
+        feats_dev = neg_idx_dev = None
+        need = 0
+        has_neg_dev = False
+        if device_data:
+            feats_np, neg_idx_np = train_view.device_tables()
+            feats_dev = {m: jnp.asarray(v) for m, v in feats_np.items()}
+            neg_idx_dev = {m: jnp.asarray(v) for m, v in neg_idx_np.items()}
+            pool_len = int(next(iter(neg_idx_np.values())).shape[0])
+            ratio = float(getattr(train_view, "mismatch_ratio", 0.0))
+            need = int(np.ceil(batch_size * max(0.0, ratio)))
+            has_neg_dev = self.lambda2 != 0 and need > 0 and pool_len > 0
+
+            def make_batch_dev(step_id):
+                batch_positions, lr, sub = next_positions()
+                bp = jnp.asarray(batch_positions, jnp.int32)
+                start = jnp.int32((step_id * need) % pool_len) if has_neg_dev else jnp.int32(0)
+                return bp, start, lr, sub
 
         step_i = 0
         while step_i < max_steps:
@@ -266,7 +334,25 @@ class MultiModalAlignmentTrainer:
                 boundary = min(boundary, ((step_i // save_interval) + 1) * save_interval)
             chunk = min(self.scan_steps, boundary - step_i)
             t_data = time.perf_counter()
-            if chunk >= 2:
+            if chunk >= 2 and device_data:
+                batches = [make_batch_dev(step_i + j) for j in range(chunk)]
+                bps = jnp.stack([b[0] for b in batches])
+                starts = jnp.stack([b[1] for b in batches])
+                lrs = jnp.asarray([b[2] for b in batches], jnp.float32)
+                keys = jnp.stack([b[3] for b in batches])
+                if self.timer:
+                    self.timer.record("data_loading", time.perf_counter() - t_data)
+                t_step = time.perf_counter()
+                state, opt_state, losses, svds = self._steps_dev_scanned(
+                    state, opt_state, feats_dev, neg_idx_dev, bps, starts,
+                    keys, lrs, True, has_neg_dev, need,
+                )
+                pending.append((chunk, losses, svds))
+                if self.timer:
+                    jax.block_until_ready(losses)
+                    self.timer.record("train_step", time.perf_counter() - t_step)
+                step_i += chunk
+            elif chunk >= 2:
                 batches = [make_batch(step_i + j) for j in range(chunk)]
                 has_neg = batches[0][2]
                 pos_s = jax.tree.map(lambda *xs: jnp.stack(xs), *[b[0] for b in batches])
@@ -284,6 +370,20 @@ class MultiModalAlignmentTrainer:
                     jax.block_until_ready(losses)
                     self.timer.record("train_step", time.perf_counter() - t_step)
                 step_i += chunk
+            elif device_data:
+                bp, start, lr, sub = make_batch_dev(step_i)
+                if self.timer:
+                    self.timer.record("data_loading", time.perf_counter() - t_data)
+                t_step = time.perf_counter()
+                state, opt_state, loss, svd_vals = self._step_dev(
+                    state, opt_state, feats_dev, neg_idx_dev, bp, start, sub,
+                    lr, True, has_neg_dev, need,
+                )
+                if self.timer:
+                    jax.block_until_ready(loss)
+                    self.timer.record("train_step", time.perf_counter() - t_step)
+                pending.append((1, loss, svd_vals))
+                step_i += 1
             else:
                 pos, neg_j, has_neg, lr, sub = make_batch(step_i)
                 if self.timer:

@@ -254,6 +254,53 @@ def test_alignment_scan_steps_matches_sequential(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
 
 
+def test_alignment_device_data_matches_host(tmp_path):
+    """device_data=True (dataset resident in device memory, batches as
+    gathers) must reproduce the host-collate training exactly — same rows,
+    same negative-pool slicing, same RNG — alone and combined with
+    scan_steps."""
+    from multimodal_fusion_tpu.data.alignment import TMANpzAlignedWithNegDataset
+    from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
+    from multimodal_fusion_tpu.train.alignment import MultiModalAlignmentTrainer
+
+    markers = ("cd3", "cd8")
+    make_alignment_npz_fixtures(
+        tmp_path, n_cores=12, patches_per_core=1, feature_dim=8, markers=markers
+    )
+    ds = TMANpzAlignedWithNegDataset(
+        tmp_path, list(markers), filename_template="{marker}.npz", mismatch_ratio=1.0
+    )
+    keys = ds.normalized_keys
+    views = ds.split_by_ids_with_neg({"train": keys[:10], "val": keys[10:]})
+
+    def run(device_data, scan_steps):
+        model = MultiModalAlignmentModel(
+            list(markers), feature_dim=8, num_layers=1, rngs=nnx.Rngs(3)
+        )
+        tr = MultiModalAlignmentTrainer(
+            model, learning_rate=1e-3, lambda2=0.1, scan_steps=scan_steps
+        )
+        out = tr.train(views["train"], views["val"], max_steps=8, batch_size=4,
+                       val_interval=4, seed=5, device_data=device_data)
+        return out, nnx.state(model)
+
+    host, st_h = run(False, 1)
+    dev, st_d = run(True, 1)
+    dev_scan, st_ds = run(True, 3)
+    for other in (dev, dev_scan):
+        np.testing.assert_allclose(
+            host["history"]["train_loss"], other["history"]["train_loss"], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            [v["loss"] for v in host["history"]["val_loss"]],
+            [v["loss"] for v in other["history"]["val_loss"]],
+            rtol=1e-5,
+        )
+    for st in (st_d, st_ds):
+        for a, b in zip(jax.tree.leaves(st_h), jax.tree.leaves(st)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
 def test_volume_loss_training(tmp_path):
     from multimodal_fusion_tpu.data.alignment import TMANpzAlignedWithNegDataset
     from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel

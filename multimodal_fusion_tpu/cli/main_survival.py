@@ -104,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     # pooling
     p.add_argument("--pooling_strategy", type=str, choices=["mean", "max", "sum"], default="mean")
+    # TPU-native execution knobs (not in the reference CLI): JSON dict merged
+    # into ExperimentConfig, e.g.
+    # --tpu_opts '{"device_data": true, "scan_windows": 8, "mesh_shape": {"data": 8}, "remat": true}'
+    p.add_argument("--tpu_opts", type=str, default="{}")
     return p
 
 
@@ -183,6 +187,11 @@ def args_to_configs(args, channel_input_dims: Dict[str, int]) -> Configs:
         alignment_model_path=args.alignment_model_path,
         results_dir=args.results_dir,
     )
+    for k, v in json.loads(args.tpu_opts).items():
+        if hasattr(ec, k):
+            setattr(ec, k, v)
+        else:
+            ec.extra[k] = v
     return Configs(experiment_config=ec, model_config=mc)
 
 

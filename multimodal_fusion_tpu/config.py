@@ -158,6 +158,11 @@ class ExperimentConfig:
     # lax.scan (numerics identical to W sequential updates); pays off when
     # per-step dispatch latency dominates (remote TPU links, tiny models)
     scan_windows: int = 1
+    # keep the fold's cases resident in device memory (padded to one global
+    # bucket per channel) so every window is a device-side row gather instead
+    # of a host->device upload; pays off when the same slides are re-uploaded
+    # every epoch through a slow link and the dataset fits HBM
+    device_data: bool = False
 
     extra: Dict[str, Any] = field(default_factory=dict)
 

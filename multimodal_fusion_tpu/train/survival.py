@@ -148,6 +148,73 @@ class SurvivalTrainer:
         keys = jax.device_put(keys, sh)
         return windows, keys
 
+    def _constrain_window(self, window, keys):
+        """In-jit analog of ``_place_window``: constrain a gathered window's
+        case axis onto the data mesh (no-op without a mesh or when the
+        window size doesn't divide the device count)."""
+        if self.mesh is None:
+            return window, keys
+        n_dev = self.mesh.devices.size
+        if window["label"].shape[0] % n_dev != 0:
+            return window, keys
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
+        con = lambda x: jax.lax.with_sharding_constraint(x, sh)
+        return jax.tree.map(con, window), con(keys)
+
+    def _device_tables(self, dataset, indices):
+        """Materialise the cases at ``indices`` as ONE device-resident
+        stacked table (every case padded to a global per-channel bucket), so
+        a training/eval window becomes a row gather inside the jit step
+        instead of a fresh host->device upload.
+
+        The host path re-reads, re-pads and re-ships every window each epoch
+        — through a remote TPU link that upload dominates training
+        wall-clock. Numerics match the host path through the mask-aware
+        padding invariance of every registered model (the global bucket is
+        >= the per-window bucket; tested in test_device_data_matches_host).
+
+        Returns ``(tables, row_of)``: tables is a window-shaped pytree with
+        leading case axis, ``row_of`` maps dataset index -> table row."""
+        from multimodal_fusion_tpu.data.batching import pad_case, stack_window, window_bag_sizes
+
+        raws, labels, cids = [], [], []
+        for i in indices:
+            cid = dataset.case_ids[int(i)]
+            raw, label = dataset.get_case(cid)
+            raws.append(raw)
+            labels.append(label)
+            cids.append(cid)
+        sizes = window_bag_sizes(raws)
+        padded = [pad_case(r, l, sizes) for r, l in zip(raws, labels)]
+        tables = stack_window(padded)
+        if getattr(dataset, "has_survival_time", False):
+            tables["time"] = np.asarray([dataset.case_to_time[c] for c in cids], np.float32)
+            tables["event"] = np.asarray([dataset.case_to_event[c] for c in cids], np.float32)
+        nbytes = sum(
+            x.nbytes for x in jax.tree.leaves(tables) if hasattr(x, "nbytes")
+        )
+        if nbytes > 8 * 2**30:
+            print(
+                f"device_data: tables are {nbytes / 2**30:.1f} GiB — "
+                "ensure they fit device memory (or disable exp.device_data)"
+            )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P())  # replicated; windows reshard in-jit
+            tables = jax.tree.map(lambda x: jax.device_put(np.asarray(x), sh), tables)
+        else:
+            tables = jax.tree.map(jnp.asarray, tables)
+        row_of = {int(i): r for r, i in enumerate(indices)}
+        return tables, row_of
+
+    @staticmethod
+    def _gather_window(tables, idx):
+        """Row-gather a window out of the device tables (inside jit)."""
+        return jax.tree.map(lambda t: t[idx], tables)
+
     # ------------------------------------------------------------------
     # jitted step builders
     # ------------------------------------------------------------------
@@ -236,6 +303,37 @@ class SurvivalTrainer:
 
         return train_steps
 
+    def _make_dev_train_steps(self, model, graphdef, tx):
+        """device_data step builders: windows are gathered from the
+        device-resident tables by a [G] (or [W, G]) row-index vector inside
+        the jit — the only per-step host->device payload is the indices."""
+        update = self._window_update_fn(model, graphdef, tx)
+
+        @jax.jit
+        def step_dev(params, rest, opt_state, tables, idx, keys, lr):
+            window = self._gather_window(tables, idx)
+            window, keys = self._constrain_window(window, keys)
+            return update(params, rest, opt_state, window, keys, lr)
+
+        @jax.jit
+        def steps_dev_scanned(params, rest, opt_state, tables, idxs, keys, lr):
+            def body(carry, xs):
+                params, rest, opt_state = carry
+                idx, kk = xs
+                window = self._gather_window(tables, idx)
+                window, kk = self._constrain_window(window, kk)
+                params, rest, opt_state, mean_loss, _ = update(
+                    params, rest, opt_state, window, kk, lr
+                )
+                return (params, rest, opt_state), mean_loss
+
+            (params, rest, opt_state), losses = jax.lax.scan(
+                body, (params, rest, opt_state), (idxs, keys)
+            )
+            return params, rest, opt_state, losses
+
+        return step_dev, steps_dev_scanned
+
     def _make_eval_step(self, model, graphdef, drop_prob: Optional[float] = None):
         use_drop = drop_prob is not None and self._supports_drop_prob
         # Opt-in bf16 inference (model_config.compute_dtype="bfloat16"):
@@ -297,7 +395,34 @@ class SurvivalTrainer:
                 lambda wk: eval_window(params, rest, wk[0], wk[1]), (windows, keys)
             )
 
+        @jax.jit
+        def eval_step_dev(params, rest, tables, idx, keys):
+            sub = {k: tables[k] for k in ("channels", "masks", "label")}
+            window = self._gather_window(sub, idx)
+            window, keys = self._constrain_window(window, keys)
+            params = _to_compute(params)
+            rest = _to_compute(rest)
+            window = dict(window, channels=_to_compute(window["channels"]))
+            return eval_window(params, rest, window, keys)
+
+        @jax.jit
+        def eval_steps_dev_scanned(params, rest, tables, idxs, keys):
+            params = _to_compute(params)
+            rest = _to_compute(rest)
+            sub = {k: tables[k] for k in ("channels", "masks", "label")}
+
+            def one_window(ik):
+                idx, kk = ik
+                window = self._gather_window(sub, idx)
+                window, kk = self._constrain_window(window, kk)
+                window = dict(window, channels=_to_compute(window["channels"]))
+                return eval_window(params, rest, window, kk)
+
+            return jax.lax.map(one_window, (idxs, keys))
+
         eval_step.scanned = eval_steps_scanned
+        eval_step.dev = eval_step_dev
+        eval_step.dev_scanned = eval_steps_dev_scanned
         return eval_step
 
     # ------------------------------------------------------------------
@@ -351,7 +476,14 @@ class SurvivalTrainer:
                     break
                 yield item
 
-    def _evaluate(self, dataset, indices, eval_step, params, rest, key) -> Dict[str, Any]:
+    def _evaluate(
+        self, dataset, indices, eval_step, params, rest, key,
+        tables=None, row_of=None,
+    ) -> Dict[str, Any]:
+        if tables is not None:
+            return self._evaluate_dev(
+                dataset, indices, eval_step, params, rest, key, tables, row_of
+            )
         all_probs, all_preds, all_labels, all_loss, all_risk, patient_ids = [], [], [], [], [], []
         G = min(self.exp.batch_size, 16)
         scanW = max(1, int(self.exp.get("scan_windows", 1) or 1))
@@ -409,6 +541,13 @@ class SurvivalTrainer:
             if len(buf) == scanW:
                 flush_buf()
         flush_buf()
+        return self._eval_summary(
+            dataset, all_probs, all_preds, all_labels, all_loss, all_risk, patient_ids
+        )
+
+    def _eval_summary(
+        self, dataset, all_probs, all_preds, all_labels, all_loss, all_risk, patient_ids
+    ) -> Dict[str, Any]:
         probs = np.concatenate([np.asarray(p)[:, 0, :] for p in all_probs])
         preds = np.concatenate([np.asarray(p).reshape(-1) for p in all_preds])
         labels = np.concatenate(all_labels)
@@ -432,6 +571,64 @@ class SurvivalTrainer:
             out["c_index"] = concordance_index(risk, time_arr, event_arr)
         return out
 
+    def _evaluate_dev(
+        self, dataset, indices, eval_step, params, rest, key, tables, row_of
+    ) -> Dict[str, Any]:
+        """device_data evaluation: same window walk and RNG stream as the
+        host ``_evaluate``, but each window is a row gather from the
+        device-resident tables (eval_step.dev / .dev_scanned)."""
+        all_probs, all_preds, all_labels, all_loss, all_risk, patient_ids = [], [], [], [], [], []
+        G = min(self.exp.batch_size, 16)
+        scanW = max(1, int(self.exp.get("scan_windows", 1) or 1))
+        rows = np.asarray([row_of[int(i)] for i in indices], np.int32)
+        win_idx = [rows[s : s + G] for s in range(0, len(rows), G)]
+        n_win = len(win_idx)
+        n_full = n_win - (1 if n_win and len(win_idx[-1]) != G else 0)
+        labels_np = np.asarray([dataset.labels[int(i)] for i in indices])
+        patient_ids.extend(dataset.case_ids[int(i)] for i in indices)
+        all_labels.append(labels_np)
+
+        def emit(probs, preds, losses, risk):
+            all_probs.append(probs)
+            all_preds.append(preds)
+            all_loss.append(losses)
+            all_risk.append(risk)
+
+        keys_per_win = []
+        for w in win_idx:
+            key, sub = jax.random.split(key)
+            keys_per_win.append(jax.random.split(sub, len(w)))
+
+        p = 0
+        while p < n_full:
+            if scanW > 1 and n_full - p >= scanW:
+                idxs = jnp.asarray(np.stack(win_idx[p : p + scanW]))
+                kst = jnp.stack(keys_per_win[p : p + scanW])
+                logits, probs, preds, losses, risk = eval_step.dev_scanned(
+                    params, rest, tables, idxs, kst
+                )
+                emit(
+                    probs.reshape((-1,) + probs.shape[2:]),
+                    preds.reshape((-1,) + preds.shape[2:]),
+                    losses.reshape(-1),
+                    risk.reshape((-1,) + risk.shape[2:]),
+                )
+                p += scanW
+            else:
+                logits, probs, preds, losses, risk = eval_step.dev(
+                    params, rest, tables, jnp.asarray(win_idx[p]), keys_per_win[p]
+                )
+                emit(probs, preds, losses, risk)
+                p += 1
+        if n_full < n_win:  # leftover partial window
+            logits, probs, preds, losses, risk = eval_step.dev(
+                params, rest, tables, jnp.asarray(win_idx[-1]), keys_per_win[-1]
+            )
+            emit(probs, preds, losses, risk)
+        return self._eval_summary(
+            dataset, all_probs, all_preds, all_labels, all_loss, all_risk, patient_ids
+        )
+
     # ------------------------------------------------------------------
 
     def train_fold(
@@ -443,12 +640,22 @@ class SurvivalTrainer:
         model, graphdef, params, rest = self._build_model(fold_idx)
         tx = make_optimizer(exp.optimizer, exp.weight_decay)
         opt_state = tx.init(params)
-        train_step = self._make_train_step(model, graphdef, tx)
+        use_dev = bool(exp.get("device_data", False))
+        train_step = self._make_train_step(model, graphdef, tx) if not use_dev else None
         scanW = max(1, int(exp.get("scan_windows", 1) or 1))
         scan_step = (
-            self._make_scanned_train_step(model, graphdef, tx) if scanW > 1 else None
+            self._make_scanned_train_step(model, graphdef, tx)
+            if scanW > 1 and not use_dev
+            else None
         )
         eval_step = self._make_eval_step(model, graphdef)
+        tables = row_of = dev_step = dev_scan = None
+        if use_dev:
+            all_idx = np.concatenate(
+                [split.train_idx, split.val_idx, split.test_idx]
+            ).astype(np.int64)
+            tables, row_of = self._device_tables(dataset, all_idx)
+            dev_step, dev_scan = self._make_dev_train_steps(model, graphdef, tx)
         schedule = LRSchedule(exp.lr, exp.scheduler_params if exp.scheduler else None)
         if exp.scheduler:
             schedule.config.setdefault("type", exp.scheduler)
@@ -485,56 +692,90 @@ class SurvivalTrainer:
             # device round-trip every step, serializing dispatch through the
             # TPU link.  np.asarray at epoch end syncs once.
             epoch_losses: List[Any] = []
-            buf: List[Any] = []
-            buf_sig = None
 
-            def flush_buf():
-                nonlocal params, rest, opt_state, buf, buf_sig
-                if not buf:
-                    return
-                if scan_step is not None and len(buf) == scanW:
-                    windows = jax.tree.map(
-                        lambda *xs: np.stack(xs), *[w for w, _ in buf]
-                    )
-                    kstack = jnp.stack([k for _, k in buf])
-                    windows, kstack = self._place_windows_scanned(windows, kstack)
-                    params, rest, opt_state, losses = scan_step(
-                        params, rest, opt_state, windows, kstack, lr
-                    )
-                    epoch_losses.append(losses)
-                else:
-                    # partial group (epoch tail / shape change): single steps
-                    for window, keys in buf:
-                        n = window["label"].shape[0]
+            if use_dev:
+                # device-resident path: windows are [G] row-index vectors;
+                # full windows scan in groups of scanW, the epoch tail
+                # single-steps (same grouping the host path's flush gives)
+                rows = np.asarray([row_of[int(i)] for i in order], np.int32)
+                G = exp.batch_size
+                win_idx = [rows[s : s + G] for s in range(0, len(rows), G)]
+                n_win = len(win_idx)
+                n_full = n_win - (1 if n_win and len(win_idx[-1]) != G else 0)
+                p = 0
+                while p < n_win:
+                    if scanW > 1 and n_full - p >= scanW:
+                        group = win_idx[p : p + scanW]
+                        kl = []
+                        for w in group:
+                            key, sub = jax.random.split(key)
+                            kl.append(jax.random.split(sub, len(w)))
+                        params, rest, opt_state, losses = dev_scan(
+                            params, rest, opt_state, tables,
+                            jnp.asarray(np.stack(group)), jnp.stack(kl), lr,
+                        )
+                        epoch_losses.append(losses)
+                        p += scanW
+                    else:
+                        w = win_idx[p]
+                        key, sub = jax.random.split(key)
+                        kk = jax.random.split(sub, len(w))
+                        params, rest, opt_state, mean_loss, _ = dev_step(
+                            params, rest, opt_state, tables, jnp.asarray(w), kk, lr
+                        )
+                        epoch_losses.append(mean_loss)
+                        p += 1
+            else:
+                buf: List[Any] = []
+                buf_sig = None
+
+                def flush_buf():
+                    nonlocal params, rest, opt_state, buf, buf_sig
+                    if not buf:
+                        return
+                    if scan_step is not None and len(buf) == scanW:
+                        windows = jax.tree.map(
+                            lambda *xs: np.stack(xs), *[w for w, _ in buf]
+                        )
+                        kstack = jnp.stack([k for _, k in buf])
+                        windows, kstack = self._place_windows_scanned(windows, kstack)
+                        params, rest, opt_state, losses = scan_step(
+                            params, rest, opt_state, windows, kstack, lr
+                        )
+                        epoch_losses.append(losses)
+                    else:
+                        # partial group (epoch tail / shape change): single steps
+                        for window, keys in buf:
+                            n = window["label"].shape[0]
+                            window, keys = self._place_window(window, keys, n)
+                            params, rest, opt_state, mean_loss, _ = train_step(
+                                params, rest, opt_state, window, keys, lr
+                            )
+                            epoch_losses.append(mean_loss)
+                    buf = []
+                    buf_sig = None
+
+                for _, window in self._windows_prefetched(dataset, order, exp.batch_size):
+                    n = window["label"].shape[0]
+                    key, sub = jax.random.split(key)
+                    keys = jax.random.split(sub, n)
+                    if scan_step is None:
                         window, keys = self._place_window(window, keys, n)
                         params, rest, opt_state, mean_loss, _ = train_step(
                             params, rest, opt_state, window, keys, lr
                         )
                         epoch_losses.append(mean_loss)
-                buf = []
-                buf_sig = None
-
-            for _, window in self._windows_prefetched(dataset, order, exp.batch_size):
-                n = window["label"].shape[0]
-                key, sub = jax.random.split(key)
-                keys = jax.random.split(sub, n)
-                if scan_step is None:
-                    window, keys = self._place_window(window, keys, n)
-                    params, rest, opt_state, mean_loss, _ = train_step(
-                        params, rest, opt_state, window, keys, lr
-                    )
-                    epoch_losses.append(mean_loss)
-                    continue
-                # scanned windows must share shapes; bucketed bag sizes make
-                # consecutive windows usually identical — flush on change
-                sig = _window_sig(window)
-                if buf and sig != buf_sig:
-                    flush_buf()
-                buf.append((window, keys))
-                buf_sig = sig
-                if len(buf) == scanW:
-                    flush_buf()
-            flush_buf()
+                        continue
+                    # scanned windows must share shapes; bucketed bag sizes make
+                    # consecutive windows usually identical — flush on change
+                    sig = _window_sig(window)
+                    if buf and sig != buf_sig:
+                        flush_buf()
+                    buf.append((window, keys))
+                    buf_sig = sig
+                    if len(buf) == scanW:
+                        flush_buf()
+                flush_buf()
 
             losses_np = (
                 np.concatenate([np.atleast_1d(np.asarray(x)) for x in epoch_losses])
@@ -542,7 +783,10 @@ class SurvivalTrainer:
                 else np.asarray([])
             )
             key, sub = jax.random.split(key)
-            val = self._evaluate(dataset, split.val_idx, eval_step, params, rest, sub)
+            val = self._evaluate(
+                dataset, split.val_idx, eval_step, params, rest, sub,
+                tables=tables, row_of=row_of,
+            )
             metric = val[exp.monitor_metric]
             schedule.plateau_step(val["loss"])
             improved = stopper.step(epoch, metric)
@@ -577,8 +821,14 @@ class SurvivalTrainer:
             params, rest = restored["params"], restored["rest"]
 
         key, k1, k2 = jax.random.split(key, 3)
-        val = self._evaluate(dataset, split.val_idx, eval_step, params, rest, k1)
-        test = self._evaluate(dataset, split.test_idx, eval_step, params, rest, k2)
+        val = self._evaluate(
+            dataset, split.val_idx, eval_step, params, rest, k1,
+            tables=tables, row_of=row_of,
+        )
+        test = self._evaluate(
+            dataset, split.test_idx, eval_step, params, rest, k2,
+            tables=tables, row_of=row_of,
+        )
 
         # per-patient probability dump (reference trainer.py:1013)
         patient_results = {

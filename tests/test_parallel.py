@@ -233,6 +233,47 @@ def test_trainer_mesh_with_scan_windows(tmp_path):
         np.testing.assert_allclose(h0["val_loss"], h1["val_loss"], rtol=1e-5, atol=1e-6)
 
 
+def test_trainer_mesh_with_device_data(tmp_path):
+    """device_data composes with mesh DP + scan_windows: the tables stay
+    replicated, each in-jit gathered window resharding its case axis over
+    the mesh (``_constrain_window``) — numerics match the unsharded host
+    path."""
+    from multimodal_fusion_tpu.config import Configs, ExperimentConfig
+    from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
+    from multimodal_fusion_tpu.data.splits import create_k_fold_splits
+    from multimodal_fusion_tpu.io.fixtures import make_synthetic_dataset
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    root = tmp_path / "d"
+    csv_path = make_synthetic_dataset(
+        root, n_patients=12, seed=11, min_wsi_patches=16, max_wsi_patches=24,
+        feature_dim=D, n_tma_patches=3,
+    )
+    ds = MultimodalDataset(
+        csv_path, root,
+        channels=["wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask"],
+    )
+
+    def run(mesh_shape, device_data, d):
+        mc = _cfg()
+        mc.channel_input_dims = {"clinical=val": 16}
+        ec = ExperimentConfig(
+            exp_name="md", seed=0, k_folds=3, max_epochs=2, batch_size=4,
+            lr=1e-3, patience=5, min_epochs=0, mesh_shape=mesh_shape,
+            scan_windows=2, device_data=device_data,
+        )
+        ec.extra["verbose"] = False
+        tr = SurvivalTrainer(Configs(experiment_config=ec, model_config=mc), tmp_path / d)
+        splits = create_k_fold_splits(ds.labels, 3, seed=0)
+        return tr.train_fold(ds, splits[0], 0)
+
+    base = run(None, False, "r_base")
+    dev_mesh = run({"data": 4}, True, "r_dev_mesh")
+    for h0, h1 in zip(base["history"], dev_mesh["history"]):
+        np.testing.assert_allclose(h0["train_loss"], h1["train_loss"], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(h0["val_loss"], h1["val_loss"], rtol=1e-5, atol=1e-6)
+
+
 def test_2d_replica_data_mesh_matches_single_device():
     """The multi-host/DCN design: a (replica=2, data=4) mesh with the batch
     sharded over BOTH axes produces the same step as unsharded (hierarchical

@@ -70,6 +70,39 @@ def test_survival_train_fold(surv_dataset, tmp_path):
     assert "auc" in res and len(res["probs"]) == len(splits[0].test_idx)
 
 
+def test_survival_device_data_matches_host(surv_dataset, tmp_path):
+    """exp.device_data=True (fold resident in device memory, windows as row
+    gathers at a GLOBAL bucket size) must train identically to the host
+    window path — same sampler order, same RNG stream, mask-aware padding
+    invariance absorbs the bucket difference.  Alone and with scan_windows."""
+    from multimodal_fusion_tpu.train.checkpoint import load_state
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    def run(device_data, scan_windows, d):
+        cfgs = _configs(tmp_path)
+        cfgs.experiment_config.device_data = device_data
+        cfgs.experiment_config.scan_windows = scan_windows
+        trainer = SurvivalTrainer(cfgs, tmp_path / d)
+        splits = create_k_fold_splits(surv_dataset.labels, 3, seed=0)
+        summary = trainer.train_fold(surv_dataset, splits[0], 0)
+        _, _, params, _ = trainer._fold_state
+        return summary, params
+
+    host, p_host = run(False, 1, "host")
+    dev, p_dev = run(True, 1, "dev")
+    dev_scan, p_dscan = run(True, 2, "dev_scan")
+    for other, p_other in ((dev, p_dev), (dev_scan, p_dscan)):
+        for h0, h1 in zip(host["history"], other["history"]):
+            np.testing.assert_allclose(h0["train_loss"], h1["train_loss"], rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(h0["val_loss"], h1["val_loss"], rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(h0["val_auc"], h1["val_auc"], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(host["test_auc"], other["test_auc"], rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(p_host), jax.tree.leaves(p_other)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
+
 def test_splits_modes(surv_dataset, tmp_path):
     labels = surv_dataset.labels
     splits = create_k_fold_splits(labels, 3, seed=1)

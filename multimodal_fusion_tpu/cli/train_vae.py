@@ -28,6 +28,11 @@ def build_parser():
     p.add_argument("--resume", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--verbose", action="store_true", default=False)
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help="fuse S updates into one lax.scan dispatch (numerics identical)")
+    p.add_argument("--device_data", action="store_true", default=False,
+                   help="keep the patch subsample resident in device memory; "
+                        "batches become row gathers (numerics identical)")
     return p
 
 
@@ -61,12 +66,13 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         plateau_patience=args.plateau_patience,
         checkpoint_dir=args.checkpoint_dir,
+        scan_steps=args.scan_steps,
     )
     if args.resume:
         trainer.resume("latest")
     return trainer.fit(
         ds, val, epochs=args.epochs, batch_size=args.batch_size,
-        seed=args.seed, verbose=args.verbose,
+        seed=args.seed, verbose=args.verbose, device_data=args.device_data,
     )
 
 

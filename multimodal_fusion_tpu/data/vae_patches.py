@@ -75,6 +75,24 @@ class WSIVAEDataset:
         cid, pi = self.patch_index[idx]
         return self._case_features(cid)[pi]
 
+    def materialize(self) -> np.ndarray:
+        """The current (sub)sampled patch set as one [len(self), D] array —
+        row i == self[i], so a device-resident copy of this table gathered by
+        ``VAETrainer._index_batches`` rows reproduces ``batches`` exactly."""
+        per_case: List[np.ndarray] = []
+        i = 0
+        while i < len(self.patch_index):
+            cid = self.patch_index[i][0]
+            j = i
+            while j < len(self.patch_index) and self.patch_index[j][0] == cid:
+                j += 1
+            feats = self._case_features(cid)
+            per_case.append(feats[[pi for _, pi in self.patch_index[i:j]]])
+            i = j
+        if not per_case:
+            return np.zeros((0, 1), np.float32)
+        return np.concatenate(per_case, axis=0)
+
     def batches(self, batch_size: int, shuffle_rng: Optional[np.random.Generator] = None):
         """Yield [B, D] numpy batches (drops no remainder; final short batch
         is padded by wrap-around to keep shapes static for jit)."""

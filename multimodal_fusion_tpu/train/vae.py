@@ -100,17 +100,67 @@ class VAETrainer:
             x_hat, mean, log_var = m(x, key=key, train=False)
             return vae_loss(x, x_hat, mean, log_var)
 
+        # Device-resident variants: the (sub)sampled patch table lives in
+        # device memory (uploaded once per resample, train/vae.py:fit) and a
+        # batch is a row gather — per-step host->device payload drops from
+        # [B, D] features to a [B] index vector.
+        @jax.jit
+        def train_step_dev(state, opt_state, table, rows, key, lr):
+            return update(state, opt_state, table[rows], key, lr)
+
+        @jax.jit
+        def train_steps_dev_scanned(state, opt_state, table, rowss, keys, lr):
+            def body(carry, inp):
+                state, opt_state = carry
+                rows, key = inp
+                state, opt_state, loss, recon, kld = update(
+                    state, opt_state, table[rows], key, lr
+                )
+                return (state, opt_state), (loss, recon, kld)
+
+            (state, opt_state), (losses, recons, klds) = jax.lax.scan(
+                body, (state, opt_state), (rowss, keys)
+            )
+            return state, opt_state, losses, recons, klds
+
+        @jax.jit
+        def eval_step_dev(state, table, rows, key):
+            m = nnx.merge(self.graphdef, state)
+            x = table[rows]
+            x_hat, mean, log_var = m(x, key=key, train=False)
+            return vae_loss(x, x_hat, mean, log_var)
+
         self._train_step = jax.jit(update)
         self._train_steps_scanned = train_steps_scanned
         self._eval_step = eval_step
+        self._train_step_dev = train_step_dev
+        self._train_steps_dev_scanned = train_steps_dev_scanned
+        self._eval_step_dev = eval_step_dev
 
     # ------------------------------------------------------------------
 
-    def train_epoch(self, dataset, batch_size: int, key, shuffle_rng) -> Dict[str, float]:
+    @staticmethod
+    def _index_batches(n: int, batch_size: int, shuffle_rng=None):
+        """The index walk of ``WSIVAEDataset.batches`` (shuffle + wrap-around
+        padding of the final short batch) without materialising features —
+        drives the device-resident gather path with identical rows."""
+        order = np.arange(n)
+        if shuffle_rng is not None:
+            shuffle_rng.shuffle(order)
+        for start in range(0, n, batch_size):
+            idxs = order[start : start + batch_size]
+            if len(idxs) < batch_size:
+                idxs = np.concatenate([idxs, order[: batch_size - len(idxs)]])
+            yield idxs
+
+    def train_epoch(
+        self, dataset, batch_size: int, key, shuffle_rng, table=None
+    ) -> Dict[str, float]:
         # per-batch losses stay on device until epoch end (one host sync)
         losses, recons, klds = [], [], []
         state, opt_state = self.state, self.opt_state
         buf: List = []
+        dev = table is not None
 
         def flush():
             nonlocal state, opt_state
@@ -119,24 +169,39 @@ class VAETrainer:
             if len(buf) == self.scan_steps and self.scan_steps > 1:
                 xs = jnp.stack([b[0] for b in buf])
                 keys = jnp.stack([b[1] for b in buf])
-                state, opt_state, l, r, k2 = self._train_steps_scanned(
-                    state, opt_state, xs, keys, self.lr
-                )
+                if dev:
+                    state, opt_state, l, r, k2 = self._train_steps_dev_scanned(
+                        state, opt_state, table, xs, keys, self.lr
+                    )
+                else:
+                    state, opt_state, l, r, k2 = self._train_steps_scanned(
+                        state, opt_state, xs, keys, self.lr
+                    )
                 losses.append(l)
                 recons.append(r)
                 klds.append(k2)
             else:
                 for x, sub in buf:
-                    state, opt_state, loss, recon, kld = self._train_step(
-                        state, opt_state, x, sub, self.lr
-                    )
+                    if dev:
+                        state, opt_state, loss, recon, kld = self._train_step_dev(
+                            state, opt_state, table, x, sub, self.lr
+                        )
+                    else:
+                        state, opt_state, loss, recon, kld = self._train_step(
+                            state, opt_state, x, sub, self.lr
+                        )
                     losses.append(loss)
                     recons.append(recon)
                     klds.append(kld)
             self.global_step += len(buf)
             buf.clear()
 
-        for x in dataset.batches(batch_size, shuffle_rng):
+        batches = (
+            self._index_batches(len(dataset), batch_size, shuffle_rng)
+            if dev
+            else dataset.batches(batch_size, shuffle_rng)
+        )
+        for x in batches:
             key, sub = jax.random.split(key)
             x = jnp.asarray(x)
             if buf and x.shape != buf[0][0].shape:
@@ -154,8 +219,18 @@ class VAETrainer:
 
         return {"loss": agg(losses), "recon": agg(recons), "kld": agg(klds)}
 
-    def validate(self, dataset, batch_size: int, key) -> float:
+    def validate(self, dataset, batch_size: int, key, table=None) -> float:
         losses = []
+        if table is not None:
+            for rows in self._index_batches(len(dataset), batch_size):
+                key, sub = jax.random.split(key)
+                total, _, _ = self._eval_step_dev(
+                    self.state, table, jnp.asarray(rows), sub
+                )
+                losses.append(total)
+            if not losses:
+                return float("nan")
+            return float(np.mean(np.asarray([np.asarray(l) for l in losses])))
         for x in dataset.batches(batch_size):
             key, sub = jax.random.split(key)
             total, _, _ = self._eval_step(self.state, jnp.asarray(x), sub)
@@ -239,17 +314,28 @@ class VAETrainer:
         seed: int = 42,
         verbose: bool = False,
         resample: bool = True,
+        device_data: bool = False,
     ) -> Dict:
+        """``device_data=True`` keeps the current patch subsample resident in
+        device memory (re-uploaded only on resample) and batches become row
+        gathers — numerically identical to the host path, tested in
+        test_vae_device_data_matches_host."""
         key = jax.random.key(seed)
         shuffle_rng = np.random.default_rng(seed)
         best_val = float("inf")
         t0 = time.time()
         start = self.epoch
+        table_train = table_val = None
+        if device_data:
+            table_train = jnp.asarray(train_ds.materialize())
+            table_val = jnp.asarray(val_ds.materialize())
         for epoch in range(start, epochs):
             self.epoch = epoch
             key, k_train, k_val = jax.random.split(key, 3)
-            tr = self.train_epoch(train_ds, batch_size, k_train, shuffle_rng)
-            val_loss = self.validate(val_ds, batch_size, k_val)
+            tr = self.train_epoch(
+                train_ds, batch_size, k_train, shuffle_rng, table=table_train
+            )
+            val_loss = self.validate(val_ds, batch_size, k_val, table=table_val)
             self.plateau_step(val_loss)
             self.history["train_loss"].append(tr["loss"])
             self.history["recon_loss"].append(tr["recon"])
@@ -264,6 +350,10 @@ class VAETrainer:
                 self.save_checkpoint("best")
             if resample and (epoch + 1) % self.resample_interval(epochs) == 0:
                 train_ds.resample_patches()
+                if device_data:
+                    table_train = jnp.asarray(train_ds.materialize())
+                    if val_ds is train_ds:  # shared dataset: val resamples too
+                        table_val = table_train
             if self.lr_at_floor and self.lr_reduce_count >= 2:
                 break
         nnx.update(self.model, self.state)

@@ -190,6 +190,43 @@ def test_vae_scan_steps_matches_sequential(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
 
 
+def test_vae_device_data_matches_host(tmp_path):
+    """fit(device_data=True) (patch subsample resident on device, batches as
+    row gathers, table re-uploaded on resample) must reproduce the host
+    path exactly — fresh same-seed datasets per run so the resample RNG
+    streams line up; alone and combined with scan_steps."""
+    from multimodal_fusion_tpu.data.vae_patches import WSIVAEDataset
+    from multimodal_fusion_tpu.models.vae import VAE
+    from multimodal_fusion_tpu.train.vae import VAETrainer
+
+    root = tmp_path / "data"
+    csv_path = make_synthetic_dataset(
+        root, n_patients=4, seed=3, min_wsi_patches=120, max_wsi_patches=160,
+        feature_dim=16,
+    )
+
+    def run(device_data, scan_steps):
+        ds = WSIVAEDataset(csv_path, root, label_filter="living", preload=True, seed=9)
+        model = VAE(input_dim=16, encoder_hidden=[32, 16], decoder_hidden=[16, 32],
+                    latent_dim=8, rngs=nnx.Rngs(0))
+        tr = VAETrainer(model, learning_rate=1e-3, scan_steps=scan_steps)
+        out = tr.fit(ds, ds, epochs=3, batch_size=8, verbose=False,
+                     resample=True, device_data=device_data)
+        return out, nnx.state(model)
+
+    host, st_h = run(False, 1)
+    dev, st_d = run(True, 1)
+    dev_scan, st_ds = run(True, 3)
+    for other in (dev, dev_scan):
+        for k in ("train_loss", "val_loss", "recon_loss", "kld_loss"):
+            np.testing.assert_allclose(
+                host["history"][k], other["history"][k], rtol=1e-5, err_msg=k
+            )
+    for st in (st_d, st_ds):
+        for a, b in zip(jax.tree.leaves(st_h), jax.tree.leaves(st)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
 def test_alignment_training(tmp_path):
     from multimodal_fusion_tpu.data.alignment import TMANpzAlignedWithNegDataset
     from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel

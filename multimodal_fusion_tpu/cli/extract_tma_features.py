@@ -41,6 +41,10 @@ def build_parser():
     p.add_argument("--min_content_ratio", type=float, default=None)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute_dtype", type=str, choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="bfloat16 runs the ViT matmuls natively on the MXU "
+                        "(features stay f32; CLS cosine agreement > 0.999)")
     return p
 
 
@@ -53,7 +57,9 @@ def main(argv=None):
         state = dict(np.load(args.weights))
         n = load_timm_vit_weights(model, state)
         print(f"loaded {n} weight tensors")
-    extractor = make_feature_extractor(model, args.batch_size)
+    extractor = make_feature_extractor(
+        model, args.batch_size, compute_dtype=args.compute_dtype
+    )
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

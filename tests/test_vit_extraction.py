@@ -84,6 +84,37 @@ def test_extract_and_npz_roundtrip(tiny_vit, tmp_path):
         assert NORM_PATTERN.search(k)
 
 
+def test_vit_raw_uint8_path_matches_host_preprocess(tiny_vit):
+    """Uniform uint8 patches take the ship-raw path (whole timm transform
+    in-jit: /255, bilinear resize, ImageNet normalise) — must match the
+    host-preprocessed f32 path to float rounding, with and without resize."""
+    rng = np.random.default_rng(4)
+    for shape in ((32, 32, 3), (48, 48, 3)):  # native and resized
+        patches = [rng.integers(0, 255, shape).astype(np.uint8) for _ in range(5)]
+        ex = make_feature_extractor(tiny_vit, batch_size=4)
+        raw = ex(patches)  # uniform uint8 -> raw path
+        pre = np.stack(
+            [np.asarray(preprocess_patch(p, size=32)) for p in patches]
+        )
+        host = np.stack([np.asarray(tiny_vit(jnp.asarray(x))) for x in pre])
+        np.testing.assert_allclose(raw, host, rtol=2e-4, atol=2e-5)
+
+
+def test_vit_bf16_extraction(tiny_vit):
+    """compute_dtype='bfloat16' (MXU-native matmuls) must agree with the f32
+    extractor: CLS cosine similarity > 0.999, f32 output dtype."""
+    rng = np.random.default_rng(2)
+    patches = [rng.integers(0, 255, (32, 32, 3)).astype(np.uint8) for _ in range(6)]
+    f32 = make_feature_extractor(tiny_vit, batch_size=4)(patches)
+    bf16 = make_feature_extractor(tiny_vit, batch_size=4, compute_dtype="bfloat16")(patches)
+    assert bf16.dtype == np.float32
+    assert bf16.shape == f32.shape
+    cos = np.sum(f32 * bf16, axis=1) / (
+        np.linalg.norm(f32, axis=1) * np.linalg.norm(bf16, axis=1)
+    )
+    assert cos.min() > 0.999, cos
+
+
 def test_timm_weight_loading(tiny_vit):
     """Synthetic timm-format state dict loads into matching slots."""
     D, P, depth = 64, 16, 2

@@ -45,6 +45,9 @@ def build_parser():
                    default="float32",
                    help="bfloat16 runs the ViT matmuls natively on the MXU "
                         "(features stay f32; CLS cosine agreement > 0.999)")
+    p.add_argument("--mesh_data", type=int, default=None,
+                   help="shard each batch over an N-device data mesh "
+                        "(weights replicate; identical features)")
     return p
 
 
@@ -57,8 +60,13 @@ def main(argv=None):
         state = dict(np.load(args.weights))
         n = load_timm_vit_weights(model, state)
         print(f"loaded {n} weight tensors")
+    mesh = None
+    if args.mesh_data and args.mesh_data > 1:
+        from multimodal_fusion_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_data)
     extractor = make_feature_extractor(
-        model, args.batch_size, compute_dtype=args.compute_dtype
+        model, args.batch_size, compute_dtype=args.compute_dtype, mesh=mesh
     )
 
     out_dir = Path(args.output_dir)

@@ -65,13 +65,19 @@ def is_patch_valid(patch: np.ndarray, white_threshold: float, min_content_ratio:
 
 
 def make_feature_extractor(
-    model: ViT, batch_size: int = 32, compute_dtype: str = "float32"
+    model: ViT, batch_size: int = 32, compute_dtype: str = "float32", mesh=None
 ) -> Callable:
     """Batched jit CLS-feature extractor over preprocessed patches.
 
     ``compute_dtype="bfloat16"`` casts weights and inputs to bf16 so the
     ViT's matmuls run natively on the MXU (features returned as f32;
-    CLS cosine agreement vs f32 > 0.999 — test_vit_bf16_extraction)."""
+    CLS cosine agreement vs f32 > 0.999 — test_vit_bf16_extraction).
+
+    ``mesh``: a ``jax.sharding.Mesh`` — extraction is embarrassingly
+    data-parallel, so each chunk's batch axis shards over every mesh axis
+    (weights replicate, no collectives in the forward); identical features
+    to single-device (test_mesh_sharded_extraction). ``batch_size`` should
+    divide by the mesh size."""
     from flax import nnx
 
     graphdef, state = nnx.split(model)
@@ -86,6 +92,17 @@ def make_feature_extractor(
     # model input resolution from its positional embedding
     n_grid = int(round((model.pos_embed[...].shape[0] - 1) ** 0.5))
     input_size = n_grid * model.patch_size
+
+    batch_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    def _place(chunk):
+        arr = jnp.asarray(chunk)
+        return jax.device_put(arr, batch_sh) if batch_sh is not None else arr
 
     @jax.jit
     def run(state, batch):  # [B, S, S, 3] preprocessed f32
@@ -133,7 +150,7 @@ def make_feature_extractor(
                 )
             # dispatch only — JAX's async dispatch overlaps this chunk's
             # upload with the previous chunk's compute; one host sync at end
-            feats.append(step(state, jnp.asarray(chunk)))
+            feats.append(step(state, _place(chunk)))
             sizes.append(m)
         return np.concatenate(
             [np.asarray(f)[:m] for f, m in zip(feats, sizes)], axis=0

@@ -100,6 +100,19 @@ def test_vit_raw_uint8_path_matches_host_preprocess(tiny_vit):
         np.testing.assert_allclose(raw, host, rtol=2e-4, atol=2e-5)
 
 
+def test_mesh_sharded_extraction(tiny_vit):
+    """Extraction with a data mesh (batch axis sharded, weights replicated)
+    must produce identical features to single-device."""
+    from multimodal_fusion_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(5)
+    patches = [rng.integers(0, 255, (32, 32, 3)).astype(np.uint8) for _ in range(10)]
+    base = make_feature_extractor(tiny_vit, batch_size=4)(patches)
+    mesh = make_mesh(4)
+    sharded = make_feature_extractor(tiny_vit, batch_size=4, mesh=mesh)(patches)
+    np.testing.assert_allclose(base, sharded, rtol=1e-5, atol=1e-6)
+
+
 def test_vit_bf16_extraction(tiny_vit):
     """compute_dtype='bfloat16' (MXU-native matmuls) must agree with the f32
     extractor: CLS cosine similarity > 0.999, f32 output dtype."""

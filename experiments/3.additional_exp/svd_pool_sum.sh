@@ -6,6 +6,9 @@ SEED=${1:-5678}
 DATA_ROOT_DIR=${DATA_ROOT_DIR:?set DATA_ROOT_DIR}
 CSV_PATH=${CSV_PATH:?set CSV_PATH}
 RESULTS_DIR=${RESULTS_DIR:-./results}
+# TPU execution knobs (JSON merged into the experiment config), e.g.
+# TPU_OPTS='{"device_data": true, "scan_windows": 8, "mesh_shape": {"data": 8}}'
+TPU_OPTS=${TPU_OPTS:-'{}'}
 
 python -m multimodal_fusion_tpu.cli.main_survival \
     --csv_path "$CSV_PATH" \
@@ -43,4 +46,5 @@ python -m multimodal_fusion_tpu.cli.main_survival \
     --gate \
     --subtyping \
     --enable_svd \
+    --tpu_opts "$TPU_OPTS" \
     --seed "$SEED"

@@ -337,6 +337,86 @@ python -m multimodal_fusion_tpu.cli.main_survival \\
 """
 
 
+_DRIVER_TEMPLATE = """#!/bin/bash
+# {name} — generated from experiments/matrix.py (reference:
+# {ref}). Edit the matrix, not this file.
+# Sequential driver: runs each experiment in this group in order,
+# continuing past failures (the reference dispatches these through a
+# fire-and-forget task runner).
+set -uo pipefail
+SEED=${{1:-5678}}
+cd "$(dirname "$0")"
+
+{body}
+"""
+
+
+def generate_driver_scripts(out_root: str | Path) -> List[Path]:
+    """Driver wrappers mirroring the reference's ``cmd.sh`` /
+    ``mfmf_for_loop*.sh`` / ``run_sequential.sh`` scripts.
+
+    - ``0.clam/cmd.sh`` and ``1.deep_supervise/cmd.sh`` run every script in
+      their group (reference ``downstream_survival/experiments/*/cmd.sh`` —
+      a ``task run`` queue over the same scripts, mostly commented in/out by
+      hand; here the full group, sequential).
+    - ``2.related_works/mfmf_for_loop.sh`` loops over the MFMF fusion-block
+      configurations (reference ``mfmf_for_loop{1,2,3}.sh`` each iterate a
+      hand-edited CONFIG_LIST over the same three sequences; one
+      parameterised driver covers them — pass config indices as arguments).
+    - ``alignment/run_sequential.sh`` runs the ablation sweeps serially with
+      progress/timing echoes (reference ``run_sequential.sh``).
+    """
+    out_root = Path(out_root)
+    written = []
+    for group, ref in [("0.clam", "downstream_survival/experiments/0.clam/cmd.sh"),
+                       ("1.deep_supervise",
+                        "downstream_survival/experiments/1.deep_supervise/cmd.sh")]:
+        names = sorted(n for n in ENTRIES if n.startswith(group + "/"))
+        body = "\n".join(
+            f'echo "=== {n} ==="; bash {n[len(group) + 1:]}.sh "$SEED" || '
+            f'echo "FAILED: {n}"' for n in names
+        )
+        p = out_root / group / "cmd.sh"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(_DRIVER_TEMPLATE.format(name=f"{group}/cmd.sh", ref=ref, body=body))
+        p.chmod(0o755)
+        written.append(p)
+
+    n_cfg = len(MFMF_SEQUENCES)
+    body = (
+        f'if [ $# -ge 2 ]; then CONFIG_LIST=("${{@:2}}"); '
+        f'else CONFIG_LIST=($(seq 0 {n_cfg - 1})); fi\n'
+        f'echo "Starting training loop for CONFIG indices: ${{CONFIG_LIST[*]}}"\n'
+        f'for CFG in "${{CONFIG_LIST[@]}}"; do\n'
+        f'  echo "=== mfmf_config$CFG ==="\n'
+        f'  bash "mfmf_config$CFG.sh" "$SEED" || echo "FAILED: mfmf_config$CFG"\n'
+        f'done'
+    )
+    p = out_root / "2.related_works" / "mfmf_for_loop.sh"
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(_DRIVER_TEMPLATE.format(
+        name="2.related_works/mfmf_for_loop.sh",
+        ref="downstream_survival/experiments/2.related_works/mfmf_for_loop{1,2,3}.sh",
+        body=body,
+    ))
+    p.chmod(0o755)
+    written.append(p)
+
+    ablations = [n for n in ALIGNMENT_SWEEPS if n.startswith("ablation_")]
+    body = "\n".join(
+        f'echo "=== [{i + 1}/{len(ablations)}] {n} ($(date)) ==="; '
+        f'bash {n}.sh || echo "FAILED: {n}"' for i, n in enumerate(ablations)
+    )
+    p = out_root / "alignment" / "run_sequential.sh"
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(_DRIVER_TEMPLATE.format(
+        name="alignment/run_sequential.sh",
+        ref="alignment/experiments/run_sequential.sh", body=body))
+    p.chmod(0o755)
+    written.append(p)
+    return written
+
+
 def generate_scripts(out_root: str | Path) -> List[Path]:
     """Emit one runnable .sh per entry under ``out_root``."""
     out_root = Path(out_root)
@@ -381,5 +461,6 @@ if __name__ == "__main__":
     import sys
 
     out = sys.argv[1] if len(sys.argv) > 1 else Path(__file__).parent
-    paths = generate_scripts(out) + generate_alignment_scripts(out)
+    paths = (generate_scripts(out) + generate_alignment_scripts(out)
+             + generate_driver_scripts(out))
     print(f"generated {len(paths)} scripts under {out}")

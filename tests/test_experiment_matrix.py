@@ -91,6 +91,25 @@ def test_generated_scripts_in_sync(tmp_path):
         assert ours == fresh, f"{name}.sh is stale — re-run python experiments/matrix.py"
 
 
+def test_driver_scripts_in_sync(tmp_path):
+    """cmd.sh / mfmf_for_loop.sh / run_sequential.sh drivers match the
+    matrix, reference every generated script that exists, and parse."""
+    import subprocess
+
+    written = matrix.generate_driver_scripts(tmp_path)
+    assert len(written) == 4
+    for p in written:
+        rel = p.relative_to(tmp_path)
+        ours = (REPO / "experiments" / rel).read_text()
+        assert ours == p.read_text(), f"{rel} is stale — re-run experiments/matrix.py"
+        subprocess.run(["bash", "-n", str(p)], check=True)
+        # every script a driver invokes must exist next to it
+        for line in ours.splitlines():
+            if "bash " in line and ".sh" in line and "$CFG" not in line:
+                target = line.split("bash ")[1].split(".sh")[0].strip('"') + ".sh"
+                assert (REPO / "experiments" / rel.parent / target).exists(), target
+
+
 def test_alignment_sweep_smoke(tmp_path):
     """One alignment ablation entry trains for a few steps on NPZ fixtures."""
     from multimodal_fusion_tpu.cli.run_alignment import main as align_main

@@ -327,6 +327,13 @@ def _fused_build(
     assert not (block_stats and full_stats)
     assert full_stats or not ship_cache
     assert not (padded and ship_cache)
+    # bf16-upload mode (``upload_dtype="bfloat16"``): features arrive as
+    # bfloat16 to halve host->device bytes through a thin link; every
+    # downstream stage computes in f32 exactly as before — only the input
+    # quantisation differs (see process_dataset docstring)
+    feats = feats.astype(jnp.float32)
+    pos = pos.astype(jnp.float32)
+    tma = tma.astype(jnp.float32)
     k1, k2, k3 = jax.random.split(key, 3)
     n = feats.shape[0]
     mask = (jnp.arange(n) < n_valid) if padded else None
@@ -678,6 +685,23 @@ FULL_STATS_MAX_N = 32768
 LARGE_N_STATS = "blockwise"
 
 
+def _upload_dt(upload_dtype: str):
+    """Dtype features/TMA are SHIPPED in (compute is always f32).
+
+    ``bfloat16`` halves the host->device bytes — the dominant cost of the
+    per-file build through a thin TPU link (the [N,D] f32 features are ~16 MB
+    at 4k x 1024 while everything shipped back is KBs).  Input quantisation
+    to bf16 (~0.4% relative) perturbs similarities at the ~1% level;
+    clustering/edges are unchanged where geometry forces the structure
+    (test_upload_dtype_bf16_build) and act like a seed change in
+    tie-sensitive regimes (same order as sklearn-vs-JAX PRNG differences —
+    PARITY.md), but statistics are no longer bitwise-reference-exact, so
+    f32 stays the default."""
+    if upload_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"upload_dtype must be float32|bfloat16, got {upload_dtype!r}")
+    return jnp.bfloat16 if upload_dtype == "bfloat16" else jnp.float32
+
+
 def _stats_modes(save_similarity: bool, n: int) -> Tuple[bool, bool]:
     """(full_stats, block_stats) for a slide of ``n`` patches: the full [N,N]
     when it fits in HBM (or must be shipped for persistence); above the
@@ -751,6 +775,7 @@ def process_single_file(
     save_similarity: bool = True,
     bucket_patches: Optional[int] = None,
     mesh=None,
+    upload_dtype: str = "float32",
 ) -> Dict:
     wsi_features, wsi_positions = load_wsi_data(h5_path)
     tma_features = load_tma_data(h5_path)
@@ -764,10 +789,11 @@ def process_single_file(
             wsi_features, wsi_positions, bucket_patches
         )
     full_stats, block_stats = _stats_modes(save_similarity, wsi_features.shape[0])
+    dt = _upload_dt(upload_dtype)
     key_j = jax.random.key(seed)
-    feats_j = jnp.asarray(wsi_features)
+    feats_j = jnp.asarray(wsi_features, dt)
     pos_j = jnp.asarray(wsi_positions)
-    tma_j = jnp.asarray(tma_features)
+    tma_j = jnp.asarray(tma_features, dt)
     if mesh is not None:
         feats_j, pos_j, tma_j, key_j, mesh_pad = _place_for_mesh(
             mesh, feats_j, pos_j, tma_j, key_j
@@ -983,6 +1009,7 @@ def process_dataset(
     file_batch: int = 1,
     bucket_patches: Optional[int] = None,
     mesh=None,
+    upload_dtype: str = "float32",
 ):
     """Dataset-level build, software-pipelined: up to ``pipeline_depth`` files
     have their fused device program dispatched ahead (JAX async dispatch), so
@@ -992,7 +1019,15 @@ def process_dataset(
 
     ``mesh``: shard each slide's patch axis over a device mesh (GSPMD; see
     ``_place_for_mesh``) — intra-slide parallelism for pod slices, orthogonal
-    to the file-level pipeline."""
+    to the file-level pipeline.
+
+    ``upload_dtype="bfloat16"``: ship the [N,D] feature matrices (the
+    dominant bytes on a thin host->TPU link) as bf16 and cast back to f32 on
+    device — identical pipeline, input quantised to bf16 (~0.4% relative).
+    Structure (clusters/groups/edges) is unchanged where geometry forces it
+    and perturbs like a seed change otherwise; similarity statistics move at
+    the ~1% level, so the default stays f32 (see ``_upload_dt``)."""
+    _upload_dt(upload_dtype)  # validate eagerly, not inside per-file isolation
     df = pd.read_csv(csv_path)
     if "h5_file_path" not in df.columns:
         raise ValueError("CSV must contain 'h5_file_path' column")
@@ -1006,6 +1041,7 @@ def process_dataset(
             df, data_root_dir, num_wsi_super_patches, num_groups, hypergraph_k,
             num_hyperedges, lambda_h, lambda_g, output_stats_path, seed,
             save_similarity, file_batch, bucket_patches,
+            upload_dtype=upload_dtype,
         )
     all_stats = []
     t0 = time.time()
@@ -1033,9 +1069,9 @@ def process_dataset(
             )
         full_stats, block_stats = _stats_modes(save_similarity, wsi_features.shape[0])
         key_j = jax.random.key(seed)
-        feats_j = jnp.asarray(wsi_features)
+        feats_j = jnp.asarray(wsi_features, _upload_dt(upload_dtype))
         pos_j = jnp.asarray(wsi_positions)
-        tma_j = jnp.asarray(tma_features)
+        tma_j = jnp.asarray(tma_features, _upload_dt(upload_dtype))
         if mesh is not None:
             feats_j, pos_j, tma_j, key_j, mesh_pad = _place_for_mesh(
                 mesh, feats_j, pos_j, tma_j, key_j
@@ -1141,6 +1177,7 @@ def _process_dataset_batched(
     save_similarity,
     file_batch,
     bucket_patches=None,
+    upload_dtype="float32",
 ):
     """Batched dataset build: files are grouped by their full array shapes
     (N_patches, feature dim, position dim, N_tma, TMA dim) and each group
@@ -1273,11 +1310,12 @@ def _process_dataset_batched(
                 continue
             try:
                 B = len(loaded)
+                dt = _upload_dt(upload_dtype)
                 out = _fused_build_batch(
                     jnp.broadcast_to(key, (B,) + key.shape),
-                    jnp.asarray(np.stack([x[0] for x in loaded])),
+                    jnp.asarray(np.stack([x[0] for x in loaded]), dt),
                     jnp.asarray(np.stack([x[1] for x in loaded])),
-                    jnp.asarray(np.stack([x[2] for x in loaded])),
+                    jnp.asarray(np.stack([x[2] for x in loaded]), dt),
                     jnp.asarray(n_valids, jnp.int32),
                     lambda_h, lambda_g,
                     num_wsi_super_patches, num_groups, hypergraph_k, num_hyperedges,

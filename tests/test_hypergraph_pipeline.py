@@ -298,6 +298,68 @@ def test_file_batched_build_matches_unbatched(tmp_path):
         )
 
 
+def test_upload_dtype_bf16_build(tmp_path):
+    """upload_dtype='bfloat16' ships features in bf16 and casts back to f32
+    on device: where geometry FORCES the structure (num_super == number of
+    blobs, as in test_clustering_parity's forced regime) edges and group
+    sizes must match the f32 build exactly, and similarity statistics must
+    agree to ~1% (bf16 input quantisation).  In tie-sensitive regimes the
+    quantisation acts like a seed change, same as sklearn-vs-ours
+    (PARITY.md)."""
+    import h5py
+
+    from multimodal_fusion_tpu.hypergraph.build import process_dataset
+    from multimodal_fusion_tpu.io.h5io import read_hypergraph_group
+
+    def write_ds(root):
+        root.mkdir()
+        rng = np.random.default_rng(11)
+        n, D, B = 240, 32, 5
+        centers = rng.standard_normal((B, D)) * np.sqrt(1.75 / D)
+        pos_centers = rng.uniform(0, 4, (B, 2))
+        a = rng.integers(0, B, n)
+        p = root / "case_0.h5"
+        with h5py.File(p, "w") as f:
+            f["wsi/features"] = (
+                centers[a] + rng.standard_normal((n, D)) * np.sqrt(0.25 / D)
+            ).astype(np.float32)
+            f["wsi/positions"] = (
+                pos_centers[a] + rng.normal(0, 0.3, (n, 2))
+            ).astype(np.float32)
+            f["tma/features"] = (
+                centers[rng.integers(0, B, 6)]
+                + rng.standard_normal((6, D)) * np.sqrt(0.25 / D)
+            ).astype(np.float32)
+        (root / "d.csv").write_text(
+            "patient_id,case_id,label,h5_file_path\n0,case_0,living,case_0.h5\n"
+        )
+        return root / "d.csv"
+
+    csv_a, csv_b = write_ds(tmp_path / "a"), write_ds(tmp_path / "b")
+    stats_a, _ = process_dataset(csv_a, tmp_path / "a", 5, 3, 2, 4)
+    stats_b, _ = process_dataset(
+        csv_b, tmp_path / "b", 5, 3, 2, 4, upload_dtype="bfloat16"
+    )
+    assert all("error" not in s for s in stats_a), stats_a
+    assert all("error" not in s for s in stats_b), stats_b
+
+    a = read_hypergraph_group(tmp_path / "a" / "case_0.h5")
+    b = read_hypergraph_group(tmp_path / "b" / "case_0.h5")
+    ea = set(map(tuple, np.sort(a["edge_index"].T, axis=1).tolist()))
+    eb = set(map(tuple, np.sort(b["edge_index"].T, axis=1).tolist()))
+    assert ea == eb
+    assert sorted(np.bincount(a["group_labels"]).tolist()) == sorted(
+        np.bincount(b["group_labels"]).tolist()
+    )
+    sa = stats_a[0]["wsi_aggregation"]["wsi_similarity_matrix_stats"]
+    sb = stats_b[0]["wsi_aggregation"]["wsi_similarity_matrix_stats"]
+    for k in ("mean", "std", "max"):
+        assert abs(sa[k] - sb[k]) <= 0.01 * max(abs(sa[k]), 1e-3), (k, sa, sb)
+    # bad dtype rejected
+    with pytest.raises(ValueError):
+        process_dataset(csv_a, tmp_path / "a", 5, 3, 2, 4, upload_dtype="fp8")
+
+
 def test_blockwise_stats_exact(tmp_path, monkeypatch):
     """Above FULL_STATS_MAX_N the DEFAULT path streams the [N,N] similarity
     blockwise (LARGE_N_STATS='blockwise'): mean/std/min/max and the

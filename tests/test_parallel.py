@@ -455,3 +455,27 @@ def test_trainer_accepts_replica_mesh_shape():
         assert tr.mesh is not None
         assert tr.mesh.devices.shape == (2, 4)
         assert tr.mesh.axis_names == ("replica", "data")
+
+
+def test_graft_dryrun_multichip_subprocess():
+    """The driver's dryrun_multichip must work in a FRESH process (it forces
+    the CPU platform itself before backend init).  Regression guard for the
+    multichip validation the driver runs each round; n=8 exercises the 2-axis
+    (replica, data) mesh path."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [_sys.executable, "-c",
+         "import sys; sys.path.insert(0, r'%s'); "
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+         % repo],
+        capture_output=True, text=True, timeout=600,
+        env={k: v for k, v in __import__("os").environ.items()
+             if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip(8): OK" in out.stdout
+    assert "sharded single-slide build OK" in out.stdout

@@ -874,4 +874,8 @@ class SurvivalTrainer:
         return {k: res[k] for k in ("auc", "acc", "loss", "patient_ids")} | {
             "probs": res["probs"].tolist(),
             "labels": res["labels"].tolist(),
-        }
+            "preds": res["preds"].tolist(),
+            # risk = positive-class logit (Cox models: partial-hazard score);
+            # a ranking score — the serving path (utils/predict.py) ensembles it
+            "risk": res["risk"].tolist(),
+        } | ({"c_index": res["c_index"]} if "c_index" in res else {})

@@ -1,0 +1,129 @@
+"""Batch scoring (serving) of new cases from a trained survival results dir.
+
+TPU-native extension beyond the reference surface: the reference can only
+re-evaluate its own k-fold test splits (``utils/robust_on_missing_modality.py``)
+— there is no way to score *new* patients with a trained model.  This module
+loads ``configs_*.json`` + per-fold ``s_<fold>_checkpoint.npz`` from a results
+dir (same artifact layout the reference persists, trainer.py:741-745) and
+scores every case in an arbitrary CSV through the jitted eval path, optionally
+ensembling the fold checkpoints (mean probability — the standard k-fold
+deployment recipe).
+
+The input CSV needs the usual ``patient_id, case_id, h5_file_path`` columns;
+``label`` is OPTIONAL (unknown at serving time) — when absent, a placeholder
+is injected so the dataset layer's validation/filtering still applies, and the
+returned AUC/ACC are NaN.  Class-probability columns follow the TRAINING
+label order (sorted unique labels, reference multimodal_dataset.py:123-133 —
+e.g. ``deceased``=0, ``living``=1 for the survival CSV).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import tempfile
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from multimodal_fusion_tpu.config import Configs
+from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
+from multimodal_fusion_tpu.data.splits import FoldSplit
+
+
+def predict(
+    results_dir: str | Path,
+    csv_path: str | Path,
+    data_root_dir: str | Path,
+    folds: Optional[Sequence[int]] = None,
+    output_path: Optional[str | Path] = None,
+    drop_prob: Optional[float] = None,
+    seed: int = 0,
+) -> Dict:
+    """Score every case in ``csv_path`` with each fold checkpoint under
+    ``results_dir``; returns {case_id: {...}} plus the ensemble, and writes
+    ``predictions.csv`` / ``predictions.json`` next to ``output_path`` (or
+    into the results dir)."""
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    results_dir = Path(results_dir)
+    cfg_files = sorted(results_dir.glob("configs_*.json"))
+    if not cfg_files:
+        raise FileNotFoundError(f"no configs_*.json in {results_dir}")
+    configs = Configs.load(cfg_files[0])
+    exp = configs.experiment_config
+
+    df = pd.read_csv(csv_path)
+    tmp = None
+    if "label" not in df.columns:
+        # serving-time CSV without outcomes: placeholder label keeps the
+        # dataset layer's channel validation/filtering intact
+        df = df.assign(label="unknown")
+        tmp = tempfile.NamedTemporaryFile(
+            "w", suffix=".csv", delete=False, dir=str(results_dir)
+        )
+        tmp.close()
+        df.to_csv(tmp.name, index=False)
+        csv_path = tmp.name
+    try:
+        dataset = MultimodalDataset(
+            csv_path, data_root_dir, channels=exp.target_channels
+        )
+        trainer = SurvivalTrainer(configs, results_dir)
+        if folds is None:
+            folds = [
+                int(p.stem.split("_")[1])
+                for p in sorted(results_dir.glob("s_*_checkpoint.npz"))
+            ]
+        if not folds:
+            raise FileNotFoundError(f"no s_<fold>_checkpoint.npz in {results_dir}")
+
+        all_idx = np.arange(len(dataset))
+        split = FoldSplit(
+            train_idx=np.array([], int), val_idx=np.array([], int), test_idx=all_idx
+        )
+        per_fold: Dict[int, Dict] = {}
+        for fold in folds:
+            per_fold[fold] = trainer.evaluate_fold(
+                dataset, split, fold, drop_prob=drop_prob, seed=seed
+            )
+    finally:
+        if tmp is not None:
+            Path(tmp.name).unlink(missing_ok=True)
+
+    case_ids = per_fold[folds[0]]["patient_ids"]
+    probs = np.mean([np.asarray(per_fold[f]["probs"]) for f in folds], axis=0)
+    risk = np.mean([np.asarray(per_fold[f]["risk"]) for f in folds], axis=0)
+    preds = probs.argmax(axis=1)
+
+    rows: List[Dict] = []
+    for i, cid in enumerate(case_ids):
+        row = {
+            "case_id": cid,
+            "patient_id": dataset.case_to_patient[cid],
+            "prediction": int(preds[i]),
+            "risk": float(risk[i]),
+        }
+        for c in range(probs.shape[1]):
+            row[f"prob_{c}"] = float(probs[i, c])
+        for f in folds:
+            row[f"fold_{f}_prob_1"] = float(per_fold[f]["probs"][i][1])
+        rows.append(row)
+
+    out = Path(output_path) if output_path else results_dir / "predictions"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(f"{out}.csv", "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    result = {
+        "cases": rows,
+        "folds": list(folds),
+        "drop_prob": drop_prob,
+        "n_cases_scored": len(rows),
+        "n_cases_input": len(df),
+    }
+    Path(f"{out}.json").write_text(json.dumps(result, indent=2))
+    return result

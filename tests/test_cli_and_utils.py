@@ -99,6 +99,70 @@ def test_robustness_sweep_and_plot(cli_dataset, tmp_path):
         assert out.exists()
 
 
+def test_predict_cli_serving(cli_dataset, tmp_path):
+    """Serving path: train a tiny run, then score (a) the training CSV and
+    (b) a label-LESS copy of it through cli.predict — the fold ensemble must
+    produce one row per case, valid probabilities, and identical scores with
+    and without labels (labels never enter the forward pass)."""
+    import numpy as np
+    import pandas as pd
+
+    from multimodal_fusion_tpu.cli.main_survival import main
+    from multimodal_fusion_tpu.cli.predict import main as predict_main
+
+    root, csv_path = cli_dataset
+    log_dir = main([
+        "--csv_path", str(csv_path),
+        "--data_root_dir", str(root),
+        "--results_dir", str(tmp_path / "results"),
+        "--exp_code", "srv",
+        "--model_type", "mil",
+        "--target_channels", "wsi=features", "tma=cd3=features",
+        "--channels_used_in_model", "wsi=features", "tma=cd3=features",
+        "--input_dim", "32", "--model_size", "32*16", "--output_dim", "32",
+        "--k", "2", "--max_epochs", "1", "--batch_size", "4",
+        "--seed", "0",
+    ])
+
+    res = predict_main([
+        "--results_dir", str(log_dir),
+        "--csv_path", str(csv_path),
+        "--data_root_dir", str(root),
+        "--output_path", str(tmp_path / "pred_labeled"),
+    ])
+    n_cases = len(pd.read_csv(csv_path))
+    assert res["n_cases_scored"] == n_cases
+    assert res["folds"] == [0, 1]
+    dfp = pd.read_csv(tmp_path / "pred_labeled.csv")
+    assert len(dfp) == n_cases
+    assert set(dfp["prediction"]) <= {0, 1}
+    probs = dfp[["prob_0", "prob_1"]].to_numpy()
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+    # ensemble is the mean of the per-fold probabilities
+    np.testing.assert_allclose(
+        dfp["prob_1"], (dfp["fold_0_prob_1"] + dfp["fold_1_prob_1"]) / 2, atol=1e-6
+    )
+
+    # label-less serving CSV: same scores, single fold selection works
+    nolabel = tmp_path / "serve.csv"
+    pd.read_csv(csv_path).drop(columns=["label"]).to_csv(nolabel, index=False)
+    predict_main([
+        "--results_dir", str(log_dir),
+        "--csv_path", str(nolabel),
+        "--data_root_dir", str(root),
+        "--output_path", str(tmp_path / "pred_serve"),
+        "--folds", "0",
+    ])
+    dfs = pd.read_csv(tmp_path / "pred_serve.csv")
+    assert len(dfs) == n_cases and "fold_1_prob_1" not in dfs.columns
+    merged = dfp.merge(dfs, on="case_id", suffixes=("_l", "_s"))
+    np.testing.assert_allclose(
+        merged["fold_0_prob_1_l"], merged["fold_0_prob_1_s"], atol=1e-6
+    )
+    # no stray placeholder CSV left behind in the results dir
+    assert not list(log_dir.glob("*.csv.tmp")) and not list(log_dir.glob("tmp*"))
+
+
 def test_alignment_cli(tmp_path):
     from multimodal_fusion_tpu.cli.run_alignment import main
 

@@ -1,0 +1,50 @@
+"""Export a trained fold's eval forward as a StableHLO serving artifact.
+
+See ``utils/export.py``: parameters baked in, symbolic batch axis when
+possible, multi-platform (default cpu+tpu) — runnable without any model code
+via ``utils.export.load_serving_artifact``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from multimodal_fusion_tpu.utils.export import export_serving_fn, write_serving_artifact
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="Export a trained fold checkpoint as a self-contained "
+        "StableHLO serving artifact (probabilities + risk)"
+    )
+    p.add_argument("--results_dir", type=str, required=True)
+    p.add_argument("--fold", type=int, default=0)
+    p.add_argument("--wsi_patches", type=int, default=4096,
+                   help="exported WSI bag size (pad + mask shorter bags)")
+    p.add_argument("--tma_patches", type=int, default=32)
+    p.add_argument("--platforms", type=str, nargs="+", default=["cpu", "tpu"])
+    p.add_argument("--checkpoint_path", type=str, default=None)
+    p.add_argument("--output_path", type=str, required=True,
+                   help="prefix for <out>.stablehlo + <out>.json")
+    p.add_argument("--fixed_batch", action="store_true", default=False,
+                   help="export batch=1 instead of a symbolic batch axis")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    blob, meta = export_serving_fn(
+        args.results_dir, fold=args.fold, wsi_patches=args.wsi_patches,
+        tma_patches=args.tma_patches, platforms=args.platforms,
+        checkpoint_path=args.checkpoint_path,
+        symbolic_batch=not args.fixed_batch,
+    )
+    out = write_serving_artifact(args.output_path, blob, meta)
+    print(json.dumps({"artifact": str(out), "bytes": len(blob),
+                      "batch": meta["batch"], "platforms": meta["platforms"]}))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""AOT serving artifacts: export a trained fold's eval forward as StableHLO.
+
+TPU-native deployment extension (no reference equivalent — the reference
+serves nothing; its closest artifact is a pickled state_dict).  The fold
+checkpoint's eval forward — padded-bag channels + masks in, class
+probabilities and risk out, parameters baked in as constants — is lowered
+once with ``jax.export`` and serialized to a self-contained StableHLO
+artifact that a serving process can run WITHOUT the model zoo, the trainer,
+or any Python model code: just ``load_serving_artifact(...).call``.
+
+The window (batch) axis is exported symbolically when possible, so one
+artifact serves any batch size; patch axes are fixed at export time (pad
+bags to the exported size and mask, exactly like training — masked stats
+are the framework's core contract).  Artifacts can be lowered for several
+platforms at once (default cpu+tpu) and refuse mismatched platforms at
+load time.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from multimodal_fusion_tpu.config import Configs
+
+
+def _channel_specs(model_cfg, wsi_patches: int, tma_patches: int, window):
+    """ShapeDtypeStructs for every channel the model consumes, mirroring the
+    trainer's padded-window layout (data/batching.py): patch channels
+    [B, N, D] + bool mask [B, N]; tabular channels [B, 1, dim]."""
+    import jax.numpy as jnp
+    from jax import ShapeDtypeStruct
+
+    D = model_cfg.input_dim
+    dims = dict(model_cfg.channel_input_dims or {})
+    channels, masks = {}, {}
+    for ch in model_cfg.channels_used_in_model:
+        if ch.startswith("wsi"):
+            channels[ch] = ShapeDtypeStruct((window, wsi_patches, D), jnp.float32)
+            masks[ch] = ShapeDtypeStruct((window, wsi_patches), jnp.bool_)
+        elif ch.startswith("tma") and ch.endswith("=features"):
+            channels[ch] = ShapeDtypeStruct((window, tma_patches, D), jnp.float32)
+            masks[ch] = ShapeDtypeStruct((window, tma_patches), jnp.bool_)
+        else:
+            channels[ch] = ShapeDtypeStruct((window, 1, dims.get(ch, D)), jnp.float32)
+    return channels, masks
+
+
+def export_serving_fn(
+    results_dir: str | Path,
+    fold: int = 0,
+    wsi_patches: int = 4096,
+    tma_patches: int = 32,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    checkpoint_path: Optional[str | Path] = None,
+    symbolic_batch: bool = True,
+) -> Tuple[bytes, Dict]:
+    """Lower the fold's eval forward to serialized StableHLO; returns
+    (artifact bytes, metadata dict)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+    from jax import export as jexport
+
+    from multimodal_fusion_tpu.models.factory import ModelFactory
+    from multimodal_fusion_tpu.train.checkpoint import load_state
+
+    results_dir = Path(results_dir)
+    cfg_files = sorted(results_dir.glob("configs_*.json"))
+    if not cfg_files:
+        raise FileNotFoundError(f"no configs_*.json in {results_dir}")
+    configs = Configs.load(cfg_files[0])
+    mc = configs.model_config
+
+    model = ModelFactory.create_model(mc, seed=configs.experiment_config.seed)
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    path = Path(checkpoint_path or results_dir / f"s_{fold}_checkpoint.npz")
+    restored, _ = load_state(path, {"params": params, "rest": rest})
+    params, rest = restored["params"], restored["rest"]
+
+    def serve(channels, masks):
+        def one(ch, mk):
+            m = nnx.merge(graphdef, params, rest)
+            res = m({"channels": ch, "masks": mk}, jnp.asarray(0), train=False)
+            # risk mirrors the trainer's eval step (train/survival.py:368):
+            # Cox head output when present, positive-class logit otherwise
+            risk = res["risk"][0] if "risk" in res else res["logits"][0, 1]
+            return res["probabilities"][0], risk
+
+        return jax.vmap(one)(channels, masks)
+
+    def specs(window):
+        return _channel_specs(mc, wsi_patches, tma_patches, window)
+
+    exp = None
+    batch = "symbolic"
+    if symbolic_batch:
+        try:
+            (b,) = jexport.symbolic_shape("b")
+            exp = jexport.export(jax.jit(serve), platforms=list(platforms))(*specs(b))
+        except Exception:
+            exp = None
+    if exp is None:
+        batch = 1
+        exp = jexport.export(jax.jit(serve), platforms=list(platforms))(*specs(1))
+
+    meta = {
+        "model_type": mc.model_type,
+        "fold": fold,
+        "platforms": list(platforms),
+        "batch": batch,
+        "wsi_patches": wsi_patches,
+        "tma_patches": tma_patches,
+        "channels": list(mc.channels_used_in_model),
+        "channel_input_dims": dict(mc.channel_input_dims or {}),
+        "input_dim": mc.input_dim,
+        "n_classes": mc.n_classes,
+        "outputs": ["probabilities [B, n_classes]", "risk [B]"],
+    }
+    return exp.serialize(), meta
+
+
+def write_serving_artifact(out_path: str | Path, blob: bytes, meta: Dict) -> Path:
+    out = Path(out_path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.with_suffix(".stablehlo").write_bytes(blob)
+    out.with_suffix(".json").write_text(json.dumps(meta, indent=2))
+    return out.with_suffix(".stablehlo")
+
+
+class ServingArtifact:
+    """Loaded artifact: ``call(channels, masks) -> (probabilities, risk)``.
+    ``channels``/``masks`` follow the exported specs in ``meta`` — pad bags
+    to the exported patch counts and set masks accordingly."""
+
+    def __init__(self, exported, meta: Dict):
+        self._exported = exported
+        self.meta = meta
+
+    def call(self, channels: Dict[str, np.ndarray], masks: Dict[str, np.ndarray]):
+        import jax
+
+        probs, risk = jax.jit(self._exported.call)(channels, masks)
+        return np.asarray(probs), np.asarray(risk)
+
+
+def load_serving_artifact(path: str | Path) -> ServingArtifact:
+    from jax import export as jexport
+
+    path = Path(path)
+    blob = path.with_suffix(".stablehlo").read_bytes()
+    meta = json.loads(path.with_suffix(".json").read_text())
+    return ServingArtifact(jexport.deserialize(blob), meta)

@@ -163,6 +163,83 @@ def test_predict_cli_serving(cli_dataset, tmp_path):
     assert not list(log_dir.glob("*.csv.tmp")) and not list(log_dir.glob("tmp*"))
 
 
+def test_export_serving_artifact(cli_dataset, tmp_path):
+    """StableHLO export roundtrip: train a tiny run, export the fold-0 eval
+    forward, reload WITHOUT the model zoo (deserialize only) and check the
+    artifact's probabilities match the live model on padded+masked bags —
+    including a batch size never seen at export (symbolic batch axis)."""
+    import numpy as np
+    from flax import nnx
+
+    from multimodal_fusion_tpu.cli.export_model import main as export_main
+    from multimodal_fusion_tpu.cli.main_survival import main
+    from multimodal_fusion_tpu.config import Configs
+    from multimodal_fusion_tpu.models.factory import ModelFactory
+    from multimodal_fusion_tpu.train.checkpoint import load_state
+    from multimodal_fusion_tpu.utils.export import load_serving_artifact
+
+    root, csv_path = cli_dataset
+    log_dir = main([
+        "--csv_path", str(csv_path),
+        "--data_root_dir", str(root),
+        "--results_dir", str(tmp_path / "results"),
+        "--exp_code", "exp0",
+        "--model_type", "svd_gate_random_clam",
+        "--target_channels", "wsi=features", "tma=cd3=features",
+        "--channels_used_in_model", "wsi=features", "tma=cd3=features",
+        "--input_dim", "32", "--model_size", "32*16", "--output_dim", "32",
+        "--k", "2", "--max_epochs", "1", "--batch_size", "4",
+        "--enable_svd", "--enable_dynamic_gate",
+        "--seed", "0",
+    ])
+    export_main([
+        "--results_dir", str(log_dir), "--fold", "0",
+        "--wsi_patches", "24", "--tma_patches", "4",
+        "--platforms", "cpu",
+        "--output_path", str(tmp_path / "artifact"),
+    ])
+    art = load_serving_artifact(tmp_path / "artifact")
+    assert art.meta["n_classes"] == 2
+
+    rng = np.random.default_rng(3)
+    B = 3  # not the export batch — exercises the symbolic axis if present
+    if art.meta["batch"] != "symbolic":
+        B = int(art.meta["batch"])
+    channels = {
+        "wsi=features": rng.standard_normal((B, 24, 32)).astype(np.float32),
+        "tma=cd3=features": rng.standard_normal((B, 4, 32)).astype(np.float32),
+    }
+    masks = {
+        "wsi=features": (np.arange(24) < 20)[None].repeat(B, 0),
+        "tma=cd3=features": np.ones((B, 4), bool),
+    }
+    probs, risk = art.call(channels, masks)
+    assert probs.shape == (B, 2) and risk.shape == (B,)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+
+    # live model on the same inputs
+    configs = Configs.load(next(log_dir.glob("configs_*.json")))
+    model = ModelFactory.create_model(
+        configs.model_config, seed=configs.experiment_config.seed
+    )
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    restored, _ = load_state(
+        log_dir / "s_0_checkpoint.npz", {"params": params, "rest": rest}
+    )
+    m = nnx.merge(graphdef, restored["params"], restored["rest"])
+    import jax.numpy as jnp
+
+    for i in range(B):
+        res = m(
+            {"channels": {k: jnp.asarray(v[i]) for k, v in channels.items()},
+             "masks": {k: jnp.asarray(v[i]) for k, v in masks.items()}},
+            jnp.asarray(0), train=False,
+        )
+        np.testing.assert_allclose(
+            probs[i], np.asarray(res["probabilities"])[0], rtol=1e-5, atol=1e-5
+        )
+
+
 def test_alignment_cli(tmp_path):
     from multimodal_fusion_tpu.cli.run_alignment import main
 

@@ -1,0 +1,76 @@
+"""Migrate a reference (torch) survival results dir into this framework.
+
+Converts every ``s_<fold>_checkpoint.pt`` in a reference results dir
+(``downstream_survival/trainer.py:741-745`` artifact layout) into our
+``s_<fold>_checkpoint.npz`` format via the weight mappings in
+``utils/torch_import.py``, and copies ``configs_<exp>.json`` (the JSON
+schema is shared).  The output dir then works with every downstream tool:
+``cli.predict`` (serving), ``SurvivalTrainer.evaluate_fold``,
+``utils.robust.robustness_sweep`` and ``cli.export_model``.
+
+Requires torch (CPU is fine) to read the .pt files; the reference's model
+code is NOT needed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+from pathlib import Path
+
+from flax import nnx
+
+from multimodal_fusion_tpu.config import Configs
+from multimodal_fusion_tpu.models.factory import ModelFactory
+from multimodal_fusion_tpu.train.checkpoint import save_state
+from multimodal_fusion_tpu.utils.torch_import import import_survival_checkpoint
+
+
+def import_results_dir(src_dir: str | Path, out_dir: str | Path) -> dict:
+    src_dir, out_dir = Path(src_dir), Path(out_dir)
+    cfg_files = sorted(src_dir.glob("configs_*.json"))
+    if not cfg_files:
+        raise FileNotFoundError(f"no configs_*.json in {src_dir}")
+    configs = Configs.load(cfg_files[0])
+    out_dir.mkdir(parents=True, exist_ok=True)
+    shutil.copy2(cfg_files[0], out_dir / cfg_files[0].name)
+    for extra in src_dir.glob("splits_*.csv"):  # keep the persisted splits
+        shutil.copy2(extra, out_dir / extra.name)
+
+    converted, leftovers = [], {}
+    for ckpt in sorted(src_dir.glob("s_*_checkpoint.pt")):
+        fold = int(ckpt.stem.split("_")[1])
+        model = ModelFactory.create_model(
+            configs.model_config, seed=configs.experiment_config.seed
+        )
+        leftover = import_survival_checkpoint(model, ckpt)
+        _, params, rest = nnx.split(model, nnx.Param, ...)
+        save_state(out_dir / f"s_{fold}_checkpoint.npz", {"params": params, "rest": rest})
+        converted.append(fold)
+        if leftover:
+            leftovers[fold] = leftover
+    if not converted:
+        raise FileNotFoundError(f"no s_<fold>_checkpoint.pt in {src_dir}")
+    return {"folds": converted, "out_dir": str(out_dir), "unmapped_keys": leftovers}
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="Convert a reference torch results dir (configs + "
+        "s_<fold>_checkpoint.pt) into this framework's npz checkpoints"
+    )
+    p.add_argument("--src_dir", type=str, required=True)
+    p.add_argument("--out_dir", type=str, required=True)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    res = import_results_dir(args.src_dir, args.out_dir)
+    print(json.dumps(res))
+    return res
+
+
+if __name__ == "__main__":
+    main()

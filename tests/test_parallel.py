@@ -479,3 +479,16 @@ def test_graft_dryrun_multichip_subprocess():
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip(8): OK" in out.stdout
     assert "sharded single-slide build OK" in out.stdout
+
+
+def test_multihost_two_process_gang():
+    """TRUE multi-process validation (DCN story): two separate processes,
+    each with 4 local CPU devices, form one global (replica=2, data=4) mesh
+    with the process boundary on the replica axis; each contributes only its
+    local batch shard, the jitted flagship step executes collectively over
+    Gloo, and both workers verify sharded == unsharded params."""
+    from multimodal_fusion_tpu.parallel.multihost import launch
+
+    out = launch(num_processes=2, timeout=540)
+    assert "multihost OK proc 0/2" in out
+    assert "multihost OK proc 1/2" in out

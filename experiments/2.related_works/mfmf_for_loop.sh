@@ -8,6 +8,8 @@ set -uo pipefail
 SEED=${1:-5678}
 cd "$(dirname "$0")"
 
+# usage: mfmf_for_loop.sh <seed> [cfg...] — $1 is ALWAYS the seed;
+# config indices follow (default: all 3)
 if [ $# -ge 2 ]; then CONFIG_LIST=("${@:2}"); else CONFIG_LIST=($(seq 0 2)); fi
 echo "Starting training loop for CONFIG indices: ${CONFIG_LIST[*]}"
 for CFG in "${CONFIG_LIST[@]}"; do

@@ -362,7 +362,9 @@ def generate_driver_scripts(out_root: str | Path) -> List[Path]:
     - ``2.related_works/mfmf_for_loop.sh`` loops over the MFMF fusion-block
       configurations (reference ``mfmf_for_loop{1,2,3}.sh`` each iterate a
       hand-edited CONFIG_LIST over the same three sequences; one
-      parameterised driver covers them — pass config indices as arguments).
+      parameterised driver covers them — usage
+      ``mfmf_for_loop.sh <seed> [cfg...]``: the FIRST argument is always the
+      seed, further arguments select config indices, default all).
     - ``alignment/run_sequential.sh`` runs the ablation sweeps serially with
       progress/timing echoes (reference ``run_sequential.sh``).
     """
@@ -384,6 +386,8 @@ def generate_driver_scripts(out_root: str | Path) -> List[Path]:
 
     n_cfg = len(MFMF_SEQUENCES)
     body = (
+        f'# usage: mfmf_for_loop.sh <seed> [cfg...] — $1 is ALWAYS the seed;\n'
+        f'# config indices follow (default: all {n_cfg})\n'
         f'if [ $# -ge 2 ]; then CONFIG_LIST=("${{@:2}}"); '
         f'else CONFIG_LIST=($(seq 0 {n_cfg - 1})); fi\n'
         f'echo "Starting training loop for CONFIG indices: ${{CONFIG_LIST[*]}}"\n'

@@ -38,6 +38,14 @@ def _channel_specs(model_cfg, wsi_patches: int, tma_patches: int, window):
     dims = dict(model_cfg.channel_input_dims or {})
     channels, masks = {}, {}
     for ch in model_cfg.channels_used_in_model:
+        if ch.startswith("hypergraph="):
+            # hypergraph node-set/incidence channels have model-specific
+            # padded shapes (models/hypergraph_fusion.py) not covered by the
+            # generic bag/tabular specs — fail clearly rather than trace-error
+            raise NotImplementedError(
+                f"export does not support hypergraph channels ({ch}); "
+                "serve cust_omics/hypergraph models through cli.predict"
+            )
         if ch.startswith("wsi"):
             channels[ch] = ShapeDtypeStruct((window, wsi_patches, D), jnp.float32)
             masks[ch] = ShapeDtypeStruct((window, wsi_patches), jnp.bool_)
@@ -101,7 +109,14 @@ def export_serving_fn(
         try:
             (b,) = jexport.symbolic_shape("b")
             exp = jexport.export(jax.jit(serve), platforms=list(platforms))(*specs(b))
-        except Exception:
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                "symbolic-batch export failed; falling back to a FIXED "
+                f"batch=1 artifact (callable only with batch 1): {e!r}",
+                stacklevel=2,
+            )
             exp = None
     if exp is None:
         batch = 1
@@ -137,13 +152,15 @@ class ServingArtifact:
     to the exported patch counts and set masks accordingly."""
 
     def __init__(self, exported, meta: Dict):
+        import jax
+
         self._exported = exported
+        # jit ONCE: a per-call jax.jit would retrace/recompile every request
+        self._call = jax.jit(exported.call)
         self.meta = meta
 
     def call(self, channels: Dict[str, np.ndarray], masks: Dict[str, np.ndarray]):
-        import jax
-
-        probs, risk = jax.jit(self._exported.call)(channels, masks)
+        probs, risk = self._call(channels, masks)
         return np.asarray(probs), np.asarray(risk)
 
 

@@ -28,8 +28,6 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 import pandas as pd
 
-from multimodal_fusion_tpu.config import Configs
-from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
 from multimodal_fusion_tpu.data.splits import FoldSplit
 
 
@@ -46,40 +44,30 @@ def predict(
     ``results_dir``; returns {case_id: {...}} plus the ensemble, and writes
     ``predictions.csv`` / ``predictions.json`` next to ``output_path`` (or
     into the results dir)."""
-    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+    from multimodal_fusion_tpu.utils.results_io import load_results_context
 
     results_dir = Path(results_dir)
-    cfg_files = sorted(results_dir.glob("configs_*.json"))
-    if not cfg_files:
-        raise FileNotFoundError(f"no configs_*.json in {results_dir}")
-    configs = Configs.load(cfg_files[0])
-    exp = configs.experiment_config
-
     df = pd.read_csv(csv_path)
     tmp = None
     if "label" not in df.columns:
         # serving-time CSV without outcomes: placeholder label keeps the
-        # dataset layer's channel validation/filtering intact
+        # dataset layer's channel validation/filtering intact (written to the
+        # system temp dir — the results dir may be a read-only artifact)
         df = df.assign(label="unknown")
-        tmp = tempfile.NamedTemporaryFile(
-            "w", suffix=".csv", delete=False, dir=str(results_dir)
-        )
+        tmp = tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False)
         tmp.close()
         df.to_csv(tmp.name, index=False)
         csv_path = tmp.name
     try:
-        dataset = MultimodalDataset(
-            csv_path, data_root_dir, channels=exp.target_channels
+        configs, dataset, trainer, folds = load_results_context(
+            results_dir, csv_path, data_root_dir, folds=folds
         )
-        trainer = SurvivalTrainer(configs, results_dir)
-        if folds is None:
-            folds = [
-                int(p.stem.split("_")[1])
-                for p in sorted(results_dir.glob("s_*_checkpoint.npz"))
-            ]
-        if not folds:
-            raise FileNotFoundError(f"no s_<fold>_checkpoint.npz in {results_dir}")
-
+        if len(dataset) == 0:
+            raise ValueError(
+                "no cases to score: every CSV row was filtered by the "
+                "dataset layer (missing h5 files or channels?); input rows="
+                f"{len(df)}"
+            )
         all_idx = np.arange(len(dataset))
         split = FoldSplit(
             train_idx=np.array([], int), val_idx=np.array([], int), test_idx=all_idx

@@ -15,8 +15,6 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from multimodal_fusion_tpu.config import Configs
-from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
 from multimodal_fusion_tpu.data.splits import create_k_fold_splits, load_fold_split
 
 
@@ -29,22 +27,13 @@ def robustness_sweep(
     output_path: Optional[str | Path] = None,
     seed: int = 0,
 ) -> List[Dict]:
-    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+    from multimodal_fusion_tpu.utils.results_io import load_results_context
 
     results_dir = Path(results_dir)
-    cfg_files = sorted(results_dir.glob("configs_*.json"))
-    if not cfg_files:
-        raise FileNotFoundError(f"no configs_*.json in {results_dir}")
-    configs = Configs.load(cfg_files[0])
+    configs, dataset, trainer, folds = load_results_context(
+        results_dir, csv_path, data_root_dir, folds=folds
+    )
     exp = configs.experiment_config
-
-    dataset = MultimodalDataset(csv_path, data_root_dir, channels=exp.target_channels)
-    trainer = SurvivalTrainer(configs, results_dir)
-    if folds is None:
-        folds = [
-            int(p.stem.split("_")[1])
-            for p in sorted(results_dir.glob("s_*_checkpoint.npz"))
-        ]
 
     def fold_split(fold: int):
         # the splits the trainer actually used, reloaded from its persisted

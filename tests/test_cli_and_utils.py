@@ -420,6 +420,22 @@ def test_survival_cli_with_alignment_checkpoint(cli_dataset, tmp_path):
     ])
     assert (log_dir / "summary.csv").exists()
 
+    # the serving path must rebuild the dataset WITH the persisted alignment
+    # model (code-review finding: it silently scored raw features before)
+    from multimodal_fusion_tpu.cli.predict import main as predict_main
+    from multimodal_fusion_tpu.utils.results_io import build_dataset, load_configs
+
+    ds2 = build_dataset(load_configs(log_dir), csv_path, root)
+    assert ds2.alignment_apply_fn is not None
+    raw2, _ = ds2.get_case(ds2.case_ids[0])
+    assert "aligned_tma=cd3=features" in raw2
+    res = predict_main([
+        "--results_dir", str(log_dir),
+        "--csv_path", str(csv_path), "--data_root_dir", str(root),
+        "--output_path", str(tmp_path / "al_pred"),
+    ])
+    assert res["n_cases_scored"] == len(ds2)
+
 
 def test_tsne_plot_and_ablation_analysis(cli_dataset, tmp_path):
     import jax.numpy as jnp

@@ -13,7 +13,6 @@ import json
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
-import numpy as np
 
 from multimodal_fusion_tpu.data.splits import create_k_fold_splits, load_fold_split
 

@@ -213,14 +213,20 @@ def main(argv=None) -> Path:
     if args.alignment_model_path and Path(args.alignment_model_path).exists():
         from flax import nnx
 
-        from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
+        from multimodal_fusion_tpu.models.alignment import (
+            MultiModalAlignmentModel,
+            infer_alignment_arch,
+        )
         from multimodal_fusion_tpu.train.alignment import make_alignment_apply_fn
         from multimodal_fusion_tpu.train.checkpoint import load_model
 
         align_channels = {c: c for c in (args.aligned_channels or [])}
+        # depth/dim read from the checkpoint itself (a depth-3 alignment
+        # model must not be squeezed into a hardcoded 2-layer stack)
+        num_layers, feature_dim = infer_alignment_arch(args.alignment_model_path)
         model = MultiModalAlignmentModel(
-            sorted(align_channels.values()), feature_dim=args.input_dim,
-            num_layers=2, rngs=nnx.Rngs(0),
+            sorted(align_channels.values()), feature_dim=feature_dim,
+            num_layers=num_layers, rngs=nnx.Rngs(0),
         )
         load_model(args.alignment_model_path, model)
         align_fn = make_alignment_apply_fn(model)

@@ -70,3 +70,26 @@ class MultiModalAlignmentModel(nnx.Module):
 
     def predict_match(self, fused: jax.Array, *, key=None, train=False) -> jax.Array:
         return self.mlp_predictor(fused, key=key, train=train)
+
+
+def infer_alignment_arch(checkpoint_path) -> tuple:
+    """(num_layers, feature_dim) read from a saved MultiModalAlignmentModel
+    checkpoint's keys (``alignment_layers/<marker>/<i>/kernel``) — loaders
+    should not have to guess the depth the model was trained with."""
+    import re
+
+    import numpy as np
+
+    data = np.load(checkpoint_path, allow_pickle=False)
+    idxs, dim = [], None
+    for k in data.files:
+        m = re.match(r"alignment_layers/[^/]+/(\d+)/kernel$", k)
+        if m:
+            idxs.append(int(m.group(1)))
+            dim = int(data[k].shape[0])
+    if not idxs:
+        raise ValueError(
+            f"{checkpoint_path} does not look like an alignment model "
+            "checkpoint (no alignment_layers/*/N/kernel keys)"
+        )
+    return max(idxs) + 1, dim

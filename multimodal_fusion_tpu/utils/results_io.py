@@ -46,15 +46,19 @@ def build_dataset(configs: Configs, csv_path, data_root_dir) -> MultimodalDatase
     if model_path and Path(model_path).exists():
         from flax import nnx
 
-        from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
+        from multimodal_fusion_tpu.models.alignment import (
+            MultiModalAlignmentModel,
+            infer_alignment_arch,
+        )
         from multimodal_fusion_tpu.train.alignment import make_alignment_apply_fn
         from multimodal_fusion_tpu.train.checkpoint import load_model
 
         align_channels = {c: c for c in (exp.get("aligned_channels", None) or [])}
+        num_layers, feature_dim = infer_alignment_arch(model_path)
         model = MultiModalAlignmentModel(
             sorted(align_channels.values()),
-            feature_dim=configs.model_config.input_dim,
-            num_layers=2,
+            feature_dim=feature_dim,
+            num_layers=num_layers,
             rngs=nnx.Rngs(0),
         )
         load_model(model_path, model)

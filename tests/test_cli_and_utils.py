@@ -388,7 +388,9 @@ def test_survival_cli_with_alignment_checkpoint(cli_dataset, tmp_path):
 
     root, csv_path = cli_dataset
     align_ch = ["tma=cd3=features"]
-    model = MultiModalAlignmentModel(sorted(align_ch), feature_dim=32, num_layers=2,
+    # num_layers=3: both loaders must INFER the depth from the checkpoint
+    # (a hardcoded 2-layer stack would fail to load this)
+    model = MultiModalAlignmentModel(sorted(align_ch), feature_dim=32, num_layers=3,
                                      rngs=nnx.Rngs(7))
     ckpt = tmp_path / "align_ckpt.npz"
     save_model(ckpt, model)

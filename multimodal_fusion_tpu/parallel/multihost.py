@@ -193,10 +193,52 @@ def worker_main(
         raise AssertionError(
             f"proc {process_id}: sharded != unsharded (max rel {max_rel:.2e})"
         )
+
+    # Cross-process intra-slide hypergraph build: ONE slide's patch axis
+    # sharded over the whole gang (hypergraph/build.py:_place_for_mesh
+    # semantics), statistics checked against a local unsharded build.
+    from multimodal_fusion_tpu.hypergraph.build import _fused_build
+
+    rng = np.random.default_rng(1)
+    n_patches = n_total * 16
+    feats = rng.standard_normal((n_patches, 32)).astype(np.float32)
+    pos = rng.standard_normal((n_patches, 2)).astype(np.float32)
+    tma = rng.standard_normal((4, 32)).astype(np.float32)
+    rows_p = n_patches // num_processes
+    f_g = jax.make_array_from_process_local_data(
+        data_sh, feats[process_id * rows_p:(process_id + 1) * rows_p]
+    )
+    p_g = jax.make_array_from_process_local_data(
+        data_sh, pos[process_id * rows_p:(process_id + 1) * rows_p]
+    )
+    t_g = jax.make_array_from_process_local_data(rep_sh, tma)
+    kd = np.asarray(jax.random.key_data(jax.random.key(0)))
+    k_g = jax.make_array_from_process_local_data(rep_sh, kd)
+
+    def build(key_data, f, p, t):
+        return _fused_build(
+            jax.random.wrap_key_data(key_data), f, p, t,
+            jnp.int32(n_patches), 1.0, 1.0, 4, 2, 2, 3,
+            full_stats=True, ship_cache=False,
+        )
+    with mesh:
+        out = jax.jit(build)(k_g, f_g, p_g, t_g)
+        jax.block_until_ready(out)
+    ref_out = jax.jit(build)(
+        jnp.asarray(kd), jnp.asarray(feats), jnp.asarray(pos), jnp.asarray(tma)
+    )
+    stats = np.asarray(out["K_stats"].addressable_data(0))
+    ref_stats = np.asarray(ref_out["K_stats"])
+    if not np.allclose(stats, ref_stats, rtol=1e-4, atol=1e-6):
+        raise AssertionError(
+            f"proc {process_id}: sharded build stats {stats} != {ref_stats}"
+        )
+
     print(
         f"multihost OK proc {process_id}/{num_processes}: mesh "
         f"(replica={num_processes}, data={local_devices}), "
-        f"sharded==unsharded max rel {max_rel:.2e}",
+        f"sharded==unsharded max rel {max_rel:.2e}; "
+        f"cross-process slide build stats match",
         flush=True,
     )
 

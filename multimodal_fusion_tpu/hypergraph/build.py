@@ -27,6 +27,7 @@ TPU-native notes:
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from pathlib import Path
@@ -121,7 +122,12 @@ def _matrix_stats(K: np.ndarray) -> Dict[str, float]:
 
 def _matrix_stats_dev(K: jax.Array) -> jax.Array:
     """[mean, std, min, max, median] computed on device (the host-side numpy
-    std over a [4k,4k] matrix alone cost >1s per file)."""
+    std over a [4k,4k] matrix alone cost >1s per file).  A statically empty
+    matrix (e.g. the cross-modal sim of a present-but-0-row TMA dataset,
+    which the pipeline deliberately builds through) yields NaN stats instead
+    of a zero-size-reduction trace error."""
+    if K.size == 0:
+        return jnp.full((5,), jnp.nan, jnp.float32)
     return jnp.stack(
         [jnp.mean(K), jnp.std(K), jnp.min(K), jnp.max(K), jnp.median(K)]
     )
@@ -137,13 +143,19 @@ def _matrix_stats_dev_masked(K: jax.Array, mask: jax.Array) -> jax.Array:
     ])
 
 
-def _stats_dict(v: np.ndarray) -> Dict[str, float]:
+def _stats_dict(v: np.ndarray) -> Dict[str, Optional[float]]:
+    def _f(x: float) -> Optional[float]:
+        x = float(x)
+        # non-finite stats (empty TMA similarity) -> null, not the
+        # non-standard NaN token strict JSON parsers reject
+        return x if math.isfinite(x) else None
+
     return {
-        "mean": float(v[0]),
-        "std": float(v[1]),
-        "min": float(v[2]),
-        "max": float(v[3]),
-        "median": float(v[4]),
+        "mean": _f(v[0]),
+        "std": _f(v[1]),
+        "min": _f(v[2]),
+        "max": _f(v[3]),
+        "median": _f(v[4]),
     }
 
 
@@ -261,8 +273,9 @@ def _device_triu_indices(n: int):
 def _unpack_triu(packed: np.ndarray, n: int) -> np.ndarray:
     K = np.empty((n, n), np.float32)
     iu = np.triu_indices(n)
-    K[iu] = packed.astype(np.float32)
-    K[(iu[1], iu[0])] = packed.astype(np.float32)
+    packed = packed.astype(np.float32)  # once: the second cast doubled peak
+    K[iu] = packed                      # temp memory at [32k,32k] finalize
+    K[(iu[1], iu[0])] = packed
     return K
 
 
@@ -271,7 +284,7 @@ def _unpack_triu(packed: np.ndarray, n: int) -> np.ndarray:
     static_argnames=(
         "lambda_h", "lambda_g", "num_super", "num_groups", "k",
         "num_hyperedges", "cache_bf16", "full_stats", "ship_cache", "padded",
-        "block_stats",
+        "block_stats", "allow_pallas",
     ),
 )
 def _fused_build(
@@ -291,6 +304,7 @@ def _fused_build(
     ship_cache: bool = True,
     padded: bool = False,
     block_stats: bool = False,
+    allow_pallas: bool = True,
 ):
     """The entire per-file numeric pipeline as ONE compiled program:
     similarity -> KMeans super-patches (+ intra-cluster stats) -> cross-modal
@@ -340,8 +354,11 @@ def _fused_build(
     if full_stats:
         # Pallas fused kernel on TPU for large N (one exp, no intermediate
         # [N,N] distance matrices in HBM; ~1.3x over the XLA formulation
-        # measured on v5e); XLA elsewhere.
-        K = combined_similarity_auto(feats, pos, lambda_h, lambda_g)
+        # measured on v5e); XLA elsewhere, and FORCED XLA under a mesh
+        # (allow_pallas=False): GSPMD cannot partition the Mosaic call.
+        K = combined_similarity_auto(
+            feats, pos, lambda_h, lambda_g, allow_pallas=allow_pallas
+        )
         stat_sel = None
     else:
         S = min(2048, n)
@@ -349,7 +366,8 @@ def _fused_build(
         stat_sel = jnp.linspace(0.0, 1.0, S)
         stat_sel = (stat_sel * last).round().astype(jnp.int32)
         K = combined_similarity_auto(
-            feats[stat_sel], pos[stat_sel], lambda_h, lambda_g
+            feats[stat_sel], pos[stat_sel], lambda_h, lambda_g,
+            allow_pallas=allow_pallas,
         )  # [S, S] sample for statistics only (valid rows only when padded)
 
     km = kmeans(k1, feats, k=num_super, n_init=10, mask=mask)
@@ -383,7 +401,16 @@ def _fused_build(
     intra_mean_per = jnp.where(
         pair_counts > 0, (s_cc - diag_c) / jnp.maximum(pair_counts, 1.0), jnp.nan
     )
-    intra_mean = jnp.nanmean(intra_mean_per)
+    # masked mean over clusters with >= 2 members; 0.0 (the reference's
+    # value) when EVERY cluster is a singleton, where nanmean over all-NaN
+    # would emit NaN into the persisted stats JSON
+    has_pairs = pair_counts > 0
+    intra_mean = jnp.where(
+        jnp.any(has_pairs),
+        jnp.sum(jnp.where(has_pairs, intra_mean_per, 0.0))
+        / jnp.maximum(jnp.sum(has_pairs), 1),
+        0.0,
+    )
 
     sim = cross_similarity(sp_feats, tma, lambda_h)  # [S, T]
     group = kmeans(k2, sim, k=num_groups, n_init=10)
@@ -561,6 +588,10 @@ def build_hypergraph_knn_kmeans(
     num_hyperedges: int = 10,
     seed: int = 42,
 ) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    # ``group_labels`` is accepted but unused — REFERENCE PARITY: the
+    # reference's build_hypergraph_knn_kmeans also takes it and never reads
+    # it in the body (preprocess_hypergraph.py:335-433; grouping only lands
+    # in the persisted h5, not in edge construction).
     all_feats = np.concatenate([wsi_super_features, tma_features], axis=0)
     n_total = all_feats.shape[0]
     fa = jnp.asarray(all_feats)
@@ -822,6 +853,7 @@ def process_single_file(
         ship_cache=save_similarity,
         padded=padded,
         block_stats=block_stats,
+        allow_pallas=mesh is None,
     )
     host = jax.device_get(out)  # one bulk transfer
     if save_similarity:
@@ -1092,6 +1124,7 @@ def process_dataset(
             ship_cache=save_similarity,
             padded=padded,
             block_stats=block_stats,
+            allow_pallas=mesh is None,
         )
         # start the device->host copies now so they overlap the host-side
         # edge assembly + h5 writes of earlier files

@@ -58,7 +58,6 @@ def kmeans_plus_plus_init(
     n = x.shape[0]
     n_local_trials = 2 + int(math.log(max(k, 2)))
     valid = mask if mask is not None else jnp.ones((n,), bool)
-    big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
 
     key, sub = jax.random.split(key)
     probs0 = valid.astype(jnp.float32)
@@ -71,7 +70,6 @@ def kmeans_plus_plus_init(
         centers, closest_d = carry
         subkey = inputs["key"]
         i = inputs["i"]
-        pot = jnp.sum(closest_d)
         p = jnp.where(valid, closest_d, 0.0)
         p = p / jnp.maximum(jnp.sum(p), 1e-30)
         cand_idx = jax.random.choice(subkey, n, shape=(n_local_trials,), p=p)
@@ -84,7 +82,7 @@ def kmeans_plus_plus_init(
         new_center = cand[best]
         new_closest = d_cand[best]
         centers = centers.at[i].set(new_center)
-        return (centers, new_closest), pot
+        return (centers, new_closest), None
 
     keys = jax.random.split(key, k - 1) if k > 1 else jnp.zeros((0, 2), jnp.uint32)
     idxs = jnp.arange(1, k)
@@ -94,7 +92,6 @@ def kmeans_plus_plus_init(
         )
     else:
         centers = centers0
-    del big
     return centers
 
 
@@ -198,6 +195,38 @@ def _lloyd(
     d_min = jnp.min(d, axis=-1)
     counts = jnp.zeros((k,), x.dtype).at[labels].add(weights)
     centers, labels = _relocate_empty(x, centers, labels, d_min, counts, weights)
+
+    # Cascade guard: draining a 1-2 point donor cluster in the pass above can
+    # itself leave a fresh empty cluster.  Whenever any non-singleton donor
+    # exists (guaranteed while k <= n_valid), each extra pass fills at least
+    # one empty cluster, so <= k bounded passes restore the no-empty-cluster
+    # invariant; in the common case the loop body never executes (one cheap
+    # counts scatter decides).
+    counts = jnp.zeros((k,), x.dtype).at[labels].add(weights)
+
+    def fix_cond(state):
+        it, _, _, counts = state
+        return (it < k) & jnp.any(counts == 0)
+
+    def fix_body(state):
+        it, centers, labels, counts = state
+        # labels stay STICKY here (no re-argmin): with exact-duplicate
+        # points the relocated cluster ties its donor's old cluster and
+        # argmin would bounce the point straight back, never converging.
+        # Contribution = distance to the ASSIGNED center (sklearn's inertia
+        # contribution), not the min distance.
+        d = _sq_dists_to_centers(x, centers)
+        d_assigned = jnp.take_along_axis(d, labels[:, None], axis=1)[:, 0]
+        centers, labels = _relocate_empty(
+            x, centers, labels, d_assigned, counts, weights
+        )
+        counts = jnp.zeros((k,), x.dtype).at[labels].add(weights)
+        return it + 1, centers, labels, counts
+
+    _, centers, labels, _ = jax.lax.while_loop(
+        fix_cond, fix_body, (jnp.int32(0), centers, labels, counts)
+    )
+
     d = _sq_dists_to_centers(x, centers)
     inertia = jnp.sum(jnp.take_along_axis(d, labels[:, None], axis=1)[:, 0] * weights)
     return centers, labels, inertia

@@ -32,7 +32,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _knn_kernel(q_ref, kt_ref, ov_ref, oi_ref, *, k, tile_n, n_valid):
+def _knn_kernel(q_ref, kt_ref, ov_ref, oi_ref, *, k, tile_m, tile_n, n_valid):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -52,6 +53,11 @@ def _knn_kernel(q_ref, kt_ref, ov_ref, oi_ref, *, k, tile_n, n_valid):
     )  # [TM, TN]
     col_idx = j * tile_n + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     d = jnp.where(col_idx < n_valid, d, jnp.inf)
+    # pin the self-distance to EXACT zero like the XLA oracles (knn.py:42,
+    # :90-94): the norm expansion leaves eps*||x||^2 residue that at large
+    # feature magnitudes would evict self from slot 0
+    row_idx = i * tile_m + jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+    d = jnp.where(col_idx == row_idx, 0.0, d)
 
     vals = jnp.concatenate([ov_ref[:], d], axis=1)  # [TM, ACC+TN]
     idxs = jnp.concatenate([oi_ref[:], col_idx], axis=1)
@@ -103,7 +109,9 @@ def pallas_knn(
     xk = jnp.zeros((n_pad_k, d_pad), jnp.float32).at[:n, :d].set(x)
 
     grid = (n_pad_q // tile_m, n_pad_k // tile_n)
-    kernel = functools.partial(_knn_kernel, k=k, tile_n=tile_n, n_valid=n)
+    kernel = functools.partial(
+        _knn_kernel, k=k, tile_m=tile_m, tile_n=tile_n, n_valid=n
+    )
     vals, idxs = pl.pallas_call(
         kernel,
         out_shape=(

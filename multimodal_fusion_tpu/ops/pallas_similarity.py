@@ -70,8 +70,13 @@ def pallas_combined_similarity(
     interpret: bool = False,
 ) -> jax.Array:
     """Fused [N, N] combined similarity via a tiled Pallas kernel."""
+    import math
+
     n, d = features.shape
-    n_pad = _round_up(n, max(tile_m, tile_n))
+    # pad to a COMMON multiple of both tile sizes: rounding to max(tm, tn)
+    # alone leaves trailing tiles unvisited when neither divides the other
+    # (grid floor-division) and returns uninitialised rows
+    n_pad = _round_up(n, math.lcm(tile_m, tile_n))
     d_pad = _round_up(d, 128)
     f = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(features)
     p = jnp.zeros((n_pad, 128), jnp.float32).at[:n, : positions.shape[1]].set(positions)
@@ -109,9 +114,17 @@ def combined_similarity_auto(
     lambda_h: float = 1.0,
     lambda_g: float = 1.0,
     min_pallas_n: int = 1024,
+    allow_pallas: bool = True,
 ) -> jax.Array:
-    """Pallas kernel on TPU for large N, XLA formulation otherwise."""
+    """Pallas kernel on TPU for large N, XLA formulation otherwise.
+
+    ``allow_pallas=False`` forces the XLA formulation — required when the
+    caller's inputs are GSPMD-sharded over a mesh (the intra-slide
+    ``--mesh_data`` build): a Mosaic custom call cannot be partitioned, so
+    XLA would either reject it or all-gather the operands and materialise
+    the full [N, N] on every device, defeating the sharding.  The XLA
+    expansion partitions cleanly into row stripes."""
     n = features.shape[0]
-    if jax.default_backend() == "tpu" and n >= min_pallas_n:
+    if allow_pallas and jax.default_backend() == "tpu" and n >= min_pallas_n:
         return pallas_combined_similarity(features, positions, lambda_h, lambda_g)
     return combined_similarity(features, positions, lambda_h, lambda_g)

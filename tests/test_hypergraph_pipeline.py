@@ -596,3 +596,56 @@ def test_bucketed_batched_matches_bucketed_unbatched(tmp_path):
         np.testing.assert_allclose(
             a["wsi_super/features"], b["wsi_super/features"], rtol=1e-4, atol=1e-5
         )
+
+
+def test_empty_tma_dataset_builds(tmp_path):
+    """A present-but-0-row TMA features dataset must BUILD (the batched
+    probe routes such files into the build on purpose), with null similarity
+    stats — not crash in a zero-size reduction (review finding)."""
+    import json
+
+    import h5py
+
+    from multimodal_fusion_tpu.hypergraph.build import process_dataset
+    from multimodal_fusion_tpu.io.h5io import read_hypergraph_group
+
+    rng = np.random.default_rng(2)
+    root = tmp_path
+    p = root / "case_0.h5"
+    with h5py.File(p, "w") as f:
+        f["wsi/features"] = (rng.standard_normal((60, 16)) * 0.4).astype(np.float32)
+        f["wsi/positions"] = rng.uniform(0, 2, (60, 2)).astype(np.float32)
+        f["tma/features"] = np.zeros((0, 16), np.float32)
+    (root / "d.csv").write_text(
+        "patient_id,case_id,label,h5_file_path\n0,case_0,living,case_0.h5\n"
+    )
+    stats, summary = process_dataset(
+        root / "d.csv", root, 6, 2, 2, 3,
+        output_stats_path=root / "stats.json",
+    )
+    assert all("error" not in s for s in stats), stats
+    assert summary["total_patches"] == 60
+    out = read_hypergraph_group(p)
+    assert out["tma/features"].shape[0] == 0
+    assert out["edge_index"].shape[1] > 0  # super-patch KNN edges exist
+    # stats JSON is strictly parseable (non-finite -> null)
+    loaded = json.loads((root / "stats.json").read_text(), parse_constant=lambda c: (_ for _ in ()).throw(ValueError(c)))
+    assert loaded["files"][0]["similarity"]["mean"] is None
+
+
+def test_all_singleton_clusters_intra_mean_zero(tmp_path):
+    """n == num_super_patches: every cluster is a singleton; the intra-
+    cluster similarity must be the reference's 0.0, not NaN (review
+    finding — NaN leaked into the stats JSON)."""
+    import h5py
+
+    from multimodal_fusion_tpu.hypergraph.build import process_single_file
+
+    rng = np.random.default_rng(5)
+    p = tmp_path / "s.h5"
+    with h5py.File(p, "w") as f:
+        f["wsi/features"] = (rng.standard_normal((6, 16)) * 0.4).astype(np.float32)
+        f["wsi/positions"] = rng.uniform(0, 2, (6, 2)).astype(np.float32)
+        f["tma/features"] = (rng.standard_normal((3, 16)) * 0.4).astype(np.float32)
+    stats = process_single_file(p, 6, 2, 2, 3, save_similarity=False)
+    assert stats["wsi_aggregation"]["avg_intra_cluster_similarity"] == 0.0

@@ -208,3 +208,21 @@ def test_small_slide_raises_not_silent(tmp_path, rng):
         f["tma/features"] = rng.standard_normal((3, 8)).astype(np.float32)
     with _pytest.raises(ValueError, match="empty cluster"):
         process_single_file(p, 10, 2, 2, 3)
+
+
+def test_kmeans_no_empty_clusters_after_cascade(rng):
+    """Draining a 1-2 point donor cluster during relocation must not leave a
+    FRESH empty cluster behind (review finding): duplicate-heavy data with k
+    close to n forces relocation cascades; the bounded while_loop restores
+    the no-empty-cluster invariant whenever k <= n."""
+    import numpy as np
+
+    from multimodal_fusion_tpu.ops.kmeans import kmeans
+
+    base = rng.standard_normal((3, 4)).astype(np.float32)
+    x = jnp.asarray(np.repeat(base, 4, axis=0))  # 12 points, 3 distinct
+    for k in (8, 10, 12):
+        for seed in range(5):
+            res = kmeans(jax.random.key(seed), x, k=k, n_init=4)
+            counts = np.bincount(np.asarray(res.labels), minlength=k)
+            assert counts.min() > 0, (k, seed, counts)

@@ -68,3 +68,45 @@ def test_pallas_knn_non_divisible_and_auto():
     # auto dispatch below the pallas threshold: exact path
     d_a, i_a = knn_indices_auto(jnp.asarray(x), 5)
     np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_similarity_mixed_tile_sizes():
+    """tile_m != tile_n where neither divides the other: padding must reach a
+    COMMON multiple or trailing tiles are never written (review finding —
+    rows past the first tile boundary returned uninitialised memory)."""
+    import numpy as np
+
+    from multimodal_fusion_tpu.ops.pallas_similarity import (
+        pallas_combined_similarity,
+    )
+    from multimodal_fusion_tpu.ops.similarity import combined_similarity
+
+    rng = np.random.default_rng(0)
+    n = 150
+    f = jnp.asarray(rng.standard_normal((n, 32)) * 0.3, jnp.float32)
+    p = jnp.asarray(rng.uniform(0, 2, (n, 2)), jnp.float32)
+    out = np.asarray(
+        pallas_combined_similarity(f, p, 1.0, 1.0, tile_m=96, tile_n=128, interpret=True)
+    )
+    ref = np.asarray(combined_similarity(f, p, 1.0, 1.0))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_knn_self_distance_pinned_at_large_magnitude():
+    """The kernel must pin d(i,i) to exact 0 like the XLA oracles: at large
+    feature magnitudes the norm-expansion residue otherwise evicts self from
+    slot 0 (review finding — d(i,i) ~ 0.7 at magnitude ~300)."""
+    import numpy as np
+
+    from multimodal_fusion_tpu.ops.knn import knn_indices
+    from multimodal_fusion_tpu.ops.pallas_knn import pallas_knn
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((96, 16)).astype(np.float32) * 300.0
+    d_pl, i_pl = pallas_knn(jnp.asarray(x), 4, tile_m=64, tile_n=64, interpret=True)
+    d_x, i_x = knn_indices(jnp.asarray(x), 4)
+    np.testing.assert_array_equal(np.asarray(i_pl)[:, 0], np.arange(96))
+    np.testing.assert_array_equal(np.asarray(d_pl)[:, 0], 0.0)
+    assert set(map(tuple, np.sort(i_pl, 1).tolist())) == set(
+        map(tuple, np.sort(np.asarray(i_x), 1).tolist())
+    )

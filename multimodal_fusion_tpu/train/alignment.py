@@ -99,9 +99,13 @@ class MultiModalAlignmentTrainer:
         )
         self.tx = optax.multi_transform(
             {
+                # DECOUPLED AdamW like the reference's torch optim.AdamW
+                # (alignment/trainer.py:112): decay is added AFTER the Adam
+                # moment normalisation (the reversed order is Adam+L2, a
+                # different optimizer; optim.py's "adamw" matches this)
                 "train": optax.chain(
-                    optax.add_decayed_weights(weight_decay),
                     optax.scale_by_adam(),
+                    optax.add_decayed_weights(weight_decay),
                 ),
                 "freeze": optax.set_to_zero(),
             },
@@ -266,6 +270,16 @@ class MultiModalAlignmentTrainer:
         key = jax.random.key(seed)
 
         n = len(train_view)
+        if self.lambda2 != 0:
+            # fail loudly like the reference (alignment/trainer.py:305-306)
+            # instead of silently optimising a different objective
+            _, probe_neg = train_view.collate(np.arange(min(2, n)), 0)
+            if probe_neg is None:
+                raise RuntimeError(
+                    "Negative features not provided by dataset but "
+                    f"lambda2={self.lambda2} requests loss_IM — build the "
+                    "view with a mismatch pool or set lambda2=0"
+                )
         order = rng.permutation(n)
         pos_in_epoch = 0
         epoch = 0
@@ -439,8 +453,12 @@ class MultiModalAlignmentTrainer:
             state = self.state
         n = len(val_view)
         losses = []
-        max_batches = self.val_max_batches or max(1, n // batch_size)
-        for b in range(min(max_batches, max(1, n // batch_size))):
+        # ceil: the reference validates every loader batch incl. the partial
+        # tail (trainer.py:647-649); flooring dropped up to batch_size-1
+        # samples from the early-stop metric
+        n_batches = max(1, -(-n // batch_size))
+        max_batches = self.val_max_batches or n_batches
+        for b in range(min(max_batches, n_batches)):
             positions = np.arange(b * batch_size, min((b + 1) * batch_size, n))
             if len(positions) < 2:
                 continue

@@ -454,27 +454,67 @@ class SurvivalTrainer:
     def _windows_prefetched(self, dataset, indices: Sequence[int], G: int, depth: int = 2):
         """Producer-consumer wrapper over ``_windows``: the next windows'
         h5 reads + padding run on a background thread while the device
-        trains on the current one (order and results identical)."""
+        trains on the current one (order and results identical).
+
+        Abort-safety: if the consumer stops early (train_step raised, the
+        generator is closed), the producer's bounded-timeout put notices the
+        stop flag and exits — a plain blocking put would deadlock
+        ``ThreadPoolExecutor.__exit__`` on the full queue.  Producer
+        exceptions (h5 read errors mid-epoch) are re-raised in the consumer
+        instead of masquerading as a clean end-of-data."""
+        import queue as queue_mod
         from concurrent.futures import ThreadPoolExecutor
         from queue import Queue
 
         q: Queue = Queue(maxsize=depth)
         _SENTINEL = object()
+        stop = False
 
         def producer():
             try:
                 for item in self._windows(dataset, indices, G):
-                    q.put(item)
-            finally:
-                q.put(_SENTINEL)
+                    while True:
+                        if stop:
+                            return
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue_mod.Full:
+                            continue
+            except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+                item = ("__error__", e)
+                while not stop:
+                    try:
+                        q.put(item, timeout=0.1)
+                        return
+                    except queue_mod.Full:
+                        continue
+            else:
+                while not stop:
+                    try:
+                        q.put(_SENTINEL, timeout=0.1)
+                        return
+                    except queue_mod.Full:
+                        continue
 
         with ThreadPoolExecutor(max_workers=1) as pool:
             pool.submit(producer)
-            while True:
-                item = q.get()
-                if item is _SENTINEL:
-                    break
-                yield item
+            try:
+                while True:
+                    item = q.get()
+                    if item is _SENTINEL:
+                        break
+                    if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
+                        raise item[1]
+                    yield item
+            finally:
+                stop = True
+                # drain so a producer blocked in put() sees the flag promptly
+                while not q.empty():
+                    try:
+                        q.get_nowait()
+                    except queue_mod.Empty:
+                        break
 
     def _evaluate(
         self, dataset, indices, eval_step, params, rest, key,

@@ -40,6 +40,9 @@ class VAETrainer:
         min_lr: float = 1e-6,
         checkpoint_dir: Optional[str | Path] = None,
         scan_steps: int = 1,
+        plateau_threshold: float = 1e-4,
+        early_stop_patience: int = 10,
+        early_stop_min_delta: float = 1e-4,
     ):
         self.model = model
         self.graphdef, self.state = nnx.split(model)
@@ -53,6 +56,9 @@ class VAETrainer:
         self.min_lr = min_lr
         self.plateau_patience = plateau_patience
         self.plateau_factor = plateau_factor
+        self.plateau_threshold = plateau_threshold
+        self.early_stop_patience = early_stop_patience
+        self.early_stop_min_delta = early_stop_min_delta
         self._plateau_best = float("inf")
         self._plateau_count = 0
         self.lr_reduce_count = 0
@@ -240,8 +246,12 @@ class VAETrainer:
         return float(np.mean(np.asarray([np.asarray(l) for l in losses])))
 
     def plateau_step(self, val_loss: float) -> None:
-        """ReduceLROnPlateau(min) semantics + reduce-count tracking."""
-        if val_loss < self._plateau_best:
+        """ReduceLROnPlateau(min) semantics + reduce-count tracking.
+
+        Improvement uses torch's default rel threshold (1e-4): sub-threshold
+        noise-level drift must NOT reset the patience counter, or the LR is
+        never reduced and the resample/early-stop machinery never arms."""
+        if val_loss < self._plateau_best * (1.0 - self.plateau_threshold):
             self._plateau_best = val_loss
             self._plateau_count = 0
         else:
@@ -281,6 +291,11 @@ class VAETrainer:
                 "global_step": self.global_step,
                 "lr": self.lr,
                 "lr_reduce_count": self.lr_reduce_count,
+                # plateau tracker state: the reference checkpoints the full
+                # scheduler.state_dict (vae/train.py:267); without these a
+                # resumed run resets the patience window
+                "plateau_best": self._plateau_best,
+                "plateau_count": self._plateau_count,
             },
         )
         (self.checkpoint_dir / f"{tag}_history.json").write_text(json.dumps(self.history))
@@ -298,6 +313,8 @@ class VAETrainer:
         self.global_step = int(extras.get("global_step", 0))
         self.lr = float(extras.get("lr", self.base_lr))
         self.lr_reduce_count = int(extras.get("lr_reduce_count", 0))
+        self._plateau_best = float(extras.get("plateau_best", float("inf")))
+        self._plateau_count = int(extras.get("plateau_count", 0))
         hist_path = self.checkpoint_dir / f"{tag}_history.json"
         if hist_path.exists():
             self.history = json.loads(hist_path.read_text())
@@ -323,6 +340,7 @@ class VAETrainer:
         key = jax.random.key(seed)
         shuffle_rng = np.random.default_rng(seed)
         best_val = float("inf")
+        early_stop_counter = 0
         t0 = time.time()
         start = self.epoch
         table_train = table_val = None
@@ -345,17 +363,26 @@ class VAETrainer:
             if verbose:
                 print(f"epoch {epoch}: train={tr['loss']:.4f} val={val_loss:.4f} lr={self.lr:.2e}")
             self.save_checkpoint("latest")
-            if val_loss < best_val:
+            # reference early-stop semantics (vae/train.py:596-627):
+            # sufficient improvement (min_delta) saves best + resets the
+            # counter; otherwise the counter advances ONLY once the run is
+            # in its endgame (LR at floor OR >= 2 reductions), and training
+            # stops after early_stop_patience non-improving epochs — not
+            # instantly at the LR floor.
+            if val_loss < best_val - self.early_stop_min_delta:
                 best_val = val_loss
+                early_stop_counter = 0
                 self.save_checkpoint("best")
+            elif self.lr_at_floor or self.lr_reduce_count >= 2:
+                early_stop_counter += 1
+                if early_stop_counter >= self.early_stop_patience:
+                    break
             if resample and (epoch + 1) % self.resample_interval(epochs) == 0:
                 train_ds.resample_patches()
                 if device_data:
                     table_train = jnp.asarray(train_ds.materialize())
                     if val_ds is train_ds:  # shared dataset: val resamples too
                         table_val = table_train
-            if self.lr_at_floor and self.lr_reduce_count >= 2:
-                break
         nnx.update(self.model, self.state)
         return {"best_val_loss": best_val, "elapsed_s": time.time() - t0, "history": self.history}
 

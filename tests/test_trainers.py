@@ -594,3 +594,101 @@ def test_scan_windows_matches_sequential(surv_dataset, tmp_path):
     assert set(st0) == set(st2)
     for k in st0:
         np.testing.assert_allclose(st0[k], st2[k], rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_vae_resume_restores_plateau_state(tmp_path):
+    """The plateau tracker (_plateau_best/_plateau_count) must survive
+    checkpoint/resume — the reference restores scheduler.state_dict
+    (vae/train.py:267,293-294); resetting it delayed LR reductions by up to
+    patience+1 epochs on resume (review finding)."""
+    from multimodal_fusion_tpu.models.vae import VAE
+    from multimodal_fusion_tpu.train.vae import VAETrainer
+
+    model = VAE(input_dim=8, encoder_hidden=[8], decoder_hidden=[8],
+                latent_dim=4, rngs=nnx.Rngs(0))
+    tr = VAETrainer(model, checkpoint_dir=tmp_path)
+    tr.plateau_step(0.5)
+    tr.plateau_step(0.6)
+    tr.plateau_step(0.6)
+    assert tr._plateau_best == 0.5 and tr._plateau_count == 2
+    tr.save_checkpoint("latest")
+
+    tr2 = VAETrainer(model, checkpoint_dir=tmp_path)
+    assert tr2.resume("latest")
+    assert tr2._plateau_best == 0.5 and tr2._plateau_count == 2
+    # torch rel-threshold semantics: noise-level drift is NOT an improvement
+    tr2.plateau_step(0.5 - 1e-8)
+    assert tr2._plateau_count == 3
+
+
+def test_alignment_requires_negatives_for_loss_im(tmp_path):
+    """lambda2 != 0 without a negative pool must raise like the reference
+    (alignment/trainer.py:305-306), not silently optimise a different
+    objective (review finding)."""
+    import pytest
+
+    from multimodal_fusion_tpu.data.alignment import TMANpzAlignedWithNegDataset
+    from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
+    from multimodal_fusion_tpu.train.alignment import MultiModalAlignmentTrainer
+
+    markers = ("cd3", "cd8")
+    make_alignment_npz_fixtures(
+        tmp_path, n_cores=6, patches_per_core=1, feature_dim=8, markers=markers
+    )
+    ds = TMANpzAlignedWithNegDataset(
+        tmp_path, list(markers), filename_template="{marker}.npz",
+        mismatch_ratio=0.0,
+    )  # empty negative pool
+    model = MultiModalAlignmentModel(list(markers), feature_dim=8, num_layers=1,
+                                     rngs=nnx.Rngs(0))
+    trainer = MultiModalAlignmentTrainer(model, lambda2=0.1)
+    with pytest.raises(RuntimeError, match="Negative features"):
+        trainer.train(ds, ds, max_steps=2, batch_size=4)
+
+
+def test_prefetched_windows_error_and_abort(tmp_path):
+    """Producer h5/read errors must REACH the consumer (a swallowed error
+    silently truncated the epoch), and closing the generator mid-epoch must
+    not deadlock the producer on a full queue (review findings)."""
+    import time as _time
+
+    from multimodal_fusion_tpu.config import Configs, ExperimentConfig, ModelConfig
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    mc = ModelConfig(
+        model_type="mil", n_classes=2, input_dim=8, model_size="8*4",
+        output_dim=8, channels_used_in_model=["wsi=features"],
+    )
+    ec = ExperimentConfig(exp_name="pf", seed=0, k_folds=2, max_epochs=1,
+                          batch_size=2, lr=1e-3)
+    tr = SurvivalTrainer(Configs(experiment_config=ec, model_config=mc), tmp_path)
+
+    class FakeDataset:
+        case_ids = [f"c{i}" for i in range(12)]
+        has_survival_time = False
+
+        def __init__(self, fail_at=None):
+            self.fail_at = fail_at
+            self.calls = 0
+
+        def get_case(self, cid):
+            self.calls += 1
+            if self.fail_at is not None and self.calls >= self.fail_at:
+                raise OSError("h5 read failed")
+            rng = np.random.default_rng(0)
+            return {"wsi=features": rng.standard_normal((4, 8)).astype(np.float32)}, 0
+
+    # error propagation
+    ds = FakeDataset(fail_at=5)
+    gen = tr._windows_prefetched(ds, list(range(12)), G=2)
+    with np.testing.assert_raises(OSError):
+        for _ in gen:
+            pass
+
+    # abort without deadlock: consume one window, close, must return fast
+    ds2 = FakeDataset()
+    gen2 = tr._windows_prefetched(ds2, list(range(12)), G=2)
+    next(gen2)
+    t0 = _time.time()
+    gen2.close()
+    assert _time.time() - t0 < 5.0

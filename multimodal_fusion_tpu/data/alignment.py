@@ -43,11 +43,14 @@ class TMANpzAlignedDataset:
         self.align_mode = align_mode
 
         self.npz: Dict[str, np.lib.npyio.NpzFile] = {}
+        self._core_cache: Dict[Tuple[str, str], np.ndarray] = {}
         self.norm_to_raw: Dict[str, Dict[Tuple[int, int, int, str], str]] = {}
         norm_sets = {}
+        missing_files = []
         for mod in self.modality_names:
             path = self.base_dir / filename_template.format(marker=mod)
             if not path.exists():
+                missing_files.append((mod, path))
                 continue
             f = np.load(path, allow_pickle=True, mmap_mode="r")
             self.npz[mod] = f
@@ -60,6 +63,19 @@ class TMANpzAlignedDataset:
             norm_sets[mod] = set(mapping)
         if not norm_sets:
             raise RuntimeError("no usable NPZ files / keys found")
+        if missing_files:
+            # the reference warns per missing file (alignment_dataset.py);
+            # in intersection mode a fully absent modality would silently
+            # train on all-zero features for that marker — fail instead
+            import warnings
+
+            desc = ", ".join(f"{m} ({p})" for m, p in missing_files)
+            if align_mode == "intersection":
+                raise FileNotFoundError(
+                    f"missing modality NPZ file(s) in intersection mode: {desc}"
+                )
+            warnings.warn(f"missing modality NPZ file(s), zero-filled: {desc}",
+                          stacklevel=2)
 
         if align_mode == "intersection":
             core_keys = set.intersection(*norm_sets.values())
@@ -94,15 +110,37 @@ class TMANpzAlignedDataset:
     def __len__(self) -> int:
         return len(self.normalized_keys)
 
+    def _core_array(self, mod: str, raw: str) -> np.ndarray:
+        """Per-(modality, core) array with a small FIFO cache: np.load's
+        mmap_mode is a no-op for compressed .npz members, so an uncached
+        ``self.npz[mod][raw]`` decompresses the WHOLE [P, D] core to read one
+        patch row — O(P^2) rows per core across a collate/device_tables
+        sweep."""
+        cache_key = (mod, raw)
+        arr = self._core_cache.get(cache_key)
+        if arr is None:
+            arr = np.asarray(self.npz[mod][raw])
+            if len(self._core_cache) >= 256:
+                self._core_cache.pop(next(iter(self._core_cache)))
+            self._core_cache[cache_key] = arr
+        return arr
+
     def _fetch(self, mod: str, key: Key) -> np.ndarray:
         raw = self.norm_to_raw.get(mod, {}).get(key[:4])
         if raw is None:
             return np.zeros((self.feature_dim,), np.float32)  # union-mode fill
-        arr = self.npz[mod][raw]
+        arr = self._core_array(mod, raw)
         if arr.ndim == 1:
             return np.asarray(arr, np.float32)
-        idx = min(key[4], arr.shape[0] - 1)
-        return np.asarray(arr[idx], np.float32)
+        if key[4] >= arr.shape[0]:
+            # the reference raises here (alignment_dataset.py patch_id range
+            # check); clamping would silently pair MISALIGNED patches when
+            # modalities disagree on per-core patch counts
+            raise ValueError(
+                f"patch_id {key[4]} out of range for modality '{mod}' core "
+                f"{key[:4]} with {arr.shape[0]} patches"
+            )
+        return np.asarray(arr[key[4]], np.float32)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         key = self.normalized_keys[index]
@@ -258,6 +296,11 @@ class AlignedSubsetView:
     def __init__(self, parent: TMANpzAlignedWithNegDataset, indices: List[int], mismatch_ratio: float, seed: int):
         self.parent = parent
         self.indices = list(indices)
+        if not self.indices:
+            raise ValueError(
+                "split group matched zero keys — check the split ids/id_type "
+                "against the dataset's normalized keys"
+            )
         self.mismatch_ratio = mismatch_ratio
         total = max(len(self.indices), 1)
         n_pool = max(int(np.ceil(total * max(0.0, mismatch_ratio))), 1)

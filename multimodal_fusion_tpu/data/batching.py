@@ -21,12 +21,21 @@ Case = Dict  # {'channels': {...}, 'masks': {...}, 'label': int}
 
 def is_bag_channel(channel: str) -> bool:
     """Bag channels have a variable instance axis (wsi/tma features and
-    hypergraph node sets); tabular channels are fixed [1, D]."""
+    hypergraph node sets); tabular channels are fixed [1, D].  ``aligned_<ch>``
+    entries (dataset-level alignment, data/multimodal.py:_load_case) share
+    their base channel's instance axis and must pad with it — skipping them
+    broke window stacking on ragged TMA counts."""
+    if channel.startswith("aligned_"):
+        channel = channel[len("aligned_"):]
     return (
         channel.startswith("wsi=")
         or channel.startswith("tma=")
         or channel
-        in ("hypergraph=wsi_super_features", "hypergraph=tma_features")
+        in (
+            "hypergraph=wsi_super_features",
+            "hypergraph=tma_features",
+            "hypergraph=group_labels",
+        )
     )
 
 
@@ -60,12 +69,17 @@ def pad_case(
     n_super = raw.get("hypergraph=wsi_super_features", np.zeros((0, 1))).shape[0]
     n_tma_hg = raw.get("hypergraph=tma_features", np.zeros((0, 1))).shape[0]
     for ch, arr in raw.items():
-        if ch == "hypergraph=edge_index":
-            continue  # handled below
+        if ch in ("hypergraph=edge_index", "hypergraph=edge_weights"):
+            continue  # handled below (mapped into the padded hyperedge space)
         if is_bag_channel(ch):
             n = arr.shape[0]
             n_pad = bag_sizes[ch]
-            out = np.zeros((n_pad,) + arr.shape[1:], np.float32)
+            # integer bags (hypergraph=group_labels) keep their dtype and pad
+            # with -1 (an impossible group id); float bags pad with 0 + mask
+            if arr.dtype.kind in "iu":
+                out = np.full((n_pad,) + arr.shape[1:], -1, arr.dtype)
+            else:
+                out = np.zeros((n_pad,) + arr.shape[1:], np.float32)
             out[:n] = arr
             channels[ch] = out
             m = np.zeros((n_pad,), bool)
@@ -86,6 +100,24 @@ def pad_case(
                 sel = ei[row] >= n_super
                 ei[row][sel] = ei[row][sel] - n_super + ns_pad
         channels["hypergraph=incidence"] = edge_index_to_incidence(ei, total_pad, total_pad)
+        if "hypergraph=edge_weights" in raw:
+            # h5 weights are per PAIR [(node, hyperedge)]; HypergraphConv's W
+            # is per HYPEREDGE [E_pad = total_pad] — scatter-mean the pair
+            # weights onto their hyperedge id, 1.0 for hyperedges with no
+            # pairs (models/hypergraph_fusion.py:29, review finding: the raw
+            # ragged [E_pairs] vector broke both the conv shape contract and
+            # window stacking)
+            w_pairs = np.asarray(raw["hypergraph=edge_weights"], np.float32).reshape(-1)
+            w_edge = np.ones((total_pad,), np.float32)
+            if ei.size and w_pairs.size == ei.shape[1]:
+                dst = np.clip(ei[1], 0, total_pad - 1)
+                sums = np.zeros((total_pad,), np.float32)
+                cnts = np.zeros((total_pad,), np.float32)
+                np.add.at(sums, dst, w_pairs)
+                np.add.at(cnts, dst, 1.0)
+                nz = cnts > 0
+                w_edge[nz] = sums[nz] / cnts[nz]
+            channels["hypergraph=edge_weights"] = w_edge
     return {"channels": channels, "masks": masks, "label": np.int32(label)}
 
 

@@ -118,7 +118,12 @@ class MultimodalDataset:
         if channel.startswith("hypergraph="):
             key = channel.replace("hypergraph=", "")
             if key not in HYPERGRAPH_KEY_PATHS:
-                return False
+                # a typo'd key would otherwise silently filter EVERY case
+                # into an empty dataset
+                raise ValueError(
+                    f"unknown hypergraph channel {channel!r}; valid keys: "
+                    f"{sorted(HYPERGRAPH_KEY_PATHS)}"
+                )
             path, fallback = HYPERGRAPH_KEY_PATHS[key]
             if path in f:
                 return True
@@ -163,11 +168,20 @@ class MultimodalDataset:
         elif fallback is not None and fallback in f:
             data = np.asarray(f[fallback])
         elif key == "edge_weights":
-            return None
+            # optional channel missing in this file: empty marker — batching
+            # substitutes unit hyperedge weights, keeping presence UNIFORM
+            # across the window (a dropped key broke window stacking)
+            return np.zeros((0,), np.float32)
         else:
             raise KeyError(f"missing hypergraph channel {channel}")
         if key == "edge_index":
             return data.astype(np.int64)
+        if key == "edge_weights":
+            # per-pair weights, 1-D; batching maps them into the padded
+            # hyperedge space (_standardize would corrupt to [1, E] f32)
+            return np.asarray(data, np.float32).reshape(-1)
+        if key == "group_labels":
+            return np.asarray(data, np.int64).reshape(-1)
         return _standardize(data)
 
     def _load_case(self, case_id: str) -> Tuple[RawCase, int]:

@@ -92,9 +92,12 @@ def read_h5_retrying(
             try:
                 with h5py.File(path, "r") as f:
                     return fn(f)
+            except FileNotFoundError:  # not transient — no point retrying
+                raise
             except OSError as e:  # pragma: no cover - transient-IO path
                 last_err = e
-        time.sleep(backoff * (2**attempt) * (1 + random.random()))
+        if attempt + 1 < retries:  # no dead sleep after the final attempt
+            time.sleep(backoff * (2**attempt) * (1 + random.random()))
     raise OSError(f"failed to read {path} after {retries} attempts: {last_err}")
 
 
@@ -117,6 +120,10 @@ def open_h5_retrying(
         with _lock_for(path):
             try:
                 f = h5py.File(path, mode)
+            except FileNotFoundError:
+                if mode == "r":
+                    raise  # read of a missing file is not transient
+                last_err = FileNotFoundError(path)
             except OSError as e:  # pragma: no cover - transient-IO path
                 last_err = e
             else:
@@ -125,7 +132,8 @@ def open_h5_retrying(
                 finally:
                     f.close()
                 return
-        time.sleep(backoff * (2**attempt) * (1 + random.random()))
+        if attempt + 1 < retries:
+            time.sleep(backoff * (2**attempt) * (1 + random.random()))
     raise OSError(f"failed to open {path} after {retries} attempts: {last_err}")
 
 
@@ -143,10 +151,7 @@ def read_channel(
 
 
 def has_channel(h5_path: str | Path, channel: str) -> bool:
-    path = str(h5_path)
-    with _lock_for(path):
-        with h5py.File(path, "r") as f:
-            return h5_path_for_channel(channel) in f
+    return read_h5_retrying(h5_path, lambda f: h5_path_for_channel(channel) in f)
 
 
 def write_channel(
@@ -188,9 +193,7 @@ class PatientH5:
             if isinstance(obj, h5py.Dataset):
                 out[name] = obj.shape
 
-        with _lock_for(str(self.path)):
-            with h5py.File(self.path, "r") as f:
-                f.visititems(visit)
+        read_h5_retrying(self.path, lambda f: f.visititems(visit))
         return out
 
 
@@ -241,23 +244,24 @@ def write_hypergraph_group(
 def read_hypergraph_group(
     h5_path: str | Path, keys: Optional[Iterable[str]] = None
 ) -> Dict[str, np.ndarray]:
-    """Read the ``hypergraph/`` group (all keys present, or a subset)."""
-    path = str(h5_path)
-    out: Dict[str, np.ndarray] = {}
-    with _lock_for(path):
-        with h5py.File(path, "r") as f:
-            if "hypergraph" not in f:
-                raise KeyError(f"no hypergraph group in {path}")
-            grp = f["hypergraph"]
-            if keys is None:
-                def visit(name, obj):
-                    if isinstance(obj, h5py.Dataset):
-                        out[name] = np.asarray(obj)
-                grp.visititems(visit)
-            else:
-                for key in keys:
-                    if key in grp:
-                        out[key] = np.asarray(grp[key])
-            if "stats" in grp.attrs:
-                out["__stats__"] = json.loads(grp.attrs["stats"])
-    return out
+    """Read the ``hypergraph/`` group (all keys present, or a subset),
+    through the module's retry layer like every other read path."""
+    def read(f) -> Dict[str, np.ndarray]:
+        out: Dict[str, np.ndarray] = {}
+        if "hypergraph" not in f:
+            raise KeyError(f"no hypergraph group in {h5_path}")
+        grp = f["hypergraph"]
+        if keys is None:
+            def visit(name, obj):
+                if isinstance(obj, h5py.Dataset):
+                    out[name] = np.asarray(obj)
+            grp.visititems(visit)
+        else:
+            for key in keys:
+                if key in grp:
+                    out[key] = np.asarray(grp[key])
+        if "stats" in grp.attrs:
+            out["__stats__"] = json.loads(grp.attrs["stats"])
+        return out
+
+    return read_h5_retrying(h5_path, read)

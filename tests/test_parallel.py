@@ -492,3 +492,89 @@ def test_multihost_two_process_gang():
     out = launch(num_processes=2, timeout=540)
     assert "multihost OK proc 0/2" in out
     assert "multihost OK proc 1/2" in out
+
+
+def test_pad_case_edge_weights_and_aligned_and_group_labels():
+    """Review-finding regressions in the batching layer:
+    - per-pair h5 edge_weights map into the padded HYPEREDGE space
+      ([total_pad], scatter-mean, 1.0 for hyperedges without pairs) so the
+      HypergraphConv shape contract holds and windows stack;
+    - aligned_<ch> entries pad with their base bag channel (ragged TMA
+      counts previously crashed np.stack);
+    - hypergraph=group_labels keeps an integer dtype, padded with -1."""
+    from multimodal_fusion_tpu.data.batching import (
+        pad_case,
+        stack_window,
+        window_bag_sizes,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def make_raw(n_tma):
+        return {
+            "tma=cd3=features": rng.standard_normal((n_tma, 8)).astype(np.float32),
+            "aligned_tma=cd3=features": rng.standard_normal((n_tma, 8)).astype(np.float32),
+            "hypergraph=wsi_super_features": rng.standard_normal((4, 8)).astype(np.float32),
+            "hypergraph=group_labels": np.arange(4, dtype=np.int64),
+            "hypergraph=edge_index": np.array([[0, 1, 2], [1, 1, 3]], np.int64),
+            "hypergraph=edge_weights": np.array([0.2, 0.4, 0.8], np.float32),
+        }
+
+    raws = [make_raw(3), make_raw(5)]
+    sizes = window_bag_sizes(raws)
+    assert sizes["aligned_tma=cd3=features"] == sizes["tma=cd3=features"]
+    cases = [pad_case(r, 0, sizes) for r in raws]
+    window = stack_window(cases)  # raggedness must not break stacking
+
+    ch = cases[0]["channels"]
+    total_pad = ch["hypergraph=incidence"].shape[1]
+    w = ch["hypergraph=edge_weights"]
+    assert w.shape == (total_pad,)
+    np.testing.assert_allclose(w[1], (0.2 + 0.4) / 2)  # scatter-mean on edge 1
+    np.testing.assert_allclose(w[3], 0.8)
+    assert (w[[0, 2]] == 1.0).all()  # edges without pairs default to 1
+
+    gl = ch["hypergraph=group_labels"]
+    assert gl.dtype == np.int64
+    assert gl.shape[0] == sizes["hypergraph=group_labels"]
+    np.testing.assert_array_equal(gl[:4], np.arange(4))
+    assert (gl[4:] == -1).all()
+    assert "aligned_tma=cd3=features" in cases[0]["masks"]
+    assert window["channels"]["aligned_tma=cd3=features"].shape == (
+        2, sizes["aligned_tma=cd3=features"], 8
+    )
+
+    # model consumes the mapped weights end-to-end
+    from multimodal_fusion_tpu.config import ModelConfig
+    from multimodal_fusion_tpu.models.factory import ModelFactory
+
+    cfg = ModelConfig(
+        model_type="cust_omics", n_classes=2, input_dim=8, model_size="8*4",
+        output_dim=8,
+        channels_used_in_model=[
+            "hypergraph=wsi_super_features", "hypergraph=incidence",
+            "hypergraph=edge_weights",
+        ],
+    )
+    m = ModelFactory.create_model(cfg, seed=0)
+    res = m(
+        {"channels": ch, "masks": cases[0]["masks"]},
+        jnp.asarray(0), train=False,
+    )
+    assert np.isfinite(np.asarray(res["probabilities"])).all()
+
+
+def test_unknown_hypergraph_channel_raises(tmp_path):
+    """A typo'd hypergraph= key must raise, not silently filter every case
+    into an empty dataset (review finding)."""
+    import pytest
+
+    from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
+    from multimodal_fusion_tpu.io.fixtures import make_synthetic_dataset
+
+    csv_path = make_synthetic_dataset(
+        tmp_path, n_patients=2, seed=0, min_wsi_patches=4, max_wsi_patches=6,
+        feature_dim=8,
+    )
+    with pytest.raises(ValueError, match="unknown hypergraph channel"):
+        MultimodalDataset(csv_path, tmp_path, channels=["hypergraph=edge_idx"])

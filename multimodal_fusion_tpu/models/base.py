@@ -104,6 +104,11 @@ def process_case(case: Case, channels_used_in_model) -> tuple:
 
 
 class BaseModel(nnx.Module):
+    # True only for models that IMPLEMENT inference-time modality dropout
+    # (the detach family); consulted by the trainer's eval gate so a
+    # requested drop_prob is never silently ignored
+    supports_drop_prob = False
+
     def __init__(self, config: ModelConfig, rngs: nnx.Rngs):
         self.config = config
         self.input_dim = config.input_dim

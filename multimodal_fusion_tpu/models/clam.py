@@ -50,7 +50,11 @@ class ClamAttentionCore(nnx.Module):
         self.fc = torch_linear(size[0], size[1], rngs)
         self.dropout_rate = config.dropout
         attn_cls = AttnNetGated if config.get("gate", True) else AttnNet
-        self.attn = attn_cls(size[1], size[2], n_attn, config.dropout, rngs)
+        # the reference HARDCODES Dropout(0.25) inside Attn_Net(_Gated)
+        # whenever dropout is truthy (clam_mlp.py:16,36-38) — the configured
+        # rate applies only to the fc stack above
+        attn_rate = 0.25 if config.dropout else 0.0
+        self.attn = attn_cls(size[1], size[2], n_attn, attn_rate, rngs)
 
     def __call__(
         self, x: jax.Array, *, key: Optional[jax.Array] = None, train: bool = False
@@ -72,6 +76,7 @@ def clam_instance_loss(
     inst_number: int,
     n_classes: int,
     subtyping: bool,
+    subtyping_divisor: Optional[int] = None,
 ) -> jax.Array:
     """Top-k/bottom-k instance clustering loss.
 
@@ -106,7 +111,11 @@ def clam_instance_loss(
             out_loss = jnp.asarray(0.0)
         total = total + jnp.where(onehot[i] == 1, in_loss, out_loss)
     if subtyping:
-        total = total / len(classifiers)
+        # CLAM divides by its n_classes instance classifiers (clam.py:274);
+        # the ClamMLP family divides by len(instance_classifiers) = the
+        # NUMBER OF BAG CHANNELS (clam_mlp.py:315-316, a ModuleDict of
+        # one-element lists) — callers pass that via subtyping_divisor
+        total = total / (subtyping_divisor or len(classifiers))
     return total
 
 
@@ -149,10 +158,23 @@ class MILFC(BaseModel):
         h = dropout(h, self.dropout_rate, k1, train)
         logits = self.classifier(h)  # [N, C]
         y_probs = masked_softmax(logits, None, axis=1)
-        pos = jnp.where(mask, y_probs[:, 1], -jnp.inf)
-        top_idx = jnp.argmax(pos)
-        selected_logits = logits[top_idx][None, :]
-        probs, preds = self.classify(selected_logits)
+        if self.n_classes == 2:
+            # binary: instance with the highest positive-class probability
+            # (reference mil.py:100-103)
+            pos = jnp.where(mask, y_probs[:, 1], -jnp.inf)
+            top_idx = jnp.argmax(pos)
+            selected_logits = logits[top_idx][None, :]
+            probs, preds = self.classify(selected_logits)
+        else:
+            # multiclass: the (instance, class) pair with the highest
+            # probability anywhere; Y_hat is that CLASS (reference
+            # mil.py:105-110 — m // C selects the instance, m % C the class)
+            flat = jnp.where(mask[:, None], y_probs, -jnp.inf).reshape(-1)
+            m = jnp.argmax(flat)
+            top_idx = m // self.n_classes
+            selected_logits = logits[top_idx][None, :]
+            probs = y_probs[top_idx][None, :]
+            preds = (m % self.n_classes)[None]
         return self.make_result(selected_logits, probs, preds)
 
 

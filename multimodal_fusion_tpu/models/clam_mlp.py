@@ -72,11 +72,20 @@ class ClamMLP(BaseModel):
         self.clam_branches = nnx.Dict({ch: ClamBranch(config, rngs) for ch in CLAM_CHANNELS})
 
         # Tabular transfer layers, statically shaped.  hypergraph= channels
-        # are consumed by the hypergraph network (CustOmics), not as tabular.
+        # are consumed by the hypergraph network (CustOmics), not by this
+        # trunk — reject them at construction (they'd otherwise surface as a
+        # bare KeyError deep inside jit, and fusion_fc1 would be sized for a
+        # modality that never materialises).
+        hg = [ch for ch in self.used_modality if ch.startswith("hypergraph=")]
+        if hg and not getattr(self, "consumes_hypergraph", False):
+            raise ValueError(
+                f"{type(self).__name__} does not consume hypergraph channels "
+                f"{hg}; use model_type=cust_omics for hypergraph inputs"
+            )
         self.transfer_layers = nnx.Dict()
         for ch in self.used_modality:
             if ch in CLAM_CHANNELS or ch.startswith("hypergraph="):
-                continue
+                continue  # hypergraph channels feed CustOmics' own network
             in_dim = config.channel_input_dims.get(ch)
             if in_dim is None:
                 raise ValueError(
@@ -124,6 +133,7 @@ class ClamMLP(BaseModel):
             out["total_inst_loss"] = clam_instance_loss(
                 A_raw, h, mask, label, branch.instance_classifiers,
                 self.inst_number, self.n_classes, self.subtyping,
+                subtyping_divisor=len(self.clam_branches),
             )
         out["clam_loss"] = self.clam_loss(logits, label, out)
         return out

@@ -161,6 +161,7 @@ class HypergraphNetwork(nnx.Module):
 
 
 class CustOmics(ClamMLP):
+    consumes_hypergraph = True  # the one trunk that does (see ClamMLP init)
     def __init__(self, config: ModelConfig, rngs: nnx.Rngs):
         super().__init__(config, rngs)
         self.modality_order = sorted(self.used_modality)

@@ -171,9 +171,10 @@ class SVDGateRandomClam(ClamMLP):
         train: bool = False,
         drop_prob: Optional[float] = None,
     ) -> Result:
-        k_branch, k_gate, k_rand, k_drop = split_keys(key, 4)
+        k_branch, k_gate, k_rand, k_drop, k_ds = split_keys(key, 5)
         features, aux = self.compute_branch_features(case, label, key=k_branch, train=train)
-        aux.update(self._deep_supervise(features, label))
+        features, ds_out = self._deep_supervise(features, label, key=k_ds, train=train)
+        aux.update(ds_out)
 
         if self.enable_svd:
             if self.return_svd_features:
@@ -200,9 +201,10 @@ class SVDGateRandomClam(ClamMLP):
         aux["Y_hat"] = preds
         return self.make_result(logits, probs, preds, **aux)
 
-    def _deep_supervise(self, features, label) -> Result:
-        """Overridden by the deep-supervise subclass."""
-        return {}
+    def _deep_supervise(self, features, label, *, key=None, train=False):
+        """Overridden by the deep-supervise subclasses; returns (features,
+        aux) so the detach variant can detach AFTER its heads ran."""
+        return features, {}
 
     # ------------------------------------------------------------------
 
@@ -238,6 +240,12 @@ class SVDGateRandomClamDetach(SVDGateRandomClam):
     """Detached CLAM features; fusion head trained on stop-gradient features;
     inference-time random modality zeroing via ``drop_prob``
     (reference svd_gate_random_clam_detach.py:8-140)."""
+
+    # only the detach family implements inference-time modality zeroing —
+    # the base class ignores the argument (reference non-detach forwards
+    # don't even accept it), and the trainer must not silently no-op a
+    # requested robustness sweep (train/survival.py eval gate)
+    supports_drop_prob = True
 
     def compute_branch_features(self, case, label, *, key=None, train=False):
         features, aux = super().compute_branch_features(case, label, key=key, train=train)
@@ -319,16 +327,18 @@ class DeepSuperviseSVDGateRandomClam(SVDGateRandomClam):
             for ch in self.used_modality
         })
 
-    def _deep_supervise(self, features, label) -> Result:
+    def _deep_supervise(self, features, label, *, key=None, train=False):
         out: Result = {}
         labels = jnp.asarray(label)[None]
-        for ch in self.used_modality:
-            if ch in CLAM_CHANNELS:
-                continue  # reference applies heads on tabular branches only
-            logits = self.ds_classifiers[ch](features[ch])
+        tab = [ch for ch in self.used_modality if ch not in CLAM_CHANNELS]
+        keys = split_keys(key, len(tab))
+        for ch, kk in zip(tab, keys):
+            # key/train reach the head: its Dropout is ACTIVE in training
+            # like the reference's ClassifierCreator nn.Dropout
+            logits = self.ds_classifiers[ch](features[ch], key=kk, train=train)
             out[f"{ch}_logits"] = logits
             out[f"{ch}_logits_loss"] = cross_entropy(logits, labels)
-        return out
+        return features, out
 
 
 class DeepSuperviseSVDGateRandomClamDetach(
@@ -336,6 +346,16 @@ class DeepSuperviseSVDGateRandomClamDetach(
 ):
     """Detach variant (reference deep_supervise_svd_gate_random_detach.py)."""
 
-    def _deep_supervise(self, features, label) -> Result:
-        detached = {k: jax.lax.stop_gradient(v) for k, v in features.items()}
-        return DeepSuperviseSVDGateRandomClam._deep_supervise(self, detached, label)
+    def _deep_supervise(self, features, label, *, key=None, train=False):
+        # Reference gradient flow (deep_supervise_svd_gate_random_detach.py
+        # :58-61): the head sees LIVE tabular features — its loss trains the
+        # transfer layers — and only THEN are the tabular features detached
+        # for every downstream consumer (alignment/gate/fusion).
+        features, out = DeepSuperviseSVDGateRandomClam._deep_supervise(
+            self, features, label, key=key, train=train
+        )
+        features = {
+            ch: v if ch in CLAM_CHANNELS else jax.lax.stop_gradient(v)
+            for ch, v in features.items()
+        }
+        return features, out

@@ -19,7 +19,6 @@ TPU-native execution:
 
 from __future__ import annotations
 
-import inspect
 import json
 import time
 from functools import partial
@@ -222,7 +221,7 @@ class SurvivalTrainer:
     def _build_model(self, fold_idx: int):
         model = ModelFactory.create_model(self.configs.model_config, seed=self.exp.seed + fold_idx)
         graphdef, params, rest = nnx.split(model, nnx.Param, ...)
-        self._supports_drop_prob = "drop_prob" in inspect.signature(model.__call__).parameters
+        self._supports_drop_prob = getattr(model, "supports_drop_prob", False)
         return model, graphdef, params, rest
 
     def _window_update_fn(self, model, graphdef, tx):
@@ -335,6 +334,14 @@ class SurvivalTrainer:
         return step_dev, steps_dev_scanned
 
     def _make_eval_step(self, model, graphdef, drop_prob: Optional[float] = None):
+        if drop_prob is not None and not self._supports_drop_prob:
+            # fail loudly like the reference (its non-detach forwards have no
+            # drop_prob parameter, so passing one raises TypeError) — a
+            # silent no-op would report fake perfect robustness sweeps
+            raise ValueError(
+                f"{type(model).__name__} does not support inference-time "
+                "modality dropout (drop_prob); use a *_detach variant"
+            )
         use_drop = drop_prob is not None and self._supports_drop_prob
         # Opt-in bf16 inference (model_config.compute_dtype="bfloat16"):
         # parameters and floating inputs cast to bf16, so the trunk matmuls

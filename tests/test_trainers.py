@@ -65,9 +65,14 @@ def test_survival_train_fold(surv_dataset, tmp_path):
     fold_json = json.loads((tmp_path / "run" / "fold_0_summary.json").read_text())
     assert "patient_results" in fold_json
 
-    # eval-only path with modality dropout
-    res = trainer.evaluate_fold(surv_dataset, splits[0], 0, drop_prob=0.5)
+    # eval-only path
+    res = trainer.evaluate_fold(surv_dataset, splits[0], 0)
     assert "auc" in res and len(res["probs"]) == len(splits[0].test_idx)
+    # modality dropout on the NON-detach flagship must fail loudly (the old
+    # silent no-op faked robustness results — review finding); the detach
+    # family is the drop_prob surface (test_robustness_sweep_and_plot)
+    with pytest.raises(ValueError, match="does not support inference-time"):
+        trainer.evaluate_fold(surv_dataset, splits[0], 0, drop_prob=0.5)
 
 
 def test_survival_device_data_matches_host(surv_dataset, tmp_path):

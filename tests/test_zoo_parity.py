@@ -506,3 +506,146 @@ def test_mfmf_cross_attention_parity():
         mine(jnp.asarray(q), jnp.asarray(kv_pad), jnp.asarray(mask), train=False)
     )
     np.testing.assert_allclose(got_masked, want, rtol=1e-4, atol=1e-5)
+
+
+def test_subtyping_inst_loss_divisor_parity(tmp_path):
+    """ClamMLP-family subtyping divides total_inst_loss by the NUMBER OF BAG
+    CHANNELS (reference clam_mlp.py:315-316), not by the per-branch
+    classifier count (review finding: ours was 2x the reference)."""
+    from models.clam_mlp import ClamMLP as RefModel
+
+    from multimodal_fusion_tpu.config import ModelConfig
+    from multimodal_fusion_tpu.models.factory import ModelFactory
+
+    cfg = _base_config("clam_mlp", subtyping=True)
+    torch.manual_seed(0)
+    ref = RefModel(cfg)
+    ref.eval()
+    data, label = _torch_inputs()
+    with torch.no_grad():
+        ref(data, label)  # lazy layers
+    mcfg = ModelConfig.from_dict({**cfg, "channel_input_dims": {"clinical=val": TAB}})
+    mine = ModelFactory.create_model(mcfg, seed=0)
+    transplant_clam_mlp_base(ref, mine)
+    _set_linear(mine.fusion_fc1, ref.fusion_prediction[0])
+    _set_linear(mine.fusion_fc2, ref.fusion_prediction[1])
+    with torch.no_grad():
+        ref_out = ref(data, label)
+    out = mine(_jax_case(data), jnp.asarray(1), train=False)
+    for ch in ("wsi=features", "tma=features"):
+        np.testing.assert_allclose(
+            np.asarray(out[f"{ch}_total_inst_loss"]),
+            ref_out[f"{ch}_total_inst_loss"].numpy(),
+            rtol=1e-4, atol=1e-5, err_msg=ch,
+        )
+
+
+def test_milfc_multiclass_selection_parity():
+    """MILFC n_classes=3: the reference's WORKING multiclass branch selects
+    the global-max (instance, class) pair and predicts the CLASS
+    (mil.py:105-110); the binary top-instance rule is wrong there."""
+    from models.mil import MIL_fc as RefModel
+
+    from multimodal_fusion_tpu.config import ModelConfig
+    from multimodal_fusion_tpu.models.factory import ModelFactory
+
+    cfg = _base_config("mil")
+    cfg["n_classes"] = 3
+    cfg["channels_used_in_model"] = ["wsi=features"]
+    torch.manual_seed(1)
+    ref = RefModel(cfg)
+    ref.eval()
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((1, 12, D_IN)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref({"wsi=features": torch.tensor(x)}, torch.tensor([1]))
+
+    mine = ModelFactory.create_model(ModelConfig.from_dict(cfg), seed=0)
+    _set_linear(mine.fc, ref.fc[0])
+    _set_linear(mine.classifier, ref.classifier)
+    case = {"channels": {"wsi=features": jnp.asarray(x[0])},
+            "masks": {"wsi=features": jnp.ones(12, bool)}}
+    out = mine(case, jnp.asarray(1), train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), ref_out["logits"].numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["probabilities"]), ref_out["probabilities"].numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
+    assert int(np.asarray(out["predictions"]).reshape(())) == int(
+        ref_out["predictions"].view(-1)[0]
+    )
+
+
+def test_deep_supervise_detach_gradient_flow():
+    """Reference DS-detach (deep_supervise_svd_gate_random_detach.py:58-61):
+    the deep-supervise head trains the LIVE tabular transfer layer; only
+    downstream consumers see detached tabular features.  Review finding: we
+    had it exactly backwards (head detached, downstream live)."""
+    import jax
+
+    from multimodal_fusion_tpu.config import ModelConfig
+    from multimodal_fusion_tpu.models.factory import ModelFactory
+    from flax import nnx
+
+    cfg = ModelConfig.from_dict({
+        **_base_config("deep_supervise_svd_gate_random_detach"),
+        "channel_input_dims": {"clinical=val": TAB},
+        "enable_svd": False, "enable_dynamic_gate": False,
+        "enable_random_loss": False,
+    })
+    model = ModelFactory.create_model(cfg, seed=0)
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    data, _ = _torch_inputs()
+    case = _jax_case(data)
+
+    def loss_of(key_name):
+        def f(params):
+            m = nnx.merge(graphdef, params, rest)
+            res = m(case, jnp.asarray(1), train=False)
+            return jnp.sum(res[key_name])
+        return jax.grad(f)
+
+    def transfer_grad_norm(grads):
+        leaf = grads["transfer_layers"]["clinical=val"]["kernel"].value
+        return float(jnp.abs(leaf).sum())
+
+    # DS head loss MUST reach the tabular transfer layer...
+    g_ds = loss_of("clinical=val_logits_loss")(params)
+    assert transfer_grad_norm(g_ds) > 0
+    # ...while the downstream fusion logits must NOT (detached after head)
+    g_fusion = loss_of("logits")(params)
+    assert transfer_grad_norm(g_fusion) == 0.0
+
+
+def test_drop_prob_unsupported_raises(tmp_path):
+    """Requesting drop_prob on a NON-detach model must fail loudly (the
+    reference's forward has no such parameter -> TypeError); a silent no-op
+    faked perfect robustness sweeps (review finding)."""
+    import pytest as _pytest
+
+    from multimodal_fusion_tpu.config import Configs, ExperimentConfig, ModelConfig
+    from multimodal_fusion_tpu.data.splits import FoldSplit
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    mc = ModelConfig.from_dict({
+        **_base_config("svd_gate_random_clam"),
+        "channel_input_dims": {"clinical=val": TAB},
+        "enable_svd": False, "enable_dynamic_gate": False,
+        "enable_random_loss": False,
+    })
+    ec = ExperimentConfig(exp_name="dp", seed=0, k_folds=2, max_epochs=1,
+                          batch_size=2, lr=1e-3)
+    tr = SurvivalTrainer(Configs(experiment_config=ec, model_config=mc), tmp_path)
+    model, graphdef, _, _ = tr._build_model(0)
+    assert tr._supports_drop_prob is False
+    with _pytest.raises(ValueError, match="does not support inference-time"):
+        tr._make_eval_step(model, graphdef, drop_prob=0.3)
+    # detach variant supports it
+    mc2 = ModelConfig.from_dict({**mc.to_dict(),
+                                 "model_type": "svd_gate_random_clam_detach"})
+    tr2 = SurvivalTrainer(Configs(experiment_config=ec, model_config=mc2), tmp_path)
+    model2, graphdef2, _, _ = tr2._build_model(0)
+    assert tr2._supports_drop_prob is True
+    tr2._make_eval_step(model2, graphdef2, drop_prob=0.3)

@@ -42,17 +42,12 @@ def main(argv=None):
         args.csv_path, args.data_root_dir, label_filter=args.label_filter,
         use_all_data=args.use_all_data, seed=args.seed,
     )
-    # 80/20 split at patch level (reference vae/train.py:414-417 uses
-    # random_split over the patch index)
-    import numpy as np
+    # DISJOINT 80/20 split at patch level (reference vae/train.py:414-417
+    # random_split); a second full dataset as "val" overlapped the training
+    # patches and contaminated the plateau/early-stop metric (review finding)
+    from multimodal_fusion_tpu.data.vae_patches import split_train_val
 
-    n = len(ds)
-    rng = np.random.default_rng(args.seed)
-    # share features; independent views via index filtering
-    val = WSIVAEDataset(
-        args.csv_path, args.data_root_dir, label_filter=args.label_filter,
-        use_all_data=args.use_all_data, seed=args.seed + 1,
-    )
+    train, val = split_train_val(ds, val_frac=0.2, seed=args.seed)
     model = VAE(
         input_dim=args.input_dim,
         encoder_hidden=args.hidden_dims,
@@ -71,7 +66,7 @@ def main(argv=None):
     if args.resume:
         trainer.resume("latest")
     return trainer.fit(
-        ds, val, epochs=args.epochs, batch_size=args.batch_size,
+        train, val, epochs=args.epochs, batch_size=args.batch_size,
         seed=args.seed, verbose=args.verbose, device_data=args.device_data,
     )
 

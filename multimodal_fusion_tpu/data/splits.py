@@ -2,11 +2,17 @@
 
 Reference semantics: ``downstream_survival/main.py:257-441`` —
 - ``random`` mode: StratifiedKFold(k, shuffle, seed) over cases; each fold's
-  held-out half is split into val/test (even indices -> val, odd -> test,
-  matching the reference's interleaved split at :417-439);
+  SORTED held-out indices are split val/test by a nested
+  StratifiedKFold(2, shuffle, seed) — the fold-0 "train" half is val, the
+  other half test (main.py:421-439; SAME membership as the reference given
+  the same seed/labels);
 - ``fixed`` mode: external JSON with train/test patient lists (robust numeric
-  id matching); k-fold runs only within the train portion, the fixed test set
-  is shared by all folds.
+  id matching, JSON-list ORDER preserved when building the pools); k-fold
+  runs only within the train portion, the fixed test set is shared by all
+  folds; an unmatched train list raises the reference's informative error.
+  Both on-disk formats are accepted: the reference's list of
+  ``{"patient_id": ..., "dataset": "training"|"test"}`` records
+  (main.py:257-289) and the flat ``{"train": [...], "test": [...]}`` dict.
 Weighted sampling: ``trainer.py:241-276`` — inverse-class-frequency weights
 with replacement.
 """
@@ -56,26 +62,56 @@ def create_k_fold_splits(
         skf = StratifiedKFold(n_splits=k, shuffle=True, random_state=seed)
         out = []
         for train_idx, heldout in skf.split(np.zeros(n), labels):
-            val_idx = heldout[0::2]
-            test_idx = heldout[1::2]
-            out.append(FoldSplit(train_idx, val_idx, test_idx))
+            # reference main.py:421-433: sort the held-out fold, then a
+            # nested seeded StratifiedKFold(2) — its first fold's TRAIN half
+            # is val, the test half is test (identical membership)
+            heldout = np.sort(heldout)
+            nested = StratifiedKFold(n_splits=2, shuffle=True, random_state=seed)
+            val_rel, test_rel = next(nested.split(heldout, labels[heldout]))
+            out.append(FoldSplit(train_idx, heldout[val_rel], heldout[test_rel]))
         return out
 
     spec = json.loads(Path(fixed_split_path).read_text())
-    test_ids = {extract_numeric_id(x) for x in spec.get("test", [])}
-    train_ids = {extract_numeric_id(x) for x in spec.get("train", [])}
+    if isinstance(spec, list):
+        # reference on-disk format: records of {"patient_id", "dataset"}
+        # (main.py:257-289)
+        spec = {
+            "train": [r["patient_id"] for r in spec if r.get("dataset") == "training"],
+            "test": [r["patient_id"] for r in spec if r.get("dataset") == "test"],
+        }
     if patient_ids is None:
         raise ValueError("fixed split mode requires patient_ids")
     numeric = [extract_numeric_id(p) for p in patient_ids]
-    test_mask = np.asarray([pid in test_ids for pid in numeric])
-    train_pool = np.asarray(
-        [i for i, pid in enumerate(numeric) if pid in train_ids or (pid not in test_ids and not train_ids)]
-    )
-    test_idx = np.where(test_mask)[0]
+    id_to_indices: Dict[int, List[int]] = {}
+    for i, pid in enumerate(numeric):
+        if pid is not None:
+            id_to_indices.setdefault(pid, []).append(i)
+
+    def match(id_list):
+        # JSON-list order preserved (reference main.py:364-388): the seeded
+        # StratifiedKFold over the train pool sees the same element order
+        matched: List[int] = []
+        missing = []
+        for x in id_list:
+            cand = id_to_indices.get(extract_numeric_id(x), [])
+            if cand:
+                matched.extend(cand)
+            else:
+                missing.append(x)
+        return np.asarray(matched, dtype=np.int64), missing
+
+    test_idx, _ = match(spec.get("test", []))
+    train_pool, missing_train = match(spec.get("train", []))
+    if train_pool.size == 0:
+        raise ValueError(
+            "fixed split's train list matched no dataset patient ids "
+            f"(first unmatched: {missing_train[:5]}; first available: "
+            f"{list(patient_ids)[:5]}) — check id naming"
+        )
     skf = StratifiedKFold(n_splits=k, shuffle=True, random_state=seed)
     out = []
     pool_labels = labels[train_pool]
-    for tr, va in skf.split(np.zeros(len(train_pool)), pool_labels):
+    for tr, va in skf.split(train_pool, pool_labels):
         out.append(FoldSplit(train_pool[tr], train_pool[va], test_idx))
     return out
 

@@ -41,9 +41,20 @@ def extract_patches_from_image(
     """uint8 [H, W, 3] -> list of [patch_size, patch_size, 3] patches."""
     h, w = img.shape[:2]
     if h < patch_size or w < patch_size:
+        # reference upsamples small cores with PIL LANCZOS
+        # (extract_tma_features_uni.py:129-134): lanczos3 is jax's
+        # equivalent kernel, and ROUND (not truncate) back to uint8
         whole = np.asarray(
-            jax.image.resize(
-                jnp.asarray(img, jnp.float32), (patch_size, patch_size, 3), "bilinear"
+            jnp.clip(
+                jnp.round(
+                    jax.image.resize(
+                        jnp.asarray(img, jnp.float32),
+                        (patch_size, patch_size, 3),
+                        "lanczos3",
+                    )
+                ),
+                0,
+                255,
             )
         ).astype(np.uint8)
         return [whole]
@@ -101,8 +112,13 @@ def make_feature_extractor(
         state = jax.device_put(state, NamedSharding(mesh, P()))
 
     def _place(chunk):
-        arr = jnp.asarray(chunk)
-        return jax.device_put(arr, batch_sh) if batch_sh is not None else arr
+        if batch_sh is not None:
+            # device_put the HOST array straight to its shard layout: an
+            # intermediate jnp.asarray would upload the whole batch to
+            # device 0 first and then reshard device-to-device — doubled
+            # traffic on the upload-bound link (review finding)
+            return jax.device_put(np.asarray(chunk), batch_sh)
+        return jnp.asarray(chunk)
 
     @jax.jit
     def run(state, batch):  # [B, S, S, 3] preprocessed f32
@@ -120,8 +136,9 @@ def make_feature_extractor(
         m = nnx.merge(graphdef, state)
         x = batch_u8.astype(jnp.float32) / 255.0
         if x.shape[1] != input_size or x.shape[2] != input_size:
+            # bicubic like timm's ViT transform default (see preprocess_patch)
             x = jax.image.resize(
-                x, (x.shape[0], input_size, input_size, 3), method="bilinear"
+                x, (x.shape[0], input_size, input_size, 3), method="bicubic"
             )
         x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         if cast is not None:

@@ -32,7 +32,9 @@ class WSIVAEDataset:
         )
         self.use_all_data = use_all_data
         self.rng = random.Random(seed)
-        if label_filter is not None:
+        # reference treats None AND empty/whitespace as "no filter"
+        # (vae/dataset.py:74) — label_filter='' must not produce an empty set
+        if label_filter is not None and str(label_filter).strip() != "":
             self.case_ids = [
                 c for c in self.base.case_ids if self.base.case_to_label[c] == label_filter
             ]
@@ -104,3 +106,56 @@ class WSIVAEDataset:
             if len(idxs) < batch_size:
                 idxs = np.concatenate([idxs, order[: batch_size - len(idxs)]])
             yield np.stack([self[i] for i in idxs])
+
+
+class VAEPatchSubset:
+    """Position view over a ``WSIVAEDataset`` — the analog of the torch
+    ``Subset`` that ``random_split`` returns in the reference
+    (vae/train.py:414-417).  Positions index the parent's flat patch list;
+    they stay valid across ``resample_patches`` because the sampling rules
+    draw a deterministic COUNT per case (the reference's Subset relies on the
+    same property)."""
+
+    def __init__(self, parent: WSIVAEDataset, positions):
+        self.parent = parent
+        self.positions = np.asarray(positions, np.int64)
+
+    def __len__(self) -> int:
+        return len(self.positions)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        return self.parent[int(self.positions[idx])]
+
+    def resample_patches(self) -> None:
+        self.parent.resample_patches()
+
+    def materialize(self) -> np.ndarray:
+        full = self.parent.materialize()
+        if full.shape[0] == 0:
+            return full
+        return full[self.positions]
+
+    def batches(self, batch_size: int, shuffle_rng: Optional[np.random.Generator] = None):
+        order = np.arange(len(self))
+        if shuffle_rng is not None:
+            shuffle_rng.shuffle(order)
+        for start in range(0, len(order), batch_size):
+            idxs = order[start : start + batch_size]
+            if len(idxs) < batch_size:
+                idxs = np.concatenate([idxs, order[: batch_size - len(idxs)]])
+            yield np.stack([self[i] for i in idxs])
+
+
+def split_train_val(
+    dataset: WSIVAEDataset, val_frac: float = 0.2, seed: int = 42
+) -> Tuple[VAEPatchSubset, VAEPatchSubset]:
+    """Disjoint patch-level 80/20 split (reference random_split,
+    vae/train.py:414-417).  Validating on the training patches — the bug
+    this replaces — contaminates the plateau/early-stop metric."""
+    n = len(dataset)
+    perm = np.random.default_rng(seed).permutation(n)
+    n_val = max(1, int(round(n * val_frac))) if n > 1 else 0
+    return (
+        VAEPatchSubset(dataset, np.sort(perm[n_val:])),
+        VAEPatchSubset(dataset, np.sort(perm[:n_val])),
+    )

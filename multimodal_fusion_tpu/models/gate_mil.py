@@ -99,8 +99,13 @@ class GateSharedMIL(BaseModel):
 
     def __init__(self, config: ModelConfig, rngs: nnx.Rngs):
         super().__init__(config, rngs)
+        # the reference gate models keep EVERY channel — including '=mask'
+        # tabular masks — as a full gated slot with its own weightor/TCP
+        # modules and a share of the nC divisor (gate_shared_mil.py:107
+        # excludes only wsi=reconstructed); stripping masks changed the
+        # architecture and loss for mask-carrying configs (review finding)
         self.channels_used_in_model = [
-            c for c in config.channels_used_in_model if not c.endswith("=mask")
+            c for c in config.channels_used_in_model if c != "wsi=reconstructed"
         ]
         self.confidence_weight = config.get("confidence_weight", 1)
         self.feature_weight_weight = config.get("feature_weight_weight", 1)
@@ -227,7 +232,9 @@ class GateAUCMIL(GateMIL):
     def group_loss_fn(self, window_results: Result) -> jax.Array:
         margins = window_results["logits"][:, 0, 1] - window_results["logits"][:, 0, 0]
         labels = window_results["label"]
-        return self.auc_loss_weight * aucm_loss(
+        # auc_loss_weight is stored but NEVER applied — reference parity
+        # (gate_auc_mil.py:29,175 and auc_clam.py both leave it dead)
+        return aucm_loss(
             margins, labels, self.auc_a[...], self.auc_b[...],
             self.auc_alpha[...], self.auc_margin,
         )

@@ -121,9 +121,12 @@ def preprocess_patch(patch_u8: np.ndarray, size: int = 224) -> np.ndarray:
     semantics: resize to 224 + ImageNet mean/std)."""
     img = patch_u8.astype(np.float32) / 255.0
     if img.shape[0] != size or img.shape[1] != size:
-        # bilinear resize via jax.image on host
+        # timm ViT transforms default to BICUBIC antialiased resampling;
+        # jax.image.resize antialiases downscales by default, 'bicubic'
+        # matches the kernel family (PIL vs jax filters still differ at the
+        # sub-pixel level — documented in README parity)
         img = np.asarray(
-            jax.image.resize(jnp.asarray(img), (size, size, 3), method="bilinear")
+            jax.image.resize(jnp.asarray(img), (size, size, 3), method="bicubic")
         )
     return (img - IMAGENET_MEAN) / IMAGENET_STD
 

@@ -383,6 +383,13 @@ class VAETrainer:
                     table_train = jnp.asarray(train_ds.materialize())
                     if val_ds is train_ds:  # shared dataset: val resamples too
                         table_val = table_train
+                    elif getattr(val_ds, "parent", None) is not None and (
+                        getattr(val_ds, "parent", None)
+                        is getattr(train_ds, "parent", None)
+                    ):
+                        # subset views over one dataset: the parent resample
+                        # moved the val rows too (as the host path would see)
+                        table_val = jnp.asarray(val_ds.materialize())
         nnx.update(self.model, self.state)
         return {"best_val_loss": best_val, "elapsed_s": time.time() - t0, "history": self.history}
 

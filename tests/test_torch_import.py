@@ -402,3 +402,68 @@ def test_import_related_works(tmp_path, mt):
         np.asarray(out["logits"]), ref_out["logits"].numpy(),
         rtol=1e-3, atol=1e-4, err_msg=mt,
     )
+
+
+def test_kfold_split_membership_matches_reference(tmp_path):
+    """create_k_fold_splits must produce the reference's EXACT fold
+    membership (review finding: the old even/odd val/test interleave
+    diverged from the reference's nested StratifiedKFold, silently changing
+    model selection and test metrics): random mode and fixed mode, including
+    the reference's record-list JSON format."""
+    import json
+
+    _stub("torchmetrics", {})
+    _stub("torchmetrics.classification", {"AUROC": _Dummy})
+    import main as ref_main
+
+    from multimodal_fusion_tpu.data.splits import create_k_fold_splits
+
+    rng = np.random.default_rng(0)
+    n = 40
+    labels_str = np.asarray(["living" if x else "deceased" for x in rng.integers(0, 2, n)])
+    label_int = (labels_str == "living").astype(int)
+    case_ids = [f"patient_{i:03d}" for i in range(n)]
+
+    class StubDS:
+        def __len__(self):
+            return n
+
+    ds = StubDS()
+    ds.case_ids = case_ids
+    ds.case_to_label = dict(zip(case_ids, labels_str))
+
+    # random mode
+    ref_splits = ref_main.create_k_fold_splits(ds, k=4, seed=7)
+    ours = create_k_fold_splits(label_int, 4, 7, patient_ids=case_ids)
+    for f, (r, o) in enumerate(zip(ref_splits, ours)):
+        for part in ("train", "val", "test"):
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(r[part])), np.sort(getattr(o, f"{part}_idx")),
+                err_msg=f"fold {f} {part}",
+            )
+
+    # fixed mode, reference record-list JSON
+    records = [
+        {"patient_id": case_ids[i], "dataset": "training" if i % 3 else "test"}
+        for i in range(n)
+    ]
+    split_path = tmp_path / "split.json"
+    split_path.write_text(json.dumps(records))
+    fixed = ref_main.load_dataset_split(str(split_path))
+    ref_splits = ref_main.create_k_fold_splits(ds, k=3, seed=5, fixed_test_split=fixed)
+    ours = create_k_fold_splits(
+        label_int, 3, 5, patient_ids=case_ids, fixed_split_path=split_path
+    )
+    for f, (r, o) in enumerate(zip(ref_splits, ours)):
+        for part in ("train", "val", "test"):
+            np.testing.assert_array_equal(
+                np.asarray(r[part]), getattr(o, f"{part}_idx"),
+                err_msg=f"fixed fold {f} {part}",
+            )
+
+    # unmatched train list raises informatively
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"train": ["zz_9999"], "test": [case_ids[0]]}))
+    with pytest.raises(ValueError, match="matched no dataset patient ids"):
+        create_k_fold_splits(label_int, 3, 5, patient_ids=case_ids,
+                             fixed_split_path=bad)

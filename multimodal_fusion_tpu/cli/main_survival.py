@@ -200,8 +200,24 @@ def main(argv=None) -> Path:
 
     args = build_parser().parse_args(argv)
     args.target_channels = parse_channels([c.lower() for c in args.target_channels])
+    # Aligned channels: identity (`cd3`), or explicit `channel:modality`
+    # mapping with a COLON.  The reference's '=' mapping form survives only
+    # in freeze/ scripts with the pre-parse channel naming — through its own
+    # current parser it mangles channel paths and fails the dataset's
+    # align_channels validation (documented dead path, SURVEY §7); the colon
+    # form restores that capability unambiguously.
+    aligned_map = {}
     if args.aligned_channels:
-        args.aligned_channels = parse_channels(args.aligned_channels)
+        plain = []
+        for item in args.aligned_channels:
+            if ":" in item:
+                ch, mod = item.split(":", 1)
+                aligned_map[parse_channels([ch.lower()])[0]] = mod
+            else:
+                plain.append(item)
+        for ch in parse_channels(plain) if plain else []:
+            aligned_map[ch] = ch
+        args.aligned_channels = list(aligned_map)
     args.channels_used_in_model = parse_channels(
         [c.lower() if "=" not in c else c for c in args.channels_used_in_model]
     )
@@ -220,7 +236,7 @@ def main(argv=None) -> Path:
         from multimodal_fusion_tpu.train.alignment import make_alignment_apply_fn
         from multimodal_fusion_tpu.train.checkpoint import load_model
 
-        align_channels = {c: c for c in (args.aligned_channels or [])}
+        align_channels = dict(aligned_map)
         # depth/dim read from the checkpoint itself (a depth-3 alignment
         # model must not be squeezed into a hardcoded 2-layer stack)
         num_layers, feature_dim = infer_alignment_arch(args.alignment_model_path)

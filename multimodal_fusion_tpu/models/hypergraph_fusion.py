@@ -178,12 +178,21 @@ class CustOmics(ClamMLP):
         self.moe_gate = torch_linear(self.output_dim, self.max_num_tokens, rngs)
         self.head = torch_linear(self.output_dim, self.n_classes, rngs)
         # Static transfers onto hypergraph node features when stored dims
-        # differ from output_dim (the reference creates these lazily).
+        # differ from output_dim (the reference creates SEPARATE lazy
+        # transfers per part, cust_omics.py:283-303 — wsi_super and tma node
+        # features may be stored at different dims, so each part transfers
+        # BEFORE concatenation).  hypergraph_tma_node_dim defaults to the
+        # wsi dim when unset.
         hg_dim = config.get("hypergraph_node_dim", config.input_dim)
+        tma_dim = config.get("hypergraph_tma_node_dim", hg_dim)
         if hg_dim != self.output_dim:
             self.hypergraph_transfer = torch_linear(hg_dim, self.output_dim, rngs)
         else:
             self.hypergraph_transfer = None
+        if tma_dim != self.output_dim:
+            self.hypergraph_tma_transfer = torch_linear(tma_dim, self.output_dim, rngs)
+        else:
+            self.hypergraph_tma_transfer = None
 
     def _image_nodes(self, case: Case, inputs, in_masks):
         """Preprocessed hypergraph channels if present, else raw wsi/tma
@@ -191,21 +200,27 @@ class CustOmics(ClamMLP):
         chans = case["channels"]
         raw_masks = case.get("masks", {})
         if "hypergraph=wsi_super_features" in chans and "hypergraph=incidence" in chans:
-            parts = [chans["hypergraph=wsi_super_features"]]
+            # per-part transfer BEFORE concatenation (reference
+            # cust_omics.py:283-303): the two parts may be stored at
+            # different dims
+            w = chans["hypergraph=wsi_super_features"]
+            if self.hypergraph_transfer is not None:
+                w = self.hypergraph_transfer(w)
+            parts = [w]
             masks = [
                 raw_masks.get(
                     "hypergraph=wsi_super_features",
-                    jnp.ones((parts[0].shape[0],), bool),
+                    jnp.ones((w.shape[0],), bool),
                 )
             ]
             if "hypergraph=tma_features" in chans:
                 t = chans["hypergraph=tma_features"]
+                if self.hypergraph_tma_transfer is not None:
+                    t = self.hypergraph_tma_transfer(t)
                 parts.append(t)
                 masks.append(raw_masks.get("hypergraph=tma_features", jnp.ones((t.shape[0],), bool)))
             nodes = jnp.concatenate(parts, axis=0)
             node_mask = jnp.concatenate(masks)
-            if self.hypergraph_transfer is not None:
-                nodes = self.hypergraph_transfer(nodes)
             incidence = chans["hypergraph=incidence"]
             edge_w = chans.get("hypergraph=edge_weights")
             return nodes, node_mask, incidence, edge_w
@@ -240,6 +255,9 @@ class CustOmics(ClamMLP):
             tokens.append(hg_token)
         for ch in self.other_modalities:
             tokens.append(self.transfer_layers[ch](inputs[ch]))
+        if not tokens:
+            # reference falls back to a zero fused token (cust_omics.py:392-395)
+            tokens.append(jnp.zeros((1, self.output_dim), jnp.float32))
         tokens_tensor = jnp.concatenate(tokens, axis=0)  # [T, D]
         T = tokens_tensor.shape[0]
         token_mean = jnp.mean(tokens_tensor, axis=0, keepdims=True)

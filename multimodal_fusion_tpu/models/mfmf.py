@@ -114,7 +114,13 @@ class MFMF(ClamMLP):
             if ch.startswith("wsi=") or ch.startswith("tma="):
                 in_dim = self.input_dim
             else:
-                in_dim = config.channel_input_dims[ch]
+                in_dim = config.channel_input_dims.get(ch)
+                if in_dim is None:
+                    raise ValueError(
+                        f"channel_input_dims missing entry for tabular channel "
+                        f"{ch!r}; static shapes are required (no lazy layer "
+                        "creation)"
+                    )
             mfmf_transfer[ch] = torch_linear(in_dim, self.output_dim, rngs)
         self.mfmf_transfer = nnx.Dict(mfmf_transfer)
         self.head = torch_linear(self.output_dim, self.n_classes, rngs)

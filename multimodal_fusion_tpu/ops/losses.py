@@ -195,7 +195,14 @@ def clip_alignment_loss(
     other: jax.Array,
     logit_scale: jax.Array,
 ) -> jax.Array:
-    """Bidirectional InfoNCE between L2-normalised anchor/other [B, D]."""
+    """Bidirectional InfoNCE between L2-normalised anchor/other [B, D].
+
+    Standalone single-pair utility with the conventional 0.5 mean — NOT the
+    CLIP group loss ClipGateRandomClam uses: that model implements the
+    reference's exact multi-pair formulation inline (sum over all M pairs
+    INCLUDING the replicated anchor-self quirk, divided by M —
+    models/svd_gate.py:289-312).  Keep this helper for generic CLIP-style
+    objectives; do not substitute it for the model's group loss."""
     a = anchor / (jnp.linalg.norm(anchor, axis=-1, keepdims=True) + 1e-8)
     o = other / (jnp.linalg.norm(other, axis=-1, keepdims=True) + 1e-8)
     logits = logit_scale * jnp.dot(a, o.T, preferred_element_type=jnp.float32)

@@ -66,6 +66,10 @@ class LRSchedule:
         if self.kind == "cosine_warm_restart":
             T_0 = c.get("T_0", 10)
             T_mult = c.get("T_mult", 2)
+            if T_mult < 1:
+                # torch CosineAnnealingWarmRestarts validates the same way;
+                # T_mult <= 0 would make the restart loop below non-terminating
+                raise ValueError(f"Expected T_mult >= 1, got {T_mult}")
             eta_min = c.get("eta_min", 0.0)
             t, T_i = epoch, T_0
             while t >= T_i:
@@ -87,10 +91,13 @@ class LRSchedule:
         mode = self.config.get("mode", "min")
         patience = self.config.get("patience", 10)
         factor = self.config.get("factor", 0.5)
-        better = (
-            self._plateau_best is None
-            or (mode == "min" and metric < self._plateau_best)
-            or (mode == "max" and metric > self._plateau_best)
+        # torch ReduceLROnPlateau default rel threshold: sub-threshold noise
+        # must not reset the patience counter or the LR never reduces
+        threshold = self.config.get("threshold", 1e-4)
+        better = self._plateau_best is None or (
+            metric < self._plateau_best * (1.0 - threshold)
+            if mode == "min"
+            else metric > self._plateau_best * (1.0 + threshold)
         )
         if better:
             self._plateau_best = metric

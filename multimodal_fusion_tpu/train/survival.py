@@ -715,6 +715,11 @@ class SurvivalTrainer:
             else None
         )
         shuffle_rng = np.random.default_rng(exp.seed + fold_idx)
+        # the --early_stopping flag GATES both the stop and the best-ckpt
+        # restore (reference trainer.py:691-744): without it the reference
+        # trains all epochs and evaluates the FINAL weights (review finding:
+        # we stopped/restored unconditionally)
+        use_early_stop = bool(exp.get("early_stopping", True))
         stopper = EarlyStopping(
             patience=exp.patience,
             stop_epoch=exp.min_epochs,
@@ -837,7 +842,7 @@ class SurvivalTrainer:
             metric = val[exp.monitor_metric]
             schedule.plateau_step(val["loss"])
             improved = stopper.step(epoch, metric)
-            if improved:
+            if improved and use_early_stop:
                 save_state(ckpt_path, {"params": params, "rest": rest})
             history.append(
                 {
@@ -859,13 +864,17 @@ class SurvivalTrainer:
                     f"fold {fold_idx} epoch {epoch}: train_loss={h['train_loss']:.4f} "
                     f"val_loss={h['val_loss']:.4f} val_auc={h['val_auc']:.4f}"
                 )
-            if stopper.early_stop:
+            if use_early_stop and stopper.early_stop:
                 break
 
-        # restore best checkpoint
-        if ckpt_path.exists():
-            restored, _ = load_state(ckpt_path, {"params": params, "rest": rest})
-            params, rest = restored["params"], restored["rest"]
+        if use_early_stop:
+            # restore best checkpoint
+            if ckpt_path.exists():
+                restored, _ = load_state(ckpt_path, {"params": params, "rest": rest})
+                params, rest = restored["params"], restored["rest"]
+        else:
+            # reference without the flag: persist + evaluate FINAL weights
+            save_state(ckpt_path, {"params": params, "rest": rest})
 
         key, k1, k2 = jax.random.split(key, 3)
         val = self._evaluate(

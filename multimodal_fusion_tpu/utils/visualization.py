@@ -64,6 +64,10 @@ def dump_alignment_features(
         payload[f"aligned__{ch}"] = np.stack(feats)
     payload["labels"] = np.asarray(labels)
     out_path = Path(out_path)
+    if out_path.suffix != ".npz":
+        # np.savez appends '.npz' itself — returning the suffix-less path
+        # would point at a nonexistent file
+        out_path = out_path.with_suffix(out_path.suffix + ".npz")
     out_path.parent.mkdir(parents=True, exist_ok=True)
     np.savez(out_path, **payload)
     (out_path.with_suffix(".json")).write_text(json.dumps({"case_ids": case_ids}))
@@ -127,7 +131,10 @@ def plot_modality_tsne(dump_path: str | Path, out_path: str | Path) -> Optional[
         X = np.concatenate([data[c] for c in chans])
         groups = np.concatenate([[i] * len(data[c]) for i, c in enumerate(chans)])
         n = X.shape[0]
+        if n < 3:
+            continue  # sklearn requires perplexity < n_samples
         perplexity = max(2, min(30, (n - 1) // 3))
+        perplexity = min(perplexity, n - 1)
         emb = TSNE(n_components=2, random_state=42, perplexity=perplexity).fit_transform(X)
         for i, c in enumerate(chans):
             sel = groups == i

@@ -577,3 +577,33 @@ def test_alignment_visualization_cli(cli_dataset, tmp_path):
     payload = np.load(dump)
     assert any(k.startswith("aligned__") for k in payload.files)
     assert any(k.startswith("original__") for k in payload.files)
+
+
+def test_aligned_channels_colon_mapping(cli_dataset, tmp_path):
+    """--aligned_channels supports `channel:modality` mapping (the
+    reference's '=' mapping form is a documented dead path through its own
+    parser); the mapped MODALITY name keys the alignment model."""
+    import numpy as np
+    from flax import nnx
+
+    from multimodal_fusion_tpu.cli.main_survival import main
+    from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
+    from multimodal_fusion_tpu.train.checkpoint import save_model
+
+    root, csv_path = cli_dataset
+    model = MultiModalAlignmentModel(["CD3"], feature_dim=32, num_layers=2,
+                                     rngs=nnx.Rngs(3))
+    ckpt = tmp_path / "a.npz"
+    save_model(ckpt, model)
+    log_dir = main([
+        "--csv_path", str(csv_path), "--data_root_dir", str(root),
+        "--results_dir", str(tmp_path / "res"), "--exp_code", "map",
+        "--model_type", "clam_mlp",
+        "--alignment_model_path", str(ckpt),
+        "--aligned_channels", "cd3:CD3",
+        "--target_channels", "wsi=features", "tma=cd3=features",
+        "--channels_used_in_model", "wsi=features", "tma=cd3=features",
+        "--input_dim", "32", "--model_size", "32*16", "--output_dim", "32",
+        "--k", "2", "--max_epochs", "1", "--batch_size", "4", "--seed", "0",
+    ])
+    assert (log_dir / "summary.csv").exists()

@@ -697,3 +697,34 @@ def test_prefetched_windows_error_and_abort(tmp_path):
     t0 = _time.time()
     gen2.close()
     assert _time.time() - t0 < 5.0
+
+
+def test_early_stopping_flag_gates_stop_and_restore(surv_dataset, tmp_path):
+    """Without --early_stopping the reference trains ALL epochs and
+    evaluates the FINAL weights (trainer.py:691-744); the flag previously
+    did nothing and training always stopped/restored-best (review
+    finding)."""
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    cfgs = _configs(tmp_path)
+    cfgs.experiment_config.early_stopping = False
+    cfgs.experiment_config.max_epochs = 3
+    cfgs.experiment_config.patience = 1
+    cfgs.experiment_config.min_epochs = 0
+    trainer = SurvivalTrainer(cfgs, tmp_path / "r_no_es")
+    splits = create_k_fold_splits(surv_dataset.labels, 3, seed=0)
+    summary = trainer.train_fold(surv_dataset, splits[0], 0)
+    # all epochs ran (patience=1 would have stopped earlier if gated on)
+    assert len(summary["history"]) == 3
+    # final weights persisted for eval tools
+    assert (tmp_path / "r_no_es" / "s_0_checkpoint.npz").exists()
+
+    cfgs2 = _configs(tmp_path)
+    cfgs2.experiment_config.early_stopping = True
+    cfgs2.experiment_config.max_epochs = 3
+    cfgs2.experiment_config.patience = 1
+    cfgs2.experiment_config.min_epochs = 0
+    trainer2 = SurvivalTrainer(cfgs2, tmp_path / "r_es")
+    summary2 = trainer2.train_fold(surv_dataset, splits[0], 0)
+    assert len(summary2["history"]) <= 3  # may stop early; ckpt = best
+    assert (tmp_path / "r_es" / "s_0_checkpoint.npz").exists()

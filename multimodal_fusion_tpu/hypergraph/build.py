@@ -1446,7 +1446,13 @@ def rebuild_hypergraph_from_similarity(
         sp_feats, tma_features, group_labels, hypergraph_k, num_hyperedges, seed
     )
     if threshold_median_ratio is not None:
-        median_w = float(np.median(edge_weights)) if edge_weights.size else 0.0
+        # torch.median = LOWER middle of the sorted values (numpy would
+        # interpolate for even counts and drop the median edge)
+        median_w = (
+            float(np.sort(edge_weights)[(edge_weights.size - 1) // 2])
+            if edge_weights.size
+            else 0.0
+        )
         threshold = median_w * threshold_median_ratio
         mask = edge_weights >= threshold
         edge_index = edge_index[:, mask]

@@ -48,13 +48,15 @@ def build_weighted_hypergraph(
     K = combined_similarity(
         jnp.asarray(features), jnp.asarray(positions), lambda_h, lambda_g
     )
-    if threshold_median_ratio is not None:
-        med = median_offdiag(K)
-        mask = threshold_edge_mask(K, med * threshold_median_ratio)
-    else:
-        mask = jnp.ones_like(K, dtype=bool)
     K_host = np.asarray(K)
-    mask_host = np.asarray(mask)
+    if threshold_median_ratio is not None:
+        # threshold on HOST from the already-pulled K: the [N,N] bool mask is
+        # bit-identical and shipping it doubled device->host traffic through
+        # the tunnel (review finding)
+        med = float(median_offdiag(K))
+        mask_host = K_host >= med * threshold_median_ratio
+    else:
+        mask_host = np.ones_like(K_host, dtype=bool)
     src, dst = np.nonzero(mask_host)  # row-major == reference loop order
     edge_index = np.stack([src, dst]).astype(np.int64)
     edge_weights = K_host[src, dst].astype(np.float32)

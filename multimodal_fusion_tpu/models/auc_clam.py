@@ -22,6 +22,8 @@ from multimodal_fusion_tpu.ops.losses import aucm_loss
 class AUCCLAM(CLAM):
     def __init__(self, config: ModelConfig, rngs: nnx.Rngs):
         super().__init__(config, rngs)
+        # stored but NEVER applied — reference parity: auc_clam.py:316 and
+        # gate_auc_mil.py both leave the flag dead (see gate_mil.py note)
         self.auc_loss_weight = config.get("auc_loss_weight", 1.0)
         self.auc_margin = config.get("auc_margin", 1.0)
         self.auc_a = nnx.Param(jnp.zeros(()))

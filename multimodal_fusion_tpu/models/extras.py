@@ -14,11 +14,8 @@ and made first-class here.
 
 from __future__ import annotations
 
-
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import nnx
 
 from multimodal_fusion_tpu.config import ModelConfig
@@ -57,20 +54,38 @@ class SVDCLAM(CLAM):
         )
 
     def __call__(self, case: Case, label, *, key=None, train: bool = False) -> Result:
-        out = super().__call__(case, label, key=key, train=train)
         chans = case["channels"]
         align_in = {c: chans[c] for c in self.alignment_channels if c in chans}
-        if align_in:
-            aligned = self.alignment_model(align_in)
+        aligned = self.alignment_model(align_in) if align_in else {}
+        if aligned:
+            # Reference svd_clam.py:227-237: the CLAM bag consumes the
+            # ALIGNED features of every alignment channel, DETACHED — the
+            # alignment layers train only through the SVD/IM losses, not
+            # through the attention branch.
+            sub = dict(chans)
+            for c, v in aligned.items():
+                sub[c] = jax.lax.stop_gradient(v)
+            case = dict(case, channels=sub)
+        out = super().__call__(case, label, key=key, train=train)
+        if aligned:
             svd_loss, svd_values = rank1_svd_loss_from_dict(
                 {k: v for k, v in aligned.items()},
                 self.tau1, self.tau2, self.lambda1, self.loss2_chunk_size,
             )
-            if self.lambda2 != 0:
-                keys_sorted = sorted(aligned)
+            keys_sorted = sorted(aligned)
+            B = aligned[keys_sorted[0]].shape[0]
+            if self.lambda2 != 0 and B > 1:
+                # derangement shifts: shift_i = (i mod (B-1)) + 1 is never a
+                # multiple of B, so no 'negative' row equals its positive
+                # (plain shift=i+1 was the identity whenever (i+1) % B == 0,
+                # labelling the SAME fused row both 1 and 0 — review finding);
+                # B == 1 admits no mismatched combination at all: skip.
                 pos = jnp.concatenate([aligned[k] for k in keys_sorted], axis=1)
                 neg = jnp.concatenate(
-                    [jnp.roll(aligned[k], shift=i + 1, axis=0) for i, k in enumerate(keys_sorted)],
+                    [
+                        jnp.roll(aligned[k], shift=(i % (B - 1)) + 1, axis=0)
+                        for i, k in enumerate(keys_sorted)
+                    ],
                     axis=1,
                 )
                 allf = jnp.concatenate([pos, neg], axis=0)

@@ -27,6 +27,16 @@ class SVDPool(ClamMLP):
         super().__init__(config, rngs)
         align_chs = config.get("alignment_channels") or self.used_modality
         self.alignment_channels = sorted(align_chs)
+        missing = [m for m in self.used_modality if m not in self.alignment_channels]
+        if missing:
+            # the reference crashes the same way (svd_pool.py:59-61 looks up
+            # alignment_layers for EVERY modality), but deep inside the step;
+            # surface it as a clear construction-time error instead
+            raise ValueError(
+                "svd_pool aligns every used modality; alignment_channels "
+                f"{self.alignment_channels} is missing {missing} — list all "
+                "modalities or omit the option"
+            )
         self.tau1 = config.get("tau1", 0.1)
         self.tau2 = config.get("tau2", 0.1)
         self.lambda1 = config.get("lambda1", 1.0)

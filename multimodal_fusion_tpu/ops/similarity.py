@@ -82,21 +82,27 @@ def cross_similarity(
 
 
 def median_offdiag(K: jax.Array, n_valid: Optional[jax.Array] = None) -> jax.Array:
-    """Median of the off-diagonal entries of a [N,N] similarity matrix.
+    """Median of the off-diagonal entries of a [N,N] similarity matrix with
+    TORCH semantics: ``torch.median`` returns the LOWER of the two middle
+    values (the off-diagonal count N*(N-1) is always even), while numpy
+    interpolates — the interpolated value sits strictly above the lower
+    middle, silently dropping the median pair from thresholded edge sets
+    (reference similarity_kernel.py:183-186; review finding).
 
-    With padding, ``n_valid`` masks rows/cols >= n_valid out of the statistic
-    by replacing them with NaN and using ``nanmedian`` (exactly the reference's
-    median over the N*(N-1) off-diagonal entries when unpadded; reference:
-    similarity_kernel.py:183-186)."""
+    With padding, ``n_valid`` masks rows/cols >= n_valid out of the
+    statistic."""
     n = K.shape[0]
     eye = jnp.eye(n, dtype=bool)
     if n_valid is None:
         vals = jnp.where(eye, jnp.nan, K)
+        count = jnp.asarray(n * (n - 1))
     else:
         idx = jnp.arange(n)
         valid = (idx[:, None] < n_valid) & (idx[None, :] < n_valid)
         vals = jnp.where(eye | ~valid, jnp.nan, K)
-    return jnp.nanmedian(vals)
+        count = n_valid * (n_valid - 1)
+    flat = jnp.sort(vals.reshape(-1))  # NaNs sort to the end
+    return flat[jnp.maximum(count - 1, 0) // 2]
 
 
 def threshold_edge_mask(

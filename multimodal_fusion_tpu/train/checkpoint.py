@@ -35,20 +35,37 @@ def _flatten(tree) -> Dict[str, np.ndarray]:
     return flat
 
 
-def save_state(path: str | Path, state, extra: Optional[Dict[str, Any]] = None) -> None:
-    """Save an nnx.State (or any pytree of arrays) plus optional scalar extras."""
+def _npz_path(path: str | Path) -> Path:
+    """np.savez silently appends '.npz' to suffix-less paths; normalise so
+    save and load always agree on the on-disk name (review finding: the
+    alignment trainer's periodic '<save_path>.step_N' checkpoints landed at
+    a name no later load would open)."""
+    path = Path(path)
+    if path.suffix != ".npz":
+        path = path.with_name(path.name + ".npz")
+    return path
+
+
+def save_state(path: str | Path, state, extra: Optional[Dict[str, Any]] = None) -> Path:
+    """Save an nnx.State (or any pytree of arrays) plus optional scalar
+    extras; returns the actual (.npz-normalised) path written."""
+    path = _npz_path(path)
     flat = _flatten(nnx.to_pure_dict(state) if isinstance(state, nnx.State) else state)
     if extra:
         for k, v in extra.items():
             flat[f"__extra__/{k}"] = np.asarray(v)
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    path.parent.mkdir(parents=True, exist_ok=True)
     np.savez(path, **flat)
+    return path
 
 
 def load_state(path: str | Path, state):
     """Restore arrays into a template state tree (same structure as saved).
 
     Returns (new_state, extras dict)."""
+    path = Path(path)
+    if not path.exists() and _npz_path(path).exists():
+        path = _npz_path(path)
     data = np.load(path, allow_pickle=False)
     extras = {}
     arrays = {}
@@ -81,6 +98,9 @@ def load_subtree(path: str | Path, template, prefix: str):
     """Restore only the keys under ``prefix/`` of a checkpoint into a
     template tree (e.g. load just the model from a {'model':…, 'opt':…}
     checkpoint without knowing the optimizer structure)."""
+    path = Path(path)
+    if not path.exists() and _npz_path(path).exists():
+        path = _npz_path(path)
     data = np.load(path, allow_pickle=False)
     arrays = {
         k[len(prefix) + 1 :]: data[k]
@@ -94,6 +114,13 @@ def load_subtree(path: str | Path, template, prefix: str):
         key = _path_key(p)
         if key not in arrays:
             raise KeyError(f"checkpoint missing key {prefix}/{key}")
+        if arrays[key].shape != np.shape(leaf):
+            # same clear error load_state gives — a differently-sized model's
+            # checkpoint would otherwise fail deep inside jit tracing
+            raise ValueError(
+                f"shape mismatch for {prefix}/{key}: "
+                f"{arrays[key].shape} vs {np.shape(leaf)}"
+            )
         new_leaves.append(arrays[key])
     new_tree = jax.tree_util.tree_unflatten(treedef, new_leaves)
     if isinstance(template, nnx.State):

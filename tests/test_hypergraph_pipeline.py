@@ -153,7 +153,8 @@ def test_build_weighted_hypergraph_dense(rng):
     d_h = ((f[:, None] - f[None]) ** 2).sum(-1)
     d_g = ((p[:, None] - p[None]) ** 2).sum(-1)
     K = np.exp(-0.8 * d_h) * np.exp(-0.5 * d_g)
-    med = np.median(K[~np.eye(12, dtype=bool)])
+    off = np.sort(K[~np.eye(12, dtype=bool)])
+    med = off[(off.size - 1) // 2]  # torch.median: LOWER middle (parity)
     keep = K >= med * 1.0
     src, dst = np.nonzero(keep)
     np.testing.assert_array_equal(ei, np.stack([src, dst]))

@@ -55,20 +55,25 @@ def test_cross_similarity(rng):
 def test_median_offdiag(rng):
     x = rng.standard_normal((9, 4)).astype(np.float32) * 0.3
     K = np.asarray(morphological_similarity(jnp.asarray(x), 1.0))
-    want = np.median(K[~np.eye(9, dtype=bool)])
+    off = np.sort(K[~np.eye(9, dtype=bool)])
+    want = off[(off.size - 1) // 2]  # torch.median: LOWER middle
+    import torch as _t
+
+    assert abs(want - float(_t.median(_t.tensor(off)))) < 1e-7
     got = float(median_offdiag(jnp.asarray(K)))
-    assert abs(got - want) < 1e-5
+    assert abs(got - want) < 1e-6
 
 
 def test_median_offdiag_padded(rng):
     x = rng.standard_normal((6, 4)).astype(np.float32) * 0.3
     K6 = np.asarray(morphological_similarity(jnp.asarray(x), 1.0))
-    want = np.median(K6[~np.eye(6, dtype=bool)])
+    off6 = np.sort(K6[~np.eye(6, dtype=bool)])
+    want = off6[(off6.size - 1) // 2]  # torch.median semantics
     # pad to 10 with garbage
     Kp = np.full((10, 10), 7.7, np.float32)
     Kp[:6, :6] = K6
     got = float(median_offdiag(jnp.asarray(Kp), n_valid=jnp.asarray(6)))
-    assert abs(got - want) < 1e-5
+    assert abs(got - want) < 1e-6
 
 
 def test_threshold_edge_mask_keeps_diag_and_both_directions(rng):

@@ -410,11 +410,33 @@ def test_kfold_split_membership_matches_reference(tmp_path):
     diverged from the reference's nested StratifiedKFold, silently changing
     model selection and test metrics): random mode and fixed mode, including
     the reference's record-list JSON format."""
+    import contextlib
     import json
 
-    _stub("torchmetrics", {})
-    _stub("torchmetrics.classification", {"AUROC": _Dummy})
-    import main as ref_main
+    # only stub when absent: test_trained_parity installs a FUNCTIONAL AUROC
+    # stub that must not be clobbered (suite-order GOTCHA)
+    if "torchmetrics.classification" not in sys.modules or not hasattr(
+        sys.modules["torchmetrics.classification"], "AUROC"
+    ):
+        _stub("torchmetrics", {})
+        _stub("torchmetrics.classification", {"AUROC": _Dummy})
+
+    @contextlib.contextmanager
+    def _isolated(names):
+        # evict/restore generic reference module names so suite order stays
+        # irrelevant (CLAUDE.md GOTCHA: 'main' pulls 'trainer' with the
+        # Dummy-AUROC binding, which would poison the golden parity tests)
+        saved = {n: sys.modules.pop(n, None) for n in names}
+        try:
+            yield
+        finally:
+            for n in names:
+                sys.modules.pop(n, None)
+                if saved[n] is not None:
+                    sys.modules[n] = saved[n]
+
+    with _isolated(("main", "trainer")):
+        import main as ref_main
 
     from multimodal_fusion_tpu.data.splits import create_k_fold_splits
 

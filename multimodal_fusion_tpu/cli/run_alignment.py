@@ -23,9 +23,10 @@ def build_parser():
     p.add_argument("--filename_template", type=str, default="tma_uni_tile_1024_{marker}.npz")
     p.add_argument("--markers", type=str, nargs="+", default=list(TMA_MARKERS))
     p.add_argument("--feature_dim", type=int, default=1024)
-    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--num_layers", type=int, default=1)  # reference run.py:65
     p.add_argument("--align_mode", type=str, choices=["intersection", "union"], default="intersection")
-    p.add_argument("--loss_type", type=str, choices=["rank1", "volume"], default="rank1")
+    # reference default is "volume" (run.py:68-69; its name for rank1 is "svd")
+    p.add_argument("--loss_type", type=str, choices=["rank1", "volume"], default="volume")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=1e-5)
     p.add_argument("--tau1", type=float, default=0.1)

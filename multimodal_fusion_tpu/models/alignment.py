@@ -20,7 +20,9 @@ from multimodal_fusion_tpu.models.common import dropout, torch_linear
 
 
 class MLPMatchPredictor(nnx.Module):
-    def __init__(self, input_dim: int, hidden_dim: int, rngs: nnx.Rngs, dropout_rate: float = 0.3):
+    def __init__(self, input_dim: int, hidden_dim: int, rngs: nnx.Rngs, dropout_rate: float = 0.1):
+        # dropout default 0.1 = the reference's (alignment_model.py:110);
+        # 0.3 tripled match-predictor dropout in loss_IM training
         self.fc1 = torch_linear(input_dim, hidden_dim, rngs)
         self.fc2 = torch_linear(hidden_dim, 1, rngs)
         self.rate = dropout_rate
@@ -36,7 +38,7 @@ class MultiModalAlignmentModel(nnx.Module):
         self,
         modality_names: Sequence[str],
         feature_dim: int = 1024,
-        num_layers: int = 2,
+        num_layers: int = 1,  # reference default (alignment_model.py:24)
         *,
         rngs: nnx.Rngs,
         predictor_hidden: int = 512,

@@ -47,6 +47,12 @@ def derive_used_modalities(channels_used_in_model) -> list:
     """
     used = set()
     for ch in channels_used_in_model:
+        if ch.startswith("wsi=reconstructed"):
+            # dropped by process_case (models read it directly, e.g. MFMF);
+            # mapping it to 'wsi=features' made a reconstructed-only list
+            # crash on a missing input where the reference silently runs
+            # without the wsi branch
+            continue
         if ch.startswith("wsi="):
             used.add("wsi=features")
         elif ch.startswith("tma="):
@@ -66,6 +72,11 @@ def process_case(case: Case, channels_used_in_model) -> tuple:
     - ``*=mask`` channels are folded into their value channel by elementwise
       multiply;
     - other channels pass through.
+
+    Deviation note: non-feature ``wsi=*`` channels (e.g. ``wsi=positions``)
+    are dropped here; the reference's bare-else would pass them through into
+    its lazily-built trunk (clam_mlp.py:246-250) — a path no shipped config
+    exercises.
 
     Returns (inputs dict, masks dict) with keys matching
     :func:`derive_used_modalities` output.

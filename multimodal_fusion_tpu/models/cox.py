@@ -30,15 +30,21 @@ class CoxSVDGateClam(SVDGateRandomClam):
     def __init__(self, config: ModelConfig, rngs: nnx.Rngs):
         super().__init__(config, rngs)
         self.risk_head = torch_linear(self.output_dim * len(self.used_modality), 1, rngs)
+        # svd-off fallback: aligned_features_stack only exists with
+        # enable_svd (svd_gate.py:186), and the n_classes-wide logits cannot
+        # feed the wide risk head — a dedicated head keeps the model usable
+        # either way (review finding: the old fallback was a trace-time
+        # shape crash)
+        self.risk_head_logits = torch_linear(self.n_classes, 1, rngs)
         self.cox_weight = config.get("cox_weight", 1.0)
 
     def __call__(self, case: Case, label, *, key=None, train: bool = False, drop_prob=None) -> Result:
         out = super().__call__(case, label, key=key, train=train, drop_prob=drop_prob)
         if "aligned_features_stack" in out:
             h = out["aligned_features_stack"].reshape(1, -1)
+            out["risk"] = self.risk_head(h)[:, 0]  # [1] log-risk
         else:
-            h = jnp.concatenate([out["logits"]], axis=1)  # fallback (svd off)
-        out["risk"] = self.risk_head(h)[:, 0]  # [1] log-risk
+            out["risk"] = self.risk_head_logits(out["logits"])[:, 0]
         return out
 
     def group_loss_fn(self, window_results: Result) -> jax.Array:

@@ -603,7 +603,7 @@ def main():
             "reference_torch_cpu": round(vit_ref, 2) if vit_ref else None,
             "speedup": round(vit_ours / vit_ref, 1) if vit_ref else None,
             "note": "UNI ViT-L/16 CLS extraction on 256x256 crops; ours "
-                    "ships raw uint8 and runs /255+bilinear-resize+"
+                    "ships raw uint8 and runs /255+bicubic-resize+"
                     "normalise in-jit with bf16 MXU matmuls "
                     "(test_vit_raw_uint8_path_matches_host_preprocess, "
                     "test_vit_bf16_extraction); reference is a torch-CPU "

@@ -73,17 +73,32 @@ def main(argv=None):
     out_dir.mkdir(parents=True, exist_ok=True)
     written = {}
     for marker in args.markers:
-        marker_dir = Path(args.input_dir) / marker
-        if not marker_dir.exists():
+        # accept both our flat layout and the reference's data tree
+        # (tma_tumorcenter_<MARKER> with uppercase markers,
+        # extract_tma_features_uni.py:391); missing dirs WARN like the
+        # reference instead of silently writing nothing
+        candidates = [
+            Path(args.input_dir) / marker,
+            Path(args.input_dir) / f"tma_tumorcenter_{marker.upper()}",
+            Path(args.input_dir) / f"tma_tumorcenter_{marker}",
+        ]
+        marker_dir = next((d for d in candidates if d.exists()), None)
+        if marker_dir is None:
+            print(f"WARNING: no directory for marker {marker!r} "
+                  f"(tried {[str(c) for c in candidates]})")
             continue
-        images = {}
-        for img_path in sorted(marker_dir.glob("*.png")):
-            img = Image.open(img_path)
-            if img.mode != "RGB":
-                img = img.convert("RGB")
-            images[img_path.stem] = np.asarray(img)
+
+        def stream():
+            # decode one core at a time: a marker dir of large cores would
+            # otherwise sit fully in host RAM before extraction starts
+            for img_path in sorted(marker_dir.glob("*.png")):
+                img = Image.open(img_path)
+                if img.mode != "RGB":
+                    img = img.convert("RGB")
+                yield img_path.stem, np.asarray(img)
+
         feats = extract_marker_features(
-            images, extractor, args.patch_size, args.stride,
+            stream(), extractor, args.patch_size, args.stride,
             args.white_threshold, args.min_content_ratio,
         )
         out_path = out_dir / f"tma_uni_tile_1024_{marker}.npz"

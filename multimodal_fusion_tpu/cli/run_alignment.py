@@ -35,12 +35,15 @@ def build_parser():
     p.add_argument("--lambda2", type=float, default=0.1)
     p.add_argument("--loss2_chunk_size", type=int, default=None)
     p.add_argument("--mismatch_ratio", type=float, default=1.0)
-    p.add_argument("--max_steps", type=int, default=10000)
-    p.add_argument("--batch_size", type=int, default=64)
-    p.add_argument("--val_interval", type=int, default=100)
+    # defaults mirror the reference run.py (max_steps 100000, batch 128,
+    # val every 500 steps) — a no-flag run must train like the reference's
+    p.add_argument("--max_steps", type=int, default=100000)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--val_interval", type=int, default=500)
     p.add_argument("--val_max_batches", type=int, default=None)
     p.add_argument("--save_interval", type=int, default=None)
     p.add_argument("--early_stopping_patience", type=int, default=10)
+    p.add_argument("--early_stopping_min_delta", type=float, default=1e-4)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--save_path", type=str, default="alignment_model.npz")
     p.add_argument("--verbose", action="store_true", default=False)
@@ -62,10 +65,13 @@ def main(argv=None):
         mismatch_ratio=args.mismatch_ratio,
         seed=args.seed,
     )
-    # 8:1:1 shuffled split by full tuple key (reference run.py:117-137)
+    # 8:1:1 shuffled split by full tuple key, SAME membership as the
+    # reference for a given seed: RandomState (MT19937) index shuffle
+    # (reference run.py:117-127; default_rng would permute differently)
     keys = list(dataset.normalized_keys)
-    rng = np.random.default_rng(args.seed)
-    rng.shuffle(keys)
+    idx = np.arange(len(keys))
+    np.random.RandomState(args.seed).shuffle(idx)
+    keys = [keys[i] for i in idx]
     n = len(keys)
     n_train, n_val = int(n * 0.8), int(n * 0.1)
     groups = {
@@ -91,6 +97,7 @@ def main(argv=None):
         loss2_chunk_size=args.loss2_chunk_size,
         val_max_batches=args.val_max_batches,
         early_stopping_patience=args.early_stopping_patience,
+        early_stopping_min_delta=args.early_stopping_min_delta,
         scan_steps=args.scan_steps,
     )
     out = trainer.train(

@@ -177,16 +177,19 @@ def make_feature_extractor(
 
 
 def extract_marker_features(
-    image_files: Dict[str, np.ndarray],
+    image_files,
     extractor: Callable,
     patch_size: int = 256,
     stride: int = 128,
     white_threshold: Optional[float] = None,
     min_content_ratio: Optional[float] = None,
 ) -> Dict[str, np.ndarray]:
-    """{core_key: uint8 image} -> {core_key: [N_patches, D] features}."""
+    """{core_key: uint8 image} (dict OR lazy (key, image) iterable — the CLI
+    streams one decoded core at a time instead of holding a whole marker
+    directory in RAM) -> {core_key: [N_patches, D] features}."""
+    items = image_files.items() if hasattr(image_files, "items") else image_files
     out = {}
-    for key, img in image_files.items():
+    for key, img in items:
         patches = extract_patches_from_image(
             img, patch_size, stride, white_threshold, min_content_ratio
         )

@@ -87,5 +87,8 @@ class ModelFactory:
         return sorted(MODEL_REGISTRY)
 
 
+
 def create_model(config, seed: int = 0) -> BaseModel:
+    """Package-level convenience export (multimodal_fusion_tpu.models
+    re-exports it); delegates to :meth:`ModelFactory.create_model`."""
     return ModelFactory.create_model(config, seed)

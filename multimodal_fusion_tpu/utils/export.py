@@ -34,6 +34,8 @@ def _channel_specs(model_cfg, wsi_patches: int, tma_patches: int, window):
     import jax.numpy as jnp
     from jax import ShapeDtypeStruct
 
+    from multimodal_fusion_tpu.data.batching import is_bag_channel
+
     D = model_cfg.input_dim
     dims = dict(model_cfg.channel_input_dims or {})
     channels, masks = {}, {}
@@ -46,12 +48,12 @@ def _channel_specs(model_cfg, wsi_patches: int, tma_patches: int, window):
                 f"export does not support hypergraph channels ({ch}); "
                 "serve cust_omics/hypergraph models through cli.predict"
             )
-        if ch.startswith("wsi"):
-            channels[ch] = ShapeDtypeStruct((window, wsi_patches, D), jnp.float32)
-            masks[ch] = ShapeDtypeStruct((window, wsi_patches), jnp.bool_)
-        elif ch.startswith("tma") and ch.endswith("=features"):
-            channels[ch] = ShapeDtypeStruct((window, tma_patches, D), jnp.float32)
-            masks[ch] = ShapeDtypeStruct((window, tma_patches), jnp.bool_)
+        if is_bag_channel(ch):
+            # the same bag/tabular split the batching layer uses — a
+            # hand-rolled suffix check here missed tma=<mk>=patches bags
+            n = wsi_patches if ch.startswith("wsi") else tma_patches
+            channels[ch] = ShapeDtypeStruct((window, n, D), jnp.float32)
+            masks[ch] = ShapeDtypeStruct((window, n), jnp.bool_)
         else:
             channels[ch] = ShapeDtypeStruct((window, 1, dims.get(ch, D)), jnp.float32)
     return channels, masks

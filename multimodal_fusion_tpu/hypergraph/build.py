@@ -808,6 +808,12 @@ def process_single_file(
     mesh=None,
     upload_dtype: str = "float32",
 ) -> Dict:
+    if bucket_patches and save_similarity:
+        raise ValueError(
+            "bucket_patches requires save_similarity=False (the persisted "
+            "[N,N] cache keeps exact shapes); silently skipping the bucket "
+            "would recompile per distinct patch count"
+        )
     wsi_features, wsi_positions = load_wsi_data(h5_path)
     tma_features = load_tma_data(h5_path)
     if tma_features is None:
@@ -1019,9 +1025,16 @@ _BATCH_K_ELEM_BUDGET = 1 << 30
 _MAX_INFLIGHT_CHUNKS = 3
 
 
-def _effective_file_batch(file_batch: int, n: int, full_stats: bool) -> int:
+def _effective_file_batch(
+    file_batch: int, n: int, full_stats: bool, d: int = 1024
+) -> int:
     if not full_stats:
-        return file_batch
+        # blockwise-stats groups (N > FULL_STATS_MAX_N by construction) hold
+        # [B, N, D] features plus ~4 [B, block=1024, N] scan temporaries in
+        # HBM — the budget applies to THAT footprint (review finding: the
+        # early-return left the large-N regime unguarded)
+        per_file_elems = n * d + 4 * 1024 * n
+        return max(1, min(file_batch, _BATCH_K_ELEM_BUDGET // max(per_file_elems, 1)))
     return max(1, min(file_batch, _BATCH_K_ELEM_BUDGET // max(n * n, 1)))
 
 
@@ -1060,6 +1073,12 @@ def process_dataset(
     and perturbs like a seed change otherwise; similarity statistics move at
     the ~1% level, so the default stays f32 (see ``_upload_dt``)."""
     _upload_dt(upload_dtype)  # validate eagerly, not inside per-file isolation
+    if bucket_patches and save_similarity:
+        raise ValueError(
+            "bucket_patches requires save_similarity=False (the persisted "
+            "[N,N] cache keeps exact shapes) — pass save_similarity=False / "
+            "--no_save_similarity"
+        )
     df = pd.read_csv(csv_path)
     if "h5_file_path" not in df.columns:
         raise ValueError("CSV must contain 'h5_file_path' column")

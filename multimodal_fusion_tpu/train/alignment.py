@@ -143,9 +143,13 @@ class MultiModalAlignmentTrainer:
             )
             if self.lambda2 != 0 and neg is not None:
                 aligned_neg = m(neg)
-                keys_sorted = sorted(aligned)
-                pos_fused = jnp.concatenate([aligned[k] for k in keys_sorted], axis=1)
-                neg_fused = jnp.concatenate([aligned_neg[k] for k in keys_sorted], axis=1)
+                # INSERTION order (= modality_names through the collate), the
+                # reference's torch.cat(feat_dict.values()) layout — the frozen
+                # match predictor's input blocks must line up (sorted order
+                # permuted them for non-alphabetical marker lists)
+                keys_in_order = list(aligned)
+                pos_fused = jnp.concatenate([aligned[k] for k in keys_in_order], axis=1)
+                neg_fused = jnp.concatenate([aligned_neg[k] for k in keys_in_order], axis=1)
                 allf = jnp.concatenate([pos_fused, neg_fused], axis=0)
                 labels = jnp.concatenate(
                     [jnp.ones(pos_fused.shape[0]), jnp.zeros(neg_fused.shape[0])]
@@ -153,7 +157,9 @@ class MultiModalAlignmentTrainer:
                 pred = m.predict_match(allf, key=key, train=train)
                 loss = loss + self.lambda2 * binary_cross_entropy(pred[:, 0], labels)
         else:
-            feats = [aligned[k] for k in sorted(aligned)]
+            # insertion order: the volume loss anchors on feature_list[0]
+            # (reference trainer.py:157-201), not the alphabetically first
+            feats = [aligned[k] for k in list(aligned)]
             loss, svd_vals = volume_loss(feats, self.tau1)
         return loss, svd_vals
 
@@ -269,7 +275,17 @@ class MultiModalAlignmentTrainer:
         opt_state = self.opt_state
         key = jax.random.key(seed)
 
+        # reference resets early-stop state at the top of every train()
+        # (trainer.py:715-721); inherited counters made resumed runs stop
+        # after fewer than `patience` non-improvements
+        self.best_val_loss = float("inf")
+        self.early_stop_counter = 0
+
         n = len(train_view)
+        # a batch can never exceed the dataset (DataLoader semantics); the
+        # clamp also keeps the device path's STATIC negative count equal to
+        # the host collate's per-batch count
+        batch_size = min(batch_size, max(n, 1))
         if self.lambda2 != 0:
             # fail loudly like the reference (alignment/trainer.py:305-306)
             # instead of silently optimising a different objective
@@ -305,14 +321,26 @@ class MultiModalAlignmentTrainer:
 
         def next_positions():
             nonlocal order, pos_in_epoch, epoch, key
-            if pos_in_epoch + batch_size > n:
+            if pos_in_epoch >= n:
                 order = rng.permutation(n)
                 pos_in_epoch = 0
                 epoch += 1
+            # the PARTIAL tail batch trains too (reference DataLoader has no
+            # drop_last, run.py:148): dropping it skipped up to b-1 rows per
+            # epoch and advanced the cosine-LR epoch early
             batch_positions = order[pos_in_epoch : pos_in_epoch + batch_size]
-            pos_in_epoch += batch_size
+            pos_in_epoch += len(batch_positions)
             key, sub = jax.random.split(key)
             return batch_positions, self._lr_for_epoch(epoch), sub
+
+        def steps_until_ragged():
+            # scan chunks need same-shape batches: stop a chunk before the
+            # epoch's short tail batch (it runs as a single step)
+            if n % batch_size == 0:
+                return 1 << 30
+            rem = n - pos_in_epoch
+            full = rem // batch_size
+            return full if full > 0 else 1
 
         def make_batch(step_id):
             batch_positions, lr, sub = next_positions()
@@ -323,22 +351,27 @@ class MultiModalAlignmentTrainer:
             return pos, neg_j, has_neg, lr, sub
 
         feats_dev = neg_idx_dev = None
-        need = 0
-        has_neg_dev = False
         if device_data:
             feats_np, neg_idx_np = train_view.device_tables()
             feats_dev = {m: jnp.asarray(v) for m, v in feats_np.items()}
             neg_idx_dev = {m: jnp.asarray(v) for m, v in neg_idx_np.items()}
             pool_len = int(next(iter(neg_idx_np.values())).shape[0])
             ratio = float(getattr(train_view, "mismatch_ratio", 0.0))
-            need = int(np.ceil(batch_size * max(0.0, ratio)))
-            has_neg_dev = self.lambda2 != 0 and need > 0 and pool_len > 0
 
             def make_batch_dev(step_id):
                 batch_positions, lr, sub = next_positions()
                 bp = jnp.asarray(batch_positions, jnp.int32)
-                start = jnp.int32((step_id * need) % pool_len) if has_neg_dev else jnp.int32(0)
-                return bp, start, lr, sub
+                # PER-BATCH negative count, exactly the host collate's
+                # (get_negatives_for_batch): tail batches need fewer
+                # negatives and their start offset uses their own count
+                need_b = int(np.ceil(len(batch_positions) * max(0.0, ratio)))
+                has_neg_b = self.lambda2 != 0 and need_b > 0 and pool_len > 0
+                start = (
+                    jnp.int32((step_id * need_b) % pool_len)
+                    if has_neg_b
+                    else jnp.int32(0)
+                )
+                return bp, start, lr, sub, need_b, has_neg_b
 
         step_i = 0
         while step_i < max_steps:
@@ -346,7 +379,7 @@ class MultiModalAlignmentTrainer:
             boundary = min(boundary, ((step_i // val_interval) + 1) * val_interval)
             if save_interval and save_path:
                 boundary = min(boundary, ((step_i // save_interval) + 1) * save_interval)
-            chunk = min(self.scan_steps, boundary - step_i)
+            chunk = min(self.scan_steps, boundary - step_i, steps_until_ragged())
             t_data = time.perf_counter()
             if chunk >= 2 and device_data:
                 batches = [make_batch_dev(step_i + j) for j in range(chunk)]
@@ -357,9 +390,11 @@ class MultiModalAlignmentTrainer:
                 if self.timer:
                     self.timer.record("data_loading", time.perf_counter() - t_data)
                 t_step = time.perf_counter()
+                # chunks stop before ragged tails, so need/has_neg are
+                # uniform across the chunk
                 state, opt_state, losses, svds = self._steps_dev_scanned(
                     state, opt_state, feats_dev, neg_idx_dev, bps, starts,
-                    keys, lrs, True, has_neg_dev, need,
+                    keys, lrs, True, batches[0][5], batches[0][4],
                 )
                 pending.append((chunk, losses, svds))
                 if self.timer:
@@ -385,13 +420,13 @@ class MultiModalAlignmentTrainer:
                     self.timer.record("train_step", time.perf_counter() - t_step)
                 step_i += chunk
             elif device_data:
-                bp, start, lr, sub = make_batch_dev(step_i)
+                bp, start, lr, sub, need_b, has_neg_b = make_batch_dev(step_i)
                 if self.timer:
                     self.timer.record("data_loading", time.perf_counter() - t_data)
                 t_step = time.perf_counter()
                 state, opt_state, loss, svd_vals = self._step_dev(
                     state, opt_state, feats_dev, neg_idx_dev, bp, start, sub,
-                    lr, True, has_neg_dev, need,
+                    lr, True, has_neg_b, need_b,
                 )
                 if self.timer:
                     jax.block_until_ready(loss)
@@ -415,7 +450,9 @@ class MultiModalAlignmentTrainer:
             if save_interval and save_path and step_i % save_interval == 0:
                 save_state(f"{save_path}.step_{step_i}", state)
 
-            if step_i % val_interval == 0 or step_i == max_steps:
+            # reference validates ONLY on val_interval multiples
+            # (trainer.py:761-776; no extra final-step validation)
+            if step_i % val_interval == 0:
                 flush_pending()
                 t_val = time.perf_counter()
                 val_loss = self.validate(val_view, state, batch_size)
@@ -425,11 +462,14 @@ class MultiModalAlignmentTrainer:
                 if verbose:
                     last = self.history["train_loss"][-1]
                     print(f"step {step_i}: train={last:.4f} val={val_loss:.4f}")
+                # reference order (trainer.py:768-776): best checkpoint on a
+                # PLAIN improvement; min_delta gates only the early-stop
+                # bookkeeping (which alone updates best_val_loss)
+                if val_loss < self.best_val_loss and save_path:
+                    save_state(save_path, state, extra={"step": step_i - 1})
                 if val_loss < self.best_val_loss - self.min_delta:
                     self.best_val_loss = val_loss
                     self.early_stop_counter = 0
-                    if save_path:
-                        save_state(save_path, state, extra={"step": step_i - 1})
                 else:
                     self.early_stop_counter += 1
                     if self.patience > 0 and self.early_stop_counter >= self.patience:
@@ -457,11 +497,14 @@ class MultiModalAlignmentTrainer:
         # tail (trainer.py:647-649); flooring dropped up to batch_size-1
         # samples from the early-stop metric
         n_batches = max(1, -(-n // batch_size))
-        max_batches = self.val_max_batches or n_batches
+        max_batches = (
+            self.val_max_batches if self.val_max_batches is not None else n_batches
+        )
         for b in range(min(max_batches, n_batches)):
             positions = np.arange(b * batch_size, min((b + 1) * batch_size, n))
-            if len(positions) < 2:
-                continue
+            if len(positions) == 0:
+                continue  # reference averages over EVERY loader batch incl.
+                # 1-sample tails (trainer.py:647-649)
             pos, neg = val_view.collate(positions, b)
             has_neg = neg is not None and self.lambda2 != 0
             pos = {k: jnp.asarray(v) for k, v in pos.items()}

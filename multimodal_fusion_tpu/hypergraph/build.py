@@ -596,51 +596,28 @@ def build_hypergraph_knn_kmeans(
     n_total = all_feats.shape[0]
     fa = jnp.asarray(all_feats)
 
-    # KNN edges (k+1 with self in slot 0, then dropped — sklearn semantics)
+    # KNN (k+1 with self in slot 0, dropped in _assemble_edges — sklearn
+    # semantics) + KMeans hyperedge cliques + canonical dedup + cosine
+    # weights, all delegated to the SAME _assemble_edges the fused build
+    # uses (an inline duplicate had started to drift — review finding)
     _, idx = knn_indices(fa, min(k + 1, n_total))
-    idx = np.asarray(idx)
-    src = np.repeat(np.arange(n_total), idx.shape[1] - 1)
-    dst = idx[:, 1:].reshape(-1)
-    knn_pairs = np.stack([src, dst], axis=1)
-
-    # KMeans hyperedges -> clique expansion
     res = kmeans(jax.random.key(seed), fa, k=num_hyperedges, n_init=10)
-    he_labels = np.asarray(res.labels)
-    clique_pairs = []
-    for he in range(num_hyperedges):
-        nodes = np.where(he_labels == he)[0]
-        if len(nodes) > 1:
-            a, b = np.meshgrid(nodes, nodes, indexing="ij")
-            sel = a != b
-            clique_pairs.append(np.stack([a[sel], b[sel]], axis=1))
-    pairs = (
-        np.concatenate([knn_pairs] + clique_pairs, axis=0)
-        if clique_pairs
-        else knn_pairs
+    norm = all_feats / (np.linalg.norm(all_feats, axis=1, keepdims=True) + 1e-12)
+    edge_index, w = _assemble_edges(
+        np.asarray(idx), np.asarray(res.labels), norm, num_hyperedges
     )
 
-    # canonical dedup: undirected sorted pairs, lexicographically ordered
-    und = np.sort(pairs, axis=1)
-    und = np.unique(und, axis=0)
-
-    if und.size == 0:
+    if edge_index.size == 0:
         return (
-            np.empty((2, 0), np.int64),
-            np.empty((0,), np.float32),
+            edge_index,
+            w,
             {"num_nodes": int(n_total), "num_edges": 0},
         )
-
-    # cosine edge weights, batched (reference loops edges in Python)
-    norm = all_feats / (np.linalg.norm(all_feats, axis=1, keepdims=True) + 1e-12)
-    w = np.einsum("ed,ed->e", norm[und[:, 0]], norm[und[:, 1]])
-    w = np.maximum(w, 0.0).astype(np.float32)
-
-    edge_index = und.T.astype(np.int64)
     stats = {
         "num_nodes": int(n_total),
         "num_wsi_super_patches": int(wsi_super_features.shape[0]),
         "num_tma_patches": int(tma_features.shape[0]),
-        "num_edges": int(und.shape[0]),
+        "num_edges": int(edge_index.shape[1]),
         "num_hyperedges": int(num_hyperedges),
         "k": int(k),
     }
@@ -862,56 +839,14 @@ def process_single_file(
         allow_pallas=mesh is None,
     )
     host = jax.device_get(out)  # one bulk transfer
-    if save_similarity:
-        host["K"] = _unpack_triu(host["K"], n)
-    if (host["counts"] == 0).any():
-        # kmeans relocation guarantees non-empty clusters whenever
-        # num_super <= n; this fires only for slides with fewer patches than
-        # super-patches — the reference raises there too
-        # (preprocess_hypergraph.py:163, via sklearn's n_samples check)
-        raise ValueError(
-            "empty cluster in super-patch aggregation "
-            f"(n={n} < num_super_patches={num_wsi_super_patches}?)"
-        )
-    sp_feats, sp_pos = host["sp_feats"], host["sp_pos"]
-    K_wsi, sim = host.get("K"), host["sim"]
-    group_labels = host["group_labels"].astype(np.int64)
-    edge_index, edge_weights = _assemble_edges(
-        host["knn_idx"], host["hyperedge_labels"], host["normed"], num_hyperedges
+    # single-file path delegates to the SAME finalize as the dataset
+    # pipeline (schema cannot drift); errors RAISE here instead of being
+    # isolated per file
+    return _finalize_host(
+        None, None, h5_path, n, tma_features, host, save_similarity,
+        num_wsi_super_patches, num_groups, hypergraph_k, num_hyperedges,
+        raise_errors=True,
     )
-    wsi_stats = {
-        "num_original_patches": int(n),
-        "num_super_patches": int(num_wsi_super_patches),
-        "avg_intra_cluster_similarity": float(host["intra_mean"]),
-        "wsi_similarity_matrix_stats": _stats_dict(host["K_stats"]),
-    }
-    group_stats = {
-        "method": "kmeans",
-        "num_groups": int(num_groups),
-        "group_sizes": np.bincount(group_labels, minlength=num_groups).tolist(),
-    }
-    hg_stats = {
-        "num_nodes": int(sp_feats.shape[0] + tma_features.shape[0]),
-        "num_wsi_super_patches": int(sp_feats.shape[0]),
-        "num_tma_patches": int(tma_features.shape[0]),
-        "num_edges": int(edge_index.shape[1]),
-        "num_hyperedges": int(num_hyperedges),
-        "k": int(hypergraph_k),
-    }
-    all_stats = {
-        "wsi_aggregation": wsi_stats,
-        "similarity": _stats_dict(host["sim_stats"]),
-        "grouping": group_stats,
-        "hypergraph": hg_stats,
-    }
-    save_hypergraph(
-        h5_path, sp_feats, sp_pos, tma_features, edge_index, edge_weights,
-        group_labels, all_stats,
-        wsi_similarity_matrix=K_wsi if save_similarity else None,
-        wsi_tma_similarity_matrix=sim if save_similarity else None,
-    )
-    all_stats["num_patches_processed"] = int(n)
-    return all_stats
 
 
 def _finalize_host(
@@ -926,16 +861,27 @@ def _finalize_host(
     num_groups,
     hypergraph_k,
     num_hyperedges,
+    raise_errors: bool = False,
 ):
     """Host-side edge assembly + stats + h5 write for ONE file's fused-build
     outputs; runs on a thread pool so it overlaps other files' transfers
     (numpy/h5py release the GIL for the heavy parts).  Errors are isolated
-    per file like the reference (preprocess_hypergraph.py:659-670)."""
+    per file like the reference (preprocess_hypergraph.py:659-670), except
+    under ``raise_errors=True`` (the single-file entry, which raises).
+
+    ``process_single_file`` delegates here too (``case_id=None`` skips the
+    per-file metadata keys) so the stats schema cannot drift between the
+    single-file and dataset paths."""
     try:
         if (host["counts"] == 0).any():
-            # only reachable when n_patches < num_super (see
-            # process_single_file)
-            raise ValueError("empty cluster in super-patch aggregation")
+            # kmeans relocation guarantees non-empty clusters whenever
+            # num_super <= n; this fires only for slides with fewer patches
+            # than super-patches — the reference raises there too
+            # (preprocess_hypergraph.py:163, via sklearn's n_samples check)
+            raise ValueError(
+                "empty cluster in super-patch aggregation "
+                f"(n={n_patches} < num_super_patches={num_wsi_super_patches}?)"
+            )
         K_full = _unpack_triu(host["K"], n_patches) if save_similarity else None
         edge_index, edge_weights = _assemble_edges(
             host["knn_idx"], host["hyperedge_labels"], host["normed"], num_hyperedges
@@ -969,11 +915,14 @@ def _finalize_host(
             wsi_similarity_matrix=K_full,
             wsi_tma_similarity_matrix=host["sim"] if save_similarity else None,
         )
-        stats["case_id"] = case_id
-        stats["h5_path"] = h5_rel_path
+        if case_id is not None:
+            stats["case_id"] = case_id
+            stats["h5_path"] = h5_rel_path
         stats["num_patches_processed"] = int(n_patches)
         return stats
     except Exception as e:
+        if raise_errors:
+            raise
         return {"case_id": case_id, "error": str(e)}
 
 

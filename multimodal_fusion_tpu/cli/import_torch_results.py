@@ -21,22 +21,46 @@ from pathlib import Path
 
 from flax import nnx
 
-from multimodal_fusion_tpu.config import Configs
 from multimodal_fusion_tpu.models.factory import ModelFactory
 from multimodal_fusion_tpu.train.checkpoint import save_state
 from multimodal_fusion_tpu.utils.torch_import import import_survival_checkpoint
 
 
 def import_results_dir(src_dir: str | Path, out_dir: str | Path) -> dict:
+    from multimodal_fusion_tpu.utils.results_io import load_configs
+
     src_dir, out_dir = Path(src_dir), Path(out_dir)
+    configs = load_configs(src_dir)
     cfg_files = sorted(src_dir.glob("configs_*.json"))
-    if not cfg_files:
-        raise FileNotFoundError(f"no configs_*.json in {src_dir}")
-    configs = Configs.load(cfg_files[0])
     out_dir.mkdir(parents=True, exist_ok=True)
-    shutil.copy2(cfg_files[0], out_dir / cfg_files[0].name)
+    cfg_out = out_dir / cfg_files[0].name
+    shutil.copy2(cfg_files[0], cfg_out)
     for extra in src_dir.glob("splits_*.csv"):  # keep the persisted splits
         shutil.copy2(extra, out_dir / extra.name)
+
+    # a torch-format alignment checkpoint named by the config converts too
+    # (downstream tools hard-error on a missing/unreadable alignment model)
+    align_path = configs.experiment_config.get("alignment_model_path", None)
+    converted_alignment = None
+    if align_path:
+        src_align = Path(align_path)
+        if not src_align.is_absolute():
+            src_align = src_dir / src_align
+        if src_align.exists() and src_align.suffix in (".pt", ".pth"):
+            from multimodal_fusion_tpu.utils.torch_import import (
+                convert_alignment_checkpoint,
+            )
+
+            converted_alignment = convert_alignment_checkpoint(
+                src_align, out_dir / "alignment_model.npz"
+            )
+            raw = json.loads(cfg_out.read_text())
+            raw["experiment_config"]["alignment_model_path"] = str(converted_alignment)
+            cfg_out.write_text(json.dumps(raw, indent=2, sort_keys=True))
+        elif not src_align.exists():
+            print(f"WARNING: alignment_model_path {align_path!r} not found "
+                  "next to the results dir; downstream tools will refuse to "
+                  "run until the checkpoint is supplied or the path cleared")
 
     converted, leftovers = [], {}
     for ckpt in sorted(src_dir.glob("s_*_checkpoint.pt")):
@@ -52,7 +76,12 @@ def import_results_dir(src_dir: str | Path, out_dir: str | Path) -> dict:
             leftovers[fold] = leftover
     if not converted:
         raise FileNotFoundError(f"no s_<fold>_checkpoint.pt in {src_dir}")
-    return {"folds": converted, "out_dir": str(out_dir), "unmapped_keys": leftovers}
+    return {
+        "folds": converted,
+        "out_dir": str(out_dir),
+        "unmapped_keys": leftovers,
+        "alignment_model": str(converted_alignment) if converted_alignment else None,
+    }
 
 
 def build_parser():

@@ -187,6 +187,11 @@ def args_to_configs(args, channel_input_dims: Dict[str, int]) -> Configs:
         alignment_model_path=args.alignment_model_path,
         results_dir=args.results_dir,
     )
+    # the channel->modality mapping itself must persist (results_io rebuilds
+    # the dataset for predict/robust from the config alone; keys-only lost
+    # colon mappings)
+    if getattr(args, "_aligned_map", None):
+        ec.extra["aligned_channels_map"] = dict(args._aligned_map)
     for k, v in json.loads(args.tpu_opts).items():
         if hasattr(ec, k):
             setattr(ec, k, v)
@@ -218,6 +223,7 @@ def main(argv=None) -> Path:
         for ch in parse_channels(plain) if plain else []:
             aligned_map[ch] = ch
         args.aligned_channels = list(aligned_map)
+    args._aligned_map = aligned_map
     args.channels_used_in_model = parse_channels(
         [c.lower() if "=" not in c else c for c in args.channels_used_in_model]
     )

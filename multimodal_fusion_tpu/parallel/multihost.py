@@ -264,18 +264,20 @@ def launch(num_processes: int = 2, local_devices: int = LOCAL_DEVICES,
         for i in range(num_processes)
     ]
     outs = []
-    for i, p in enumerate(procs):
-        try:
+    try:
+        for i, p in enumerate(procs):
             out, _ = p.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            for q in procs:
+            outs.append(out)
+            if p.returncode != 0:
+                raise RuntimeError(f"worker {i} failed:\n{out[-3000:]}")
+            if f"multihost OK proc {i}/" not in out:
+                raise RuntimeError(f"worker {i} produced no OK line:\n{out[-3000:]}")
+    finally:
+        # a failed/hung worker must not leak its siblings (they block in
+        # jax.distributed.initialize on the dead coordinator)
+        for q in procs:
+            if q.poll() is None:
                 q.kill()
-            raise
-        outs.append(out)
-        if p.returncode != 0:
-            raise RuntimeError(f"worker {i} failed:\n{out[-3000:]}")
-        if f"multihost OK proc {i}/" not in out:
-            raise RuntimeError(f"worker {i} produced no OK line:\n{out[-3000:]}")
     return "\n".join(outs)
 
 

@@ -130,8 +130,8 @@ def load_subtree(path: str | Path, template, prefix: str):
     return new_tree
 
 
-def save_model(path: str | Path, model: nnx.Module, extra: Optional[Dict[str, Any]] = None) -> None:
-    save_state(path, nnx.state(model), extra)
+def save_model(path: str | Path, model: nnx.Module, extra: Optional[Dict[str, Any]] = None) -> Path:
+    return save_state(path, nnx.state(model), extra)
 
 
 def load_model(path: str | Path, model: nnx.Module) -> Dict[str, Any]:

@@ -24,7 +24,6 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
-from multimodal_fusion_tpu.config import Configs
 
 
 def _channel_specs(model_cfg, wsi_patches: int, tma_patches: int, window):
@@ -78,11 +77,10 @@ def export_serving_fn(
     from multimodal_fusion_tpu.models.factory import ModelFactory
     from multimodal_fusion_tpu.train.checkpoint import load_state
 
+    from multimodal_fusion_tpu.utils.results_io import load_configs
+
     results_dir = Path(results_dir)
-    cfg_files = sorted(results_dir.glob("configs_*.json"))
-    if not cfg_files:
-        raise FileNotFoundError(f"no configs_*.json in {results_dir}")
-    configs = Configs.load(cfg_files[0])
+    configs = load_configs(results_dir)
     mc = configs.model_config
 
     model = ModelFactory.create_model(mc, seed=configs.experiment_config.seed)

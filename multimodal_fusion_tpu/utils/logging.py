@@ -16,16 +16,18 @@ from multimodal_fusion_tpu.train.metrics import per_class_accuracy
 
 
 class FoldLogger:
-    FIELDS = [
-        "epoch", "lr", "train_loss", "val_loss", "val_auc", "val_acc",
-        "val_acc_class0", "val_acc_class1", "time_s",
-    ]
-
     def __init__(self, log_dir: str | Path, fold_idx: int, n_classes: int = 2):
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self.fold_idx = fold_idx
         self.n_classes = n_classes
+        # per-class columns follow n_classes (hardcoding class0/1 silently
+        # dropped classes >= 2 from the epoch CSV)
+        self.FIELDS = (
+            ["epoch", "lr", "train_loss", "val_loss", "val_auc", "val_acc"]
+            + [f"val_acc_class{i}" for i in range(n_classes)]
+            + ["time_s"]
+        )
         self.csv_path = self.log_dir / f"fold_{fold_idx}_epochs.csv"
         self._rows: List[Dict] = []
         self.best: Dict = {}
@@ -46,10 +48,10 @@ class FoldLogger:
             "val_loss": val["loss"],
             "val_auc": val["auc"],
             "val_acc": val["acc"],
-            "val_acc_class0": pca.get(0, float("nan")),
-            "val_acc_class1": pca.get(1, float("nan")),
             "time_s": time_s,
         }
+        for i in range(self.n_classes):
+            row[f"val_acc_class{i}"] = pca.get(i, float("nan"))
         self._rows.append(row)
         with open(self.csv_path, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self.FIELDS)

@@ -11,8 +11,9 @@ deployment recipe).
 
 The input CSV needs the usual ``patient_id, case_id, h5_file_path`` columns;
 ``label`` is OPTIONAL (unknown at serving time) — when absent, a placeholder
-is injected so the dataset layer's validation/filtering still applies, and the
-returned AUC/ACC are NaN.  Class-probability columns follow the TRAINING
+is injected so the dataset layer's validation/filtering still applies (the
+returned dict carries probabilities/risk only — per-fold AUC/ACC against
+placeholder labels would be meaningless and are not surfaced).  Class-probability columns follow the TRAINING
 label order (sorted unique labels, reference multimodal_dataset.py:123-133 —
 e.g. ``deceased``=0, ``living``=1 for the survival CSV).
 """
@@ -100,7 +101,18 @@ def predict(
             row[f"fold_{f}_prob_1"] = float(per_fold[f]["probs"][i][1])
         rows.append(row)
 
-    out = Path(output_path) if output_path else results_dir / "predictions"
+    import os as _os
+
+    if output_path:
+        out = Path(output_path)
+    elif _os.access(results_dir, _os.W_OK):
+        out = results_dir / "predictions"
+    else:
+        # read-only results artifact (the same assumption the placeholder
+        # CSV makes above): don't lose minutes of scoring to a
+        # PermissionError at write time
+        out = Path.cwd() / "predictions"
+        print(f"results dir not writable; writing {out}.csv/.json")
     out.parent.mkdir(parents=True, exist_ok=True)
     with open(f"{out}.csv", "w", newline="") as fh:
         w = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))

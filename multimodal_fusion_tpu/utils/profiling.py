@@ -23,11 +23,13 @@ class StageTimer:
         self.stats: Dict[str, list] = defaultdict(list)
 
     @contextlib.contextmanager
-    def stage(self, name: str, block: bool = False, result=None):
+    def stage(self, name: str):
+        """Wall-clock a with-block.  To include device time of JAX work
+        dispatched inside the block, call ``jax.block_until_ready`` on the
+        block's outputs before it exits (a block-on-result parameter cannot
+        work: the result doesn't exist at with-entry)."""
         t0 = time.perf_counter()
         yield
-        if block and result is not None:
-            jax.block_until_ready(result)
         self.stats[name].append(time.perf_counter() - t0)
 
     def record(self, name: str, seconds: float) -> None:

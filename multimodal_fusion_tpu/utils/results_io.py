@@ -43,7 +43,15 @@ def build_dataset(configs: Configs, csv_path, data_root_dir) -> MultimodalDatase
     align_fn = None
     align_channels = None
     model_path = exp.get("alignment_model_path", None)
-    if model_path and Path(model_path).exists():
+    if model_path and not Path(model_path).exists():
+        # a named-but-missing alignment model must be a HARD error at
+        # serving time: silently scoring raw features would be garbage
+        raise FileNotFoundError(
+            f"config names alignment_model_path={model_path!r} but the file "
+            "does not exist on this host — copy the alignment checkpoint or "
+            "clear the path in configs_*.json"
+        )
+    if model_path:
         from flax import nnx
 
         from multimodal_fusion_tpu.models.alignment import (
@@ -53,7 +61,12 @@ def build_dataset(configs: Configs, csv_path, data_root_dir) -> MultimodalDatase
         from multimodal_fusion_tpu.train.alignment import make_alignment_apply_fn
         from multimodal_fusion_tpu.train.checkpoint import load_model
 
-        align_channels = {c: c for c in (exp.get("aligned_channels", None) or [])}
+        # the persisted channel->modality MAP when present (colon-form
+        # mappings); identity over the key list otherwise
+        align_channels = dict(
+            exp.get("aligned_channels_map", None)
+            or {c: c for c in (exp.get("aligned_channels", None) or [])}
+        )
         num_layers, feature_dim = infer_alignment_arch(model_path)
         model = MultiModalAlignmentModel(
             sorted(align_channels.values()),

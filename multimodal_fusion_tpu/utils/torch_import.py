@@ -296,3 +296,32 @@ def import_alignment_checkpoint(model, checkpoint) -> List[str]:
             [model.mlp_predictor.fc1, model.mlp_predictor.fc2], "mlp_predictor.mlp"
         )
     return imp.leftover()
+
+
+def convert_alignment_checkpoint(src_path, dst_path):
+    """Convert a reference torch alignment checkpoint to our npz format,
+    deriving modalities/depth/dim from the state_dict keys; returns the
+    written path."""
+    import re
+
+    from flax import nnx
+
+    from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
+    from multimodal_fusion_tpu.train.checkpoint import save_model
+
+    sd = load_torch_state_dict(src_path)
+    pat = re.compile(r"alignment_layers\.([^.]+)\.(\d+)\.weight$")
+    mods, depth, dim = set(), 0, None
+    for k, v in sd.items():
+        m = pat.match(k)
+        if m:
+            mods.add(m.group(1))
+            depth = max(depth, int(m.group(2)) + 1)
+            dim = int(v.shape[0])
+    if not mods:
+        raise ValueError(f"{src_path} has no alignment_layers keys")
+    model = MultiModalAlignmentModel(
+        sorted(mods), feature_dim=dim, num_layers=depth, rngs=nnx.Rngs(0)
+    )
+    import_alignment_checkpoint(model, sd)
+    return save_model(dst_path, model)

@@ -489,3 +489,59 @@ def test_kfold_split_membership_matches_reference(tmp_path):
     with pytest.raises(ValueError, match="matched no dataset patient ids"):
         create_k_fold_splits(label_int, 3, 5, patient_ids=case_ids,
                              fixed_split_path=bad)
+
+
+def test_import_results_dir_converts_alignment_checkpoint(tmp_path):
+    """A reference results dir whose config names a torch alignment
+    checkpoint migrates fully: the .pt converts to our npz, the copied
+    config's path is rewritten, and the converted model's forward matches
+    the torch original."""
+    from alignment.alignment_model import MultiModalAlignmentModel as RefAlign
+
+    from multimodal_fusion_tpu.cli.import_torch_results import import_results_dir
+    from multimodal_fusion_tpu.config import Configs, ExperimentConfig
+    from multimodal_fusion_tpu.models.alignment import (
+        MultiModalAlignmentModel as MyAlign,
+        infer_alignment_arch,
+    )
+    from multimodal_fusion_tpu.train.checkpoint import load_model
+    from models.mil import MIL_fc as RefMIL
+
+    src = tmp_path / "ref_results"
+    src.mkdir()
+    torch.manual_seed(12)
+    ref_align = RefAlign(["cd3", "cd8"], 16, num_layers=2)
+    torch.save({"model_state_dict": ref_align.state_dict()}, src / "align.pt")
+
+    mc = ModelConfig.from_dict({
+        "model_type": "mil", "n_classes": 2, "input_dim": D_IN,
+        "model_size": "16*8", "dropout": 0.0, "output_dim": D_OUT,
+        "channels_used_in_model": ["wsi=features"],
+    })
+    ec = ExperimentConfig(exp_name="m", seed=0, k_folds=1, max_epochs=1,
+                          batch_size=4, lr=1e-3)
+    ec.alignment_model_path = str(src / "align.pt")
+    Configs(experiment_config=ec, model_config=mc).save(src / "configs_m.json")
+    ref_mil = RefMIL({**mc.to_dict(), "device": "cpu"})
+    torch.save(ref_mil.state_dict(), src / "s_0_checkpoint.pt")
+
+    res = import_results_dir(src, tmp_path / "converted")
+    assert res["alignment_model"] is not None
+    conv = Path(res["alignment_model"])
+    assert conv.exists()
+    # rewritten config points at the converted npz
+    cfg = Configs.load(tmp_path / "converted" / "configs_m.json")
+    assert cfg.experiment_config.alignment_model_path == str(conv)
+    # converted forward == torch original
+    num_layers, dim = infer_alignment_arch(conv)
+    mine = MyAlign(["cd3", "cd8"], feature_dim=dim, num_layers=num_layers,
+                   rngs=nnx.Rngs(0))
+    load_model(conv, mine)
+    x = np.random.default_rng(2).standard_normal((3, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_align({"cd3": torch.tensor(x), "cd8": torch.tensor(x)})
+    out = mine({"cd3": jnp.asarray(x), "cd8": jnp.asarray(x)})
+    for m in ("cd3", "cd8"):
+        np.testing.assert_allclose(
+            np.asarray(out[m]), ref_out[m].numpy(), rtol=1e-4, atol=1e-5
+        )

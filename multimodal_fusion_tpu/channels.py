@@ -80,10 +80,17 @@ def get_available_channels() -> Dict[str, List[str]]:
         "TMA Features channels": ["tma"] + list(TMA_MARKERS),
         "TMA Patches channels": ["tma_patches"] + [f"{mk}_patches" for mk in TMA_MARKERS],
         **{
-            f"{grp.capitalize()} channels": [grp, f"{grp}_ori", f"{grp}_mask", f"{grp}_ori_mask"]
+            # exact reference headings (main.py:570-574): capitalize() would
+            # render 'Icd'/'Tma_cell_density'
+            f"{_GROUP_HEADINGS.get(grp, grp.capitalize())} channels": [
+                grp, f"{grp}_ori", f"{grp}_mask", f"{grp}_ori_mask"
+            ]
             for grp in _TABULAR_GROUPS
         },
     }
+
+
+_GROUP_HEADINGS = {"icd": "ICD", "tma_cell_density": "TMA Cell Density"}
 
 
 def h5_path_for_channel(channel: str) -> str:

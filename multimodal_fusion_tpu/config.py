@@ -137,8 +137,10 @@ class ExperimentConfig:
     scheduler: Optional[str] = None  # step|cosine|cosine_warm_restart|plateau|exponential
     scheduler_params: Dict[str, Any] = field(default_factory=dict)
     early_stopping: bool = True
-    patience: int = 20
-    min_epochs: int = 50
+    # the reference TRAINER constructs EarlyStopping(patience=25,
+    # stop_epoch=10) (trainer.py:700-707) — not the class defaults 20/50
+    patience: int = 25
+    min_epochs: int = 10
     monitor_metric: str = "auc"  # 'auc' | 'acc' | 'loss'
     monitor_mode: str = "max"  # 'max' | 'min'
     weighted_sampling: bool = True
@@ -171,8 +173,28 @@ class ExperimentConfig:
         d.update(d.pop("extra"))
         return d
 
+    # The reference's configs_<exp>.json uses these key names
+    # (main.py:950-973); loading one of its files must not silently fall
+    # back to OUR defaults for optimizer/decay/folds/scheduler
+    _REFERENCE_ALIASES = {
+        "exp_code": "exp_name",
+        "num_splits": "k_folds",
+        "reg": "weight_decay",
+        "opt": "optimizer",
+        "dataset_split_path": "fixed_split_path",
+    }
+
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ExperimentConfig":
+        d = dict(d)
+        for src, dst in cls._REFERENCE_ALIASES.items():
+            if src in d and dst not in d:
+                d[dst] = d.pop(src)
+        # reference scheduler_config = {"type": ..., **params}
+        if "scheduler_config" in d and "scheduler" not in d:
+            sc = dict(d.pop("scheduler_config") or {})
+            d["scheduler"] = sc.pop("type", None)
+            d.setdefault("scheduler_params", sc)
         known = {f.name for f in dataclasses.fields(cls)} - {"extra"}
         kw = {k: v for k, v in d.items() if k in known}
         extra = {k: v for k, v in d.items() if k not in known}

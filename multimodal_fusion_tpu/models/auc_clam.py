@@ -20,6 +20,11 @@ from multimodal_fusion_tpu.ops.losses import aucm_loss
 
 
 class AUCCLAM(CLAM):
+    # validation adds ONE AUCM group loss over the whole evaluated set,
+    # mirroring the reference's group_logits stash guard
+    # (trainer.py:906-912); see SurvivalTrainer._eval_summary
+    stashes_group_logits = True
+
     def __init__(self, config: ModelConfig, rngs: nnx.Rngs):
         super().__init__(config, rngs)
         # stored but NEVER applied — reference parity: auc_clam.py:316 and

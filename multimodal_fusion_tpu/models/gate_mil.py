@@ -215,6 +215,7 @@ class GateMILDetach(GateSharedMIL):
 
 
 class GateAUCMIL(GateMIL):
+    stashes_group_logits = True  # reference adds its AUCM loss in validation
     """GateMIL + AUCM margin group loss over the accumulation window
     (reference gate_auc_mil.py:28-35,169-180)."""
 

@@ -70,3 +70,17 @@ def per_class_accuracy(preds: np.ndarray, labels: np.ndarray, n_classes: int) ->
         sel = labels == c
         out[c] = float((preds[sel] == c).mean()) if sel.any() else float("nan")
     return out
+
+
+def multiclass_auroc_macro(probs: np.ndarray, labels: np.ndarray) -> float:
+    """Macro one-vs-rest AUROC (torchmetrics AUROC(task='multiclass',
+    average='macro') semantics, the reference's n_classes > 2 path —
+    trainer.py:920-921).  ``probs`` [N, C]."""
+    probs = np.asarray(probs, np.float64)
+    labels = np.asarray(labels)
+    aucs = []
+    for c in range(probs.shape[1]):
+        a = binary_auroc(probs[:, c], (labels == c).astype(int))
+        if not np.isnan(a):
+            aucs.append(a)
+    return float(np.mean(aucs)) if aucs else float("nan")

@@ -37,14 +37,23 @@ from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
 from multimodal_fusion_tpu.data.splits import FoldSplit, WeightedRandomSampler, save_fold_split
 from multimodal_fusion_tpu.models.factory import ModelFactory
 from multimodal_fusion_tpu.train.checkpoint import load_state, save_state
-from multimodal_fusion_tpu.train.metrics import accuracy, binary_auroc
+from multimodal_fusion_tpu.train.metrics import (
+    accuracy,
+    binary_auroc,
+    multiclass_auroc_macro,
+)
 from multimodal_fusion_tpu.train.optim import LRSchedule, make_optimizer
 
 
 class EarlyStopping:
-    def __init__(self, patience=20, stop_epoch=50, mode="max", min_delta=0.0):
+    def __init__(self, patience=25, stop_epoch=10, mode="max", min_delta=0.0):
         self.patience = patience
         self.stop_epoch = stop_epoch
+        mode = str(mode).lower()
+        if mode not in ("max", "min"):
+            # the reference normalises and raises too — anything else would
+            # silently take the min-branch and restore the WORST epoch
+            raise ValueError(f"mode must be 'max' or 'min', got {mode!r}")
         self.mode = mode
         self.min_delta = min_delta
         self.counter = 0
@@ -430,6 +439,15 @@ class SurvivalTrainer:
         eval_step.scanned = eval_steps_scanned
         eval_step.dev = eval_step_dev
         eval_step.dev_scanned = eval_steps_dev_scanned
+        # AUCM-family models accumulate group logits across the WHOLE
+        # validation set and add ONE group loss (reference trainer.py:906-912
+        # — the hasattr(model, 'group_logits') guard selects exactly these;
+        # SVD/CLIP models do NOT add theirs in validation)
+        eval_step.group_eval = (
+            model.group_loss_fn
+            if getattr(model, "stashes_group_logits", False)
+            else None
+        )
         return eval_step
 
     # ------------------------------------------------------------------
@@ -538,9 +556,12 @@ class SurvivalTrainer:
         buf: List[Any] = []
         buf_sig = None
 
-        def emit(probs, preds, losses, risk):
+        all_logits = []
+
+        def emit(logits, probs, preds, losses, risk):
             # keep results as device arrays so eval windows pipeline (JAX
             # async dispatch); one host sync after the last window
+            all_logits.append(logits)
             all_probs.append(probs)
             all_preds.append(preds)
             all_loss.append(losses)
@@ -556,6 +577,7 @@ class SurvivalTrainer:
                 logits, probs, preds, losses, risk = scanned(params, rest, windows, kstack)
                 # stacked [W, G, ...] -> flatten the scan axis
                 emit(
+                    logits.reshape((-1,) + logits.shape[2:]),
                     probs.reshape((-1,) + probs.shape[2:]),
                     preds.reshape((-1,) + preds.shape[2:]),
                     losses.reshape(-1),
@@ -564,7 +586,7 @@ class SurvivalTrainer:
             else:
                 for _, window, keys in buf:
                     logits, probs, preds, losses, risk = eval_step(params, rest, window, keys)
-                    emit(probs, preds, losses, risk)
+                    emit(logits, probs, preds, losses, risk)
             buf = []
             buf_sig = None
 
@@ -578,7 +600,7 @@ class SurvivalTrainer:
             patient_ids.extend(chunk)
             if scanned is None:
                 logits, probs, preds, losses, risk = eval_step(params, rest, window, keys)
-                emit(probs, preds, losses, risk)
+                emit(logits, probs, preds, losses, risk)
                 continue
             sig = _window_sig(window)
             if buf and sig != buf_sig:
@@ -589,19 +611,35 @@ class SurvivalTrainer:
                 flush_buf()
         flush_buf()
         return self._eval_summary(
-            dataset, all_probs, all_preds, all_labels, all_loss, all_risk, patient_ids
+            dataset, all_probs, all_preds, all_labels, all_loss, all_risk,
+            patient_ids, all_logits=all_logits,
+            group_eval=getattr(eval_step, "group_eval", None),
         )
 
     def _eval_summary(
-        self, dataset, all_probs, all_preds, all_labels, all_loss, all_risk, patient_ids
+        self, dataset, all_probs, all_preds, all_labels, all_loss, all_risk,
+        patient_ids, all_logits=None, group_eval=None,
     ) -> Dict[str, Any]:
         probs = np.concatenate([np.asarray(p)[:, 0, :] for p in all_probs])
         preds = np.concatenate([np.asarray(p).reshape(-1) for p in all_preds])
         labels = np.concatenate(all_labels)
         risk = np.concatenate([np.asarray(r).reshape(-1) for r in all_risk])
         loss = float(np.concatenate([np.asarray(l) for l in all_loss]).mean())
+        if group_eval is not None and all_logits:
+            # ONE group loss over the whole evaluated set, added to the
+            # case-mean like the reference's logger.batch_log['loss'] +=
+            # group_loss; total / len(loader)
+            logits_all = np.concatenate([np.asarray(x) for x in all_logits])
+            gl = float(
+                group_eval({"logits": jnp.asarray(logits_all), "label": jnp.asarray(labels)})
+            )
+            loss = loss + gl / max(len(labels), 1)
         out = {
-            "auc": binary_auroc(probs[:, 1], labels),
+            # macro multiclass AUROC above 2 classes (reference
+            # trainer.py:916-921; the binary statistic is meaningless there)
+            "auc": binary_auroc(probs[:, 1], labels)
+            if probs.shape[1] == 2
+            else multiclass_auroc_macro(probs, labels),
             "acc": accuracy(preds, labels),
             "loss": loss,
             "probs": probs,
@@ -627,15 +665,19 @@ class SurvivalTrainer:
         all_probs, all_preds, all_labels, all_loss, all_risk, patient_ids = [], [], [], [], [], []
         G = min(self.exp.batch_size, 16)
         scanW = max(1, int(self.exp.get("scan_windows", 1) or 1))
+        all_labels_arr = np.asarray(dataset.labels)  # property: hoist once
         rows = np.asarray([row_of[int(i)] for i in indices], np.int32)
         win_idx = [rows[s : s + G] for s in range(0, len(rows), G)]
         n_win = len(win_idx)
         n_full = n_win - (1 if n_win and len(win_idx[-1]) != G else 0)
-        labels_np = np.asarray([dataset.labels[int(i)] for i in indices])
+        labels_np = all_labels_arr[np.asarray(indices, int)]
         patient_ids.extend(dataset.case_ids[int(i)] for i in indices)
         all_labels.append(labels_np)
 
-        def emit(probs, preds, losses, risk):
+        all_logits = []
+
+        def emit(logits, probs, preds, losses, risk):
+            all_logits.append(logits)
             all_probs.append(probs)
             all_preds.append(preds)
             all_loss.append(losses)
@@ -655,6 +697,7 @@ class SurvivalTrainer:
                     params, rest, tables, idxs, kst
                 )
                 emit(
+                    logits.reshape((-1,) + logits.shape[2:]),
                     probs.reshape((-1,) + probs.shape[2:]),
                     preds.reshape((-1,) + preds.shape[2:]),
                     losses.reshape(-1),
@@ -665,15 +708,17 @@ class SurvivalTrainer:
                 logits, probs, preds, losses, risk = eval_step.dev(
                     params, rest, tables, jnp.asarray(win_idx[p]), keys_per_win[p]
                 )
-                emit(probs, preds, losses, risk)
+                emit(logits, probs, preds, losses, risk)
                 p += 1
         if n_full < n_win:  # leftover partial window
             logits, probs, preds, losses, risk = eval_step.dev(
                 params, rest, tables, jnp.asarray(win_idx[-1]), keys_per_win[-1]
             )
-            emit(probs, preds, losses, risk)
+            emit(logits, probs, preds, losses, risk)
         return self._eval_summary(
-            dataset, all_probs, all_preds, all_labels, all_loss, all_risk, patient_ids
+            dataset, all_probs, all_preds, all_labels, all_loss, all_risk,
+            patient_ids, all_logits=all_logits,
+            group_eval=getattr(eval_step, "group_eval", None)
         )
 
     # ------------------------------------------------------------------

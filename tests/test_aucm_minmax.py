@@ -154,3 +154,60 @@ def test_auc_model_training_improves_auc(model_type):
     saddle_final = 1.0 + np.mean(p * m * ~pos - q * m * pos) / (p * q)
     if saddle_final < 0:  # separable: saddle went negative, alpha followed
         assert alpha_traj[-1] < alpha_traj.max()
+
+
+def test_aucm_eval_group_loss_in_validation(tmp_path):
+    """The reference adds ONE AUCM group loss over the whole validation set
+    (trainer.py:906-912, the group_logits stash guard — AUCM models only);
+    the eval summary must include it, and SVD models must NOT get theirs."""
+    import numpy as np
+
+    from multimodal_fusion_tpu.config import Configs, ExperimentConfig, ModelConfig
+    from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
+    from multimodal_fusion_tpu.data.splits import create_k_fold_splits
+    from multimodal_fusion_tpu.io.fixtures import make_synthetic_dataset
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    root = tmp_path / "d"
+    csv_path = make_synthetic_dataset(
+        root, n_patients=12, seed=3, min_wsi_patches=8, max_wsi_patches=12,
+        feature_dim=16,
+    )
+    ds = MultimodalDataset(csv_path, root, channels=["wsi=features"])
+    splits = create_k_fold_splits(ds.labels, 3, seed=0)
+
+    def eval_loss(model_type, **extra):
+        mc = ModelConfig(
+            model_type=model_type, n_classes=2, input_dim=16,
+            model_size="16*8", output_dim=16,
+            channels_used_in_model=["wsi=features"], **extra,
+        )
+        ec = ExperimentConfig(exp_name="ag", seed=0, k_folds=3, max_epochs=1,
+                              batch_size=4, lr=1e-3)
+        ec.extra["verbose"] = False
+        tr = SurvivalTrainer(Configs(experiment_config=ec, model_config=mc),
+                             tmp_path / model_type)
+        tr.train_fold(ds, splits[0], 0)
+        model, graphdef, params, rest = tr._build_model(0)
+        from multimodal_fusion_tpu.train.checkpoint import load_state
+
+        restored, _ = load_state(
+            tmp_path / model_type / "s_0_checkpoint.npz",
+            {"params": params, "rest": rest},
+        )
+        params, rest = restored["params"], restored["rest"]
+        step = tr._make_eval_step(model, graphdef)
+        import jax
+
+        res_with = tr._evaluate(ds, splits[0].test_idx, step, params, rest,
+                                jax.random.key(0))
+        # same evaluation with the group hook disabled isolates the term
+        step.group_eval = None
+        res_without = tr._evaluate(ds, splits[0].test_idx, step, params, rest,
+                                   jax.random.key(0))
+        return res_with["loss"], res_without["loss"], model
+
+    with_g, without_g, model = eval_loss("auc_clam")
+    assert getattr(model, "stashes_group_logits", False)
+    assert with_g != without_g  # AUCM group term included exactly once
+    assert np.isfinite(with_g)

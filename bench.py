@@ -401,6 +401,149 @@ def run_training_ours(n_steps: int = 16) -> float:
     return best, best_scan
 
 
+def run_mfu_report() -> dict:
+    """Device-resident MFU/roofline accounting (VERDICT r2 next-step #1).
+
+    Inputs pre-staged in HBM; the timed region is the jitted computation
+    alone, so these numbers are the CHIP's, not the relay's.  Reported per
+    stage: achieved TFLOP/s, MFU vs chip peak, arithmetic intensity and
+    fraction-of-roofline (see multimodal_fusion_tpu.utils.mfu)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from multimodal_fusion_tpu.utils.mfu import chip_peaks, measure_device
+
+    report: dict = {"chip": chip_peaks()[0]}
+    rng = np.random.default_rng(0)
+
+    # (a) fused hypergraph build, compute-on-read shapes (the headline
+    # workload: similarity [N,N] + kmeans x3 + knn on device, f32)
+    from multimodal_fusion_tpu.hypergraph.build import _fused_build
+
+    feats = jax.device_put(
+        jnp.asarray(rng.standard_normal((N_PATCHES, DIM)), jnp.float32)
+    )
+    pos = jax.device_put(jnp.asarray(rng.uniform(0, 4, (N_PATCHES, 2)), jnp.float32))
+    tma = jax.device_put(jnp.asarray(rng.standard_normal((N_TMA, DIM)), jnp.float32))
+    key = jax.device_put(jax.random.key(0))
+
+    def build(key, feats, pos, tma):
+        return _fused_build(
+            key, feats, pos, tma, jnp.int32(N_PATCHES), 1.0, 1.0,
+            NUM_SUPER, NUM_GROUPS, K, NUM_HYPEREDGES,
+            full_stats=True, ship_cache=False,
+        )
+
+    report["hypergraph_build"] = measure_device(
+        build, (key, feats, pos, tma), iters=4, dtype="float32",
+        work_items=N_PATCHES,
+    )
+
+    # (b) flagship training window step (fwd+bwd+SVD group loss+Adam, f32)
+    import optax
+
+    from multimodal_fusion_tpu.models.factory import ModelFactory
+    from multimodal_fusion_tpu.train.optim import make_optimizer
+
+    cfg = _flagship_cfg()
+    cfg.extra.update(enable_svd=True, enable_dynamic_gate=True, enable_random_loss=False)
+    model = ModelFactory.create_model(cfg, seed=0)
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    tx = make_optimizer("adam", 1e-4)
+    opt_state = tx.init(params)
+    G = INF_BATCH
+    window = {
+        "channels": {
+            "wsi=features": jnp.asarray(rng.standard_normal((G, INF_WSI, DIM)), jnp.float32),
+            "tma=cd3=features": jnp.asarray(rng.standard_normal((G, INF_TMA, DIM)), jnp.float32),
+            "clinical=val": jnp.asarray(rng.standard_normal((G, 1, 16)), jnp.float32),
+            "clinical=mask": jnp.ones((G, 1, 16), jnp.float32),
+        },
+        "masks": {
+            "wsi=features": jnp.ones((G, INF_WSI), bool),
+            "tma=cd3=features": jnp.ones((G, INF_TMA), bool),
+        },
+        "label": jnp.asarray(np.tile([0, 1], G // 2), jnp.int32),
+    }
+    window = jax.device_put(window)
+    keys = jax.device_put(jax.random.split(jax.random.key(0), G))
+    params = jax.device_put(params)
+    rest = jax.device_put(rest)
+    opt_state = jax.device_put(opt_state)
+
+    def train_step(params, rest, opt_state, window, keys):
+        def loss_fn(params):
+            def one(channels, masks, label, key):
+                m = nnx.merge(graphdef, params, rest)
+                res = m({"channels": channels, "masks": masks}, label, key=key, train=True)
+                return m.loss_fn(res["logits"], label[None], res), res
+
+            losses, results = jax.vmap(one)(
+                window["channels"], window["masks"], window["label"], keys
+            )
+            m = nnx.merge(graphdef, params, rest)
+            gr = dict(results)
+            gr["label"] = window["label"]
+            return (jnp.sum(losses) + m.group_loss_fn(gr)) / G
+
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(
+            params, jax.tree.map(lambda u: -1e-4 * u, updates)
+        ), opt_state
+
+    report["train_window_step"] = measure_device(
+        train_step, (params, rest, opt_state, window, keys), iters=8,
+        dtype="float32", work_items=G,
+    )
+
+    # (c) flagship eval forward (the inference path, f32)
+    def eval_step(params, rest, window):
+        def one(channels, masks, label):
+            m = nnx.merge(graphdef, params, rest)
+            res = m({"channels": channels, "masks": masks}, label, train=False)
+            return res["probabilities"]
+
+        return jax.vmap(one)(window["channels"], window["masks"], window["label"])
+
+    report["eval_window_step"] = measure_device(
+        eval_step, (params, rest, window), iters=16, dtype="float32",
+        work_items=G,
+    )
+
+    # (d) UNI ViT-L/16 extraction forward (raw-uint8 in-jit preprocess,
+    # bf16 MXU matmuls — the bf16 reference point); same transform as
+    # make_feature_extractor's run_raw
+    from multimodal_fusion_tpu.data.tma_extraction import IMAGENET_MEAN, IMAGENET_STD
+    from multimodal_fusion_tpu.models.vit import vit_large_16
+
+    vit = vit_large_16(nnx.Rngs(0))
+    vg, vs = nnx.split(vit)
+    vs = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        vs,
+    )
+    crops = jax.device_put(
+        jnp.asarray(rng.integers(0, 255, (32, 256, 256, 3)), jnp.uint8)
+    )
+
+    def vit_fwd(vs, crops):
+        x = crops.astype(jnp.float32) / 255.0
+        x = jax.image.resize(x, (x.shape[0], 224, 224, 3), method="bicubic")
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        m = nnx.merge(vg, vs)
+        return jax.vmap(m)(x.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    vs = jax.device_put(vs)
+    report["vit_extraction"] = measure_device(
+        vit_fwd, (vs, crops), iters=4, dtype="bfloat16", work_items=32,
+    )
+    return report
+
+
 def _stub_module(name, attrs=()):
     import types
 
@@ -564,6 +707,10 @@ def main():
         vit_ref = run_vit_extraction_reference()
     except Exception:
         vit_ref = None
+    try:
+        mfu_report = run_mfu_report()
+    except Exception as e:
+        mfu_report = {"error": str(e)}
 
     vs = (ours_pps / ref_pps) if ref_pps else None
     details = {
@@ -610,9 +757,15 @@ def main():
                     "ViT-L forward with all CPU threads",
         },
     }
+    details["device_resident_mfu"] = mfu_report
     Path(__file__).resolve().parent.joinpath("BENCH_DETAILS.json").write_text(
         json.dumps(details, indent=2)
     )
+    # ONE JSON line; the headline stays the build metric, and a `metrics`
+    # array carries the inference/training numbers so the driver artifact
+    # records them round-over-round (VERDICT r2 weak #7).  Inference and
+    # training report their DEFAULT-path numbers: scan_windows is on by
+    # default since round 3.
     print(
         json.dumps(
             {
@@ -620,6 +773,26 @@ def main():
                 "value": round(ours_pps, 1),
                 "unit": "patches/s",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "metrics": [
+                    {
+                        "metric": "survival_inference_slides_per_sec",
+                        "value": round(inf_ours_scan, 2),
+                        "unit": "slides/s",
+                        "vs_baseline": round(inf_ours_scan / inf_ref, 2) if inf_ref else None,
+                    },
+                    {
+                        "metric": "survival_training_slides_per_sec",
+                        "value": round(train_ours_scan, 2),
+                        "unit": "slides/s",
+                        "vs_baseline": None,
+                    },
+                    {
+                        "metric": "vit_extraction_patches_per_sec",
+                        "value": round(vit_ours, 1),
+                        "unit": "patches/s",
+                        "vs_baseline": round(vit_ours / vit_ref, 1) if vit_ref else None,
+                    },
+                ],
             }
         )
     )

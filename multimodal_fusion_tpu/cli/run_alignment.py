@@ -47,11 +47,21 @@ def build_parser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--save_path", type=str, default="alignment_model.npz")
     p.add_argument("--verbose", action="store_true", default=False)
-    p.add_argument("--scan_steps", type=int, default=1,
-                   help="fuse S train steps into one lax.scan dispatch (numerics identical)")
-    p.add_argument("--device_data", action="store_true", default=False,
-                   help="keep the whole training view resident in device memory; "
-                        "batches become device-side gathers (numerics identical)")
+    p.add_argument("--scan_steps", type=int, default=8,
+                   help="fuse S train steps into one lax.scan dispatch (numerics "
+                        "identical; default 8 — set 1 to opt out)")
+    p.add_argument("--device_data", action="store_true", default=None,
+                   help="force the training view device-resident (default: "
+                        "auto — on whenever it fits the HBM budget)")
+    p.add_argument("--no_device_data", dest="device_data", action="store_false",
+                   help="force the host collate path")
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="shard each batch over N devices (data parallelism)")
+    p.add_argument("--mesh_replica", type=int, default=0,
+                   help="outer replica axis for multi-slice/DCN meshes")
+    p.add_argument("--scalar_log", type=str, default=None,
+                   help="live per-val-interval scalar CSV (default: "
+                        "<save_path>.scalars.csv; 'none' disables)")
     return p
 
 
@@ -99,6 +109,16 @@ def main(argv=None):
         early_stopping_patience=args.early_stopping_patience,
         early_stopping_min_delta=args.early_stopping_min_delta,
         scan_steps=args.scan_steps,
+        mesh_shape=(
+            {"replica": args.mesh_replica, "data": args.mesh_data}
+            if args.mesh_data > 1 or args.mesh_replica > 1
+            else None
+        ),
+        scalar_log_path=(
+            f"{args.save_path}.scalars.csv"
+            if args.scalar_log is None
+            else (None if args.scalar_log.lower() == "none" else args.scalar_log)
+        ),
     )
     out = trainer.train(
         views["train"],
@@ -110,7 +130,7 @@ def main(argv=None):
         save_interval=args.save_interval,
         seed=args.seed,
         verbose=args.verbose,
-        device_data=args.device_data,
+        device_data="auto" if args.device_data is None else args.device_data,
     )
     trainer.save_history(f"{args.save_path}.history.json", config=vars(args))
     return out

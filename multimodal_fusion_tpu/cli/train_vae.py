@@ -28,11 +28,21 @@ def build_parser():
     p.add_argument("--resume", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--verbose", action="store_true", default=False)
-    p.add_argument("--scan_steps", type=int, default=1,
-                   help="fuse S updates into one lax.scan dispatch (numerics identical)")
-    p.add_argument("--device_data", action="store_true", default=False,
-                   help="keep the patch subsample resident in device memory; "
-                        "batches become row gathers (numerics identical)")
+    p.add_argument("--scan_steps", type=int, default=8,
+                   help="fuse S updates into one lax.scan dispatch (numerics "
+                        "identical; default 8 — set 1 to opt out)")
+    p.add_argument("--device_data", action="store_true", default=None,
+                   help="force the patch subsample device-resident (default: "
+                        "auto — on whenever it fits the HBM budget)")
+    p.add_argument("--no_device_data", dest="device_data", action="store_false",
+                   help="force the host batch path")
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="shard each batch over N devices (data parallelism)")
+    p.add_argument("--mesh_replica", type=int, default=0,
+                   help="outer replica axis for multi-slice/DCN meshes")
+    p.add_argument("--scalar_log", type=str, default=None,
+                   help="live per-epoch scalar CSV (default: "
+                        "<checkpoint_dir>/scalars.csv; 'none' disables)")
     return p
 
 
@@ -55,6 +65,14 @@ def main(argv=None):
         latent_dim=args.latent_dim,
         rngs=nnx.Rngs(args.seed),
     )
+    mesh_shape = None
+    if args.mesh_data > 1 or args.mesh_replica > 1:
+        mesh_shape = {"replica": args.mesh_replica, "data": args.mesh_data}
+    scalar_log = args.scalar_log
+    if scalar_log is None:
+        scalar_log = f"{args.checkpoint_dir}/scalars.csv"
+    elif scalar_log.lower() == "none":
+        scalar_log = None
     trainer = VAETrainer(
         model,
         learning_rate=args.lr,
@@ -62,12 +80,15 @@ def main(argv=None):
         plateau_patience=args.plateau_patience,
         checkpoint_dir=args.checkpoint_dir,
         scan_steps=args.scan_steps,
+        mesh_shape=mesh_shape,
+        scalar_log_path=scalar_log,
     )
     if args.resume:
         trainer.resume("latest")
     return trainer.fit(
         train, val, epochs=args.epochs, batch_size=args.batch_size,
-        seed=args.seed, verbose=args.verbose, device_data=args.device_data,
+        seed=args.seed, verbose=args.verbose,
+        device_data="auto" if args.device_data is None else args.device_data,
     )
 
 

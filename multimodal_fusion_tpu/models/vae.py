@@ -64,6 +64,7 @@ class VAE(nnx.Module):
         self.encoder = Encoder(input_dim, encoder_hidden, latent_dim, rngs)
         self.decoder = Decoder(latent_dim, decoder_hidden, input_dim, rngs)
         self.latent_dim = latent_dim
+        self.input_dim = input_dim
 
     def reparameterize(self, mean, log_var, key):
         std = jnp.exp(0.5 * log_var)

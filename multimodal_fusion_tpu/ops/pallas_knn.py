@@ -145,11 +145,23 @@ def pallas_knn(
     return jnp.sqrt(vals[:n, :k]), idxs[:n, :k]
 
 
-def knn_indices_auto(x: jax.Array, k: int, min_pallas_n: int = 4096):
+def knn_indices_auto(
+    x: jax.Array, k: int, min_pallas_n: int = 4096, allow_pallas: bool = True
+):
     """Pallas running-top-k kernel on TPU for large N (no [N, N] in HBM);
-    the XLA blockwise scan for mid sizes; brute force below that."""
+    the XLA blockwise scan for mid sizes; brute force below that.
+
+    This is the PRODUCTION dispatcher for the hypergraph build's node-KNN
+    (hypergraph/build.py): at default configs the node count (num_super +
+    TMA cores ~ 130) stays in the dense regime, but large-N configs
+    (--num_wsi_super_patches in the thousands for 1e5+-patch slides) cross
+    into the Pallas kernel.  ``allow_pallas=False`` keeps GSPMD-sharded
+    (mesh) callers on the partitionable XLA paths — the same constraint the
+    similarity kernel solves with shard_map; KNN's running-top-k merge is
+    not shard_map-wrapped because its inputs (super-patch + TMA nodes) are
+    mesh-replicated reductions, never sharded."""
     n = x.shape[0]
-    if jax.default_backend() == "tpu" and n >= min_pallas_n:
+    if allow_pallas and jax.default_backend() == "tpu" and n >= min_pallas_n:
         return pallas_knn(x, k)
     if n >= min_pallas_n:
         return knn_indices_blockwise(x, k)

@@ -58,6 +58,34 @@ def make_mesh_2d(
     return Mesh(arr, axis_names)
 
 
+def mesh_from_shape(mesh_shape) -> Optional[Mesh]:
+    """Build a mesh from a ``{"replica": R, "data": N}`` config dict.
+
+    Shared by the survival/alignment/VAE trainers.  Returns ``None`` (with a
+    warning) when the host has fewer devices than the shape needs — persisted
+    configs from larger hosts must stay loadable for eval/viz on small hosts,
+    so the trainers fall back to running unsharded instead of refusing to
+    construct."""
+    if not mesh_shape:
+        return None
+    n = int(mesh_shape.get("data", 0))
+    r = int(mesh_shape.get("replica", 0))
+    need = max(r, 1) * max(n, 1)
+    if need > len(jax.devices()):
+        print(
+            f"mesh_shape {mesh_shape} needs {need} devices, "
+            f"have {len(jax.devices())}; running unsharded"
+        )
+        return None
+    if r > 1:
+        # replica-only configs ({"replica": R} or data<=1) still get an
+        # R-way mesh: an (R, 1) grid shards the batch R ways
+        return make_mesh_2d(r, max(n, 1))
+    if n > 1:
+        return make_mesh(n)
+    return None
+
+
 def batch_sharding(mesh: Mesh, axis: Optional[str] = None) -> NamedSharding:
     """Shard the leading axis over ALL mesh axes (or one named axis):
     on a 1-axis mesh this is plain DP; on a (replica, data) mesh the batch

@@ -70,6 +70,8 @@ class MultiModalAlignmentTrainer:
         early_stopping_min_delta: float = 1e-4,
         verbose_timing: bool = False,
         scan_steps: int = 1,
+        mesh_shape=None,
+        scalar_log_path: Optional[str | Path] = None,
     ):
         if loss_type not in ("rank1", "volume"):
             raise ValueError(f"unsupported loss type {loss_type}")
@@ -112,6 +114,24 @@ class MultiModalAlignmentTrainer:
             labels,
         )
         self.opt_state = self.tx.init(self.state)
+        # Opt-in data parallelism (SURVEY §2.6: pjit batch sharding for
+        # alignment training): each batch's sample axis shards over the mesh,
+        # params replicate, XLA inserts the gradient all-reduce.  Same config
+        # shape as the survival trainer ({"replica": R, "data": N}).
+        from multimodal_fusion_tpu.parallel.mesh import mesh_from_shape, replicate
+
+        self.mesh = mesh_from_shape(mesh_shape)
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+            self.opt_state = replicate(self.mesh, self.opt_state)
+        # live scalar emission (reference tqdm live postfix + val logging,
+        # alignment/trainer.py:334-342): one CSV row per validation interval,
+        # flushed immediately — tails during a run
+        self.scalars = None
+        if scalar_log_path is not None:
+            from multimodal_fusion_tpu.utils.scalars import ScalarWriter
+
+            self.scalars = ScalarWriter(scalar_log_path)
         self._build_steps()
 
         # Per-stage wall-clock profiling (reference trainer.py:88-102).  The
@@ -245,6 +265,27 @@ class MultiModalAlignmentTrainer:
 
     # ------------------------------------------------------------------
 
+    def _shard_tree(self, tree, scan: bool = False):
+        """Shard every leaf's batch axis over the data mesh.  ``scan=True``
+        means leaves are [S, B, ...] (scan axis unsharded).  Per-leaf
+        fallback: a leaf whose batch dim doesn't divide the device count
+        (e.g. a small negative pool) stays replicated."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = self.mesh.devices.size
+        axes = tuple(self.mesh.axis_names)
+        sh = NamedSharding(self.mesh, P(None, axes) if scan else P(axes))
+        b_axis = 1 if scan else 0
+
+        def place(x):
+            if x.ndim <= b_axis or x.shape[b_axis] % n_dev:
+                return x
+            return jax.device_put(x, sh)
+
+        return jax.tree.map(place, tree)
+
     def _lr_for_epoch(self, epoch: int) -> float:
         # CosineAnnealingLR(T_max=100, eta_min=1e-6), stepped per epoch wrap
         eta_min = 1e-6
@@ -261,15 +302,32 @@ class MultiModalAlignmentTrainer:
         save_interval: Optional[int] = None,
         seed: int = 42,
         verbose: bool = False,
-        device_data: bool = False,
+        device_data="auto",
     ) -> Dict:
         """``train_view``/``val_view``: AlignedSubsetView (or the dataset
         itself) exposing __len__ and collate(batch_positions, batch_id).
 
-        ``device_data=True`` uploads the training view ONCE (device_tables)
+        ``device_data`` uploads the training view ONCE (device_tables)
         and turns each batch into device-side gathers — numerically identical
         to the host collate (same rows, same negative-pool slicing), tested
-        in test_alignment_device_data_matches_host."""
+        in test_alignment_device_data_matches_host.  "auto" (default since
+        round 3) enables it whenever the feature tables fit the HBM budget;
+        True forces it, False opts out."""
+        if device_data == "auto":
+            from multimodal_fusion_tpu.train.survival import DEVICE_DATA_AUTO_BUDGET
+
+            can = hasattr(train_view, "device_tables")
+            nbytes = 0
+            if can:
+                dim = getattr(self.model, "feature_dim", 1024)
+                n_mod = len(getattr(self.model, "modality_names", [])) or 8
+                nbytes = len(train_view) * 4 * dim * n_mod
+            device_data = can and nbytes <= DEVICE_DATA_AUTO_BUDGET
+            if can and not device_data:
+                print(
+                    f"device_data=auto: feature tables are ~{nbytes / 2**30:.1f} "
+                    "GiB — using the host collate path"
+                )
         rng = np.random.default_rng(seed)
         state = self.state
         opt_state = self.opt_state
@@ -346,8 +404,12 @@ class MultiModalAlignmentTrainer:
             batch_positions, lr, sub = next_positions()
             pos, neg = train_view.collate(batch_positions, step_id)
             has_neg = neg is not None and self.lambda2 != 0
-            pos = {k: jnp.asarray(v) for k, v in pos.items()}
-            neg_j = {k: jnp.asarray(v) for k, v in neg.items()} if has_neg else pos
+            pos = self._shard_tree({k: jnp.asarray(v) for k, v in pos.items()})
+            neg_j = (
+                self._shard_tree({k: jnp.asarray(v) for k, v in neg.items()})
+                if has_neg
+                else pos
+            )
             return pos, neg_j, has_neg, lr, sub
 
         feats_dev = neg_idx_dev = None
@@ -355,12 +417,17 @@ class MultiModalAlignmentTrainer:
             feats_np, neg_idx_np = train_view.device_tables()
             feats_dev = {m: jnp.asarray(v) for m, v in feats_np.items()}
             neg_idx_dev = {m: jnp.asarray(v) for m, v in neg_idx_np.items()}
+            if self.mesh is not None:  # tables replicate; row gathers shard
+                from multimodal_fusion_tpu.parallel.mesh import replicate
+
+                feats_dev = replicate(self.mesh, feats_dev)
+                neg_idx_dev = replicate(self.mesh, neg_idx_dev)
             pool_len = int(next(iter(neg_idx_np.values())).shape[0])
             ratio = float(getattr(train_view, "mismatch_ratio", 0.0))
 
             def make_batch_dev(step_id):
                 batch_positions, lr, sub = next_positions()
-                bp = jnp.asarray(batch_positions, jnp.int32)
+                bp = self._shard_tree(jnp.asarray(batch_positions, jnp.int32))
                 # PER-BATCH negative count, exactly the host collate's
                 # (get_negatives_for_batch): tail batches need fewer
                 # negatives and their start offset uses their own count
@@ -383,7 +450,7 @@ class MultiModalAlignmentTrainer:
             t_data = time.perf_counter()
             if chunk >= 2 and device_data:
                 batches = [make_batch_dev(step_i + j) for j in range(chunk)]
-                bps = jnp.stack([b[0] for b in batches])
+                bps = self._shard_tree(jnp.stack([b[0] for b in batches]), scan=True)
                 starts = jnp.stack([b[1] for b in batches])
                 lrs = jnp.asarray([b[2] for b in batches], jnp.float32)
                 keys = jnp.stack([b[3] for b in batches])
@@ -404,8 +471,14 @@ class MultiModalAlignmentTrainer:
             elif chunk >= 2:
                 batches = [make_batch(step_i + j) for j in range(chunk)]
                 has_neg = batches[0][2]
-                pos_s = jax.tree.map(lambda *xs: jnp.stack(xs), *[b[0] for b in batches])
-                neg_s = jax.tree.map(lambda *xs: jnp.stack(xs), *[b[1] for b in batches])
+                pos_s = self._shard_tree(
+                    jax.tree.map(lambda *xs: jnp.stack(xs), *[b[0] for b in batches]),
+                    scan=True,
+                )
+                neg_s = self._shard_tree(
+                    jax.tree.map(lambda *xs: jnp.stack(xs), *[b[1] for b in batches]),
+                    scan=True,
+                )
                 lrs = jnp.asarray([b[3] for b in batches], jnp.float32)
                 keys = jnp.stack([b[4] for b in batches])
                 if self.timer:
@@ -459,6 +532,18 @@ class MultiModalAlignmentTrainer:
                 if self.timer:
                     self.timer.record("validation", time.perf_counter() - t_val)
                 self.history["val_loss"].append({"step": step_i - 1, "loss": val_loss})
+                if self.scalars is not None:
+                    svd_last = self.history["svd_values"][-1] if self.history["svd_values"] else []
+                    self.scalars.write(
+                        {
+                            "step": step_i,
+                            "train_loss": self.history["train_loss"][-1]
+                            if self.history["train_loss"]
+                            else float("nan"),
+                            "val_loss": val_loss,
+                            "svd_top": svd_last[0] if svd_last else float("nan"),
+                        }
+                    )
                 if verbose:
                     last = self.history["train_loss"][-1]
                     print(f"step {step_i}: train={last:.4f} val={val_loss:.4f}")
@@ -507,8 +592,12 @@ class MultiModalAlignmentTrainer:
                 # 1-sample tails (trainer.py:647-649)
             pos, neg = val_view.collate(positions, b)
             has_neg = neg is not None and self.lambda2 != 0
-            pos = {k: jnp.asarray(v) for k, v in pos.items()}
-            neg_j = {k: jnp.asarray(v) for k, v in neg.items()} if has_neg else pos
+            pos = self._shard_tree({k: jnp.asarray(v) for k, v in pos.items()})
+            neg_j = (
+                self._shard_tree({k: jnp.asarray(v) for k, v in neg.items()})
+                if has_neg
+                else pos
+            )
             loss, _ = self._eval_loss(state, pos, neg_j, has_neg)
             losses.append(float(loss))
         return float(np.mean(losses)) if losses else float("nan")

@@ -45,6 +45,12 @@ from multimodal_fusion_tpu.train.metrics import (
 from multimodal_fusion_tpu.train.optim import LRSchedule, make_optimizer
 
 
+# HBM guard for exp.device_data="auto" (the default): the fold's stacked
+# tables go device-resident only when they fit this budget — v5e has 16 GiB
+# HBM per chip, leave headroom for model/activations/similarity buffers.
+DEVICE_DATA_AUTO_BUDGET = 8 * 2**30
+
+
 class EarlyStopping:
     def __init__(self, patience=25, stop_epoch=10, mode="max", min_delta=0.0):
         self.patience = patience
@@ -103,27 +109,9 @@ class SurvivalTrainer:
         # Multi-host/multi-slice: {"replica": R, "data": N} builds a 2-axis
         # (replica=DCN, data=ICI) mesh — batches shard R*N ways, gradient
         # reduction lowers hierarchically (parallel/mesh.py docstring).
-        self.mesh = None
-        if self.exp.mesh_shape:
-            from multimodal_fusion_tpu.parallel.mesh import make_mesh, make_mesh_2d
+        from multimodal_fusion_tpu.parallel.mesh import mesh_from_shape
 
-            n = int(self.exp.mesh_shape.get("data", 0))
-            r = int(self.exp.mesh_shape.get("replica", 0))
-            need = max(r, 1) * max(n, 1)
-            if need > len(jax.devices()):
-                # persisted configs from larger hosts must stay loadable for
-                # eval/viz on small hosts: run unsharded with a warning
-                # instead of refusing to construct
-                print(
-                    f"mesh_shape {self.exp.mesh_shape} needs {need} devices, "
-                    f"have {len(jax.devices())}; running unsharded"
-                )
-            elif r > 1:
-                # replica-only configs ({"replica": R} or data<=1) still get
-                # an R-way mesh: an (R, 1) grid shards the batch R ways
-                self.mesh = make_mesh_2d(r, max(n, 1))
-            elif n > 1:
-                self.mesh = make_mesh(n)
+        self.mesh = mesh_from_shape(self.exp.mesh_shape)
 
     def _place_window(self, window, keys, n_cases: int):
         """Shard a full-size window over the data mesh (replicated fallback
@@ -203,7 +191,16 @@ class SurvivalTrainer:
         nbytes = sum(
             x.nbytes for x in jax.tree.leaves(tables) if hasattr(x, "nbytes")
         )
-        if nbytes > 8 * 2**30:
+        if nbytes > DEVICE_DATA_AUTO_BUDGET:
+            if self.exp.get("device_data", "auto") == "auto":
+                # auto mode (the round-3 default): fall back to the host
+                # path instead of risking an HBM OOM
+                print(
+                    f"device_data=auto: tables are {nbytes / 2**30:.1f} GiB "
+                    f"(> {DEVICE_DATA_AUTO_BUDGET / 2**30:.0f} GiB budget) — "
+                    "using the host window path"
+                )
+                return None, None
             print(
                 f"device_data: tables are {nbytes / 2**30:.1f} GiB — "
                 "ensure they fit device memory (or disable exp.device_data)"
@@ -732,14 +729,12 @@ class SurvivalTrainer:
         model, graphdef, params, rest = self._build_model(fold_idx)
         tx = make_optimizer(exp.optimizer, exp.weight_decay)
         opt_state = tx.init(params)
-        use_dev = bool(exp.get("device_data", False))
-        train_step = self._make_train_step(model, graphdef, tx) if not use_dev else None
+        # "auto" (the default since round 3) = use the device-resident path
+        # whenever the fold's stacked tables fit the HBM budget; numerics are
+        # identical either way (test_survival_device_data_matches_host)
+        dev_mode = exp.get("device_data", "auto")
+        use_dev = bool(dev_mode)  # "auto" and True both try; False skips
         scanW = max(1, int(exp.get("scan_windows", 1) or 1))
-        scan_step = (
-            self._make_scanned_train_step(model, graphdef, tx)
-            if scanW > 1 and not use_dev
-            else None
-        )
         eval_step = self._make_eval_step(model, graphdef)
         tables = row_of = dev_step = dev_scan = None
         if use_dev:
@@ -747,7 +742,16 @@ class SurvivalTrainer:
                 [split.train_idx, split.val_idx, split.test_idx]
             ).astype(np.int64)
             tables, row_of = self._device_tables(dataset, all_idx)
-            dev_step, dev_scan = self._make_dev_train_steps(model, graphdef, tx)
+            if tables is None:  # auto fallback: over the HBM budget
+                use_dev = False
+            else:
+                dev_step, dev_scan = self._make_dev_train_steps(model, graphdef, tx)
+        train_step = self._make_train_step(model, graphdef, tx) if not use_dev else None
+        scan_step = (
+            self._make_scanned_train_step(model, graphdef, tx)
+            if scanW > 1 and not use_dev
+            else None
+        )
         schedule = LRSchedule(exp.lr, exp.scheduler_params if exp.scheduler else None)
         if exp.scheduler:
             schedule.config.setdefault("type", exp.scheduler)

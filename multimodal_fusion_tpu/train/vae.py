@@ -43,6 +43,8 @@ class VAETrainer:
         plateau_threshold: float = 1e-4,
         early_stop_patience: int = 10,
         early_stop_min_delta: float = 1e-4,
+        mesh_shape=None,
+        scalar_log_path: Optional[str | Path] = None,
     ):
         self.model = model
         self.graphdef, self.state = nnx.split(model)
@@ -71,7 +73,26 @@ class VAETrainer:
         # fuse S batch updates into one lax.scan dispatch (numerics identical;
         # pays when per-step dispatch latency dominates — remote TPU links)
         self.scan_steps = max(1, int(scan_steps))
+        # Opt-in data parallelism (SURVEY §2.6: pjit batch sharding for VAE
+        # training): batches shard their leading axis over the mesh, params
+        # replicate, XLA inserts the gradient all-reduce.  Same config shape
+        # as the survival trainer ({"replica": R, "data": N}).
+        from multimodal_fusion_tpu.parallel.mesh import mesh_from_shape
+
+        self.mesh = mesh_from_shape(mesh_shape)
+        # live scalar emission (reference TB scalars, vae/train.py:162-165):
+        # one CSV row per epoch, flushed immediately — tails during a run
+        self.scalars = None
+        if scalar_log_path is not None:
+            from multimodal_fusion_tpu.utils.scalars import ScalarWriter
+
+            self.scalars = ScalarWriter(scalar_log_path)
         self._build_steps()
+        if self.mesh is not None:
+            from multimodal_fusion_tpu.parallel.mesh import replicate
+
+            self.state = replicate(self.mesh, self.state)
+            self.opt_state = replicate(self.mesh, self.opt_state)
 
     def _build_steps(self):
         def update(state, opt_state, x, key, lr):
@@ -145,6 +166,29 @@ class VAETrainer:
 
     # ------------------------------------------------------------------
 
+    def _shard_batch(self, x):
+        """Shard a [B, ...] batch's leading axis over the data mesh
+        (replicated fallback when B doesn't divide the device count)."""
+        if self.mesh is None:
+            return x
+        if x.shape[0] % self.mesh.devices.size:
+            return x
+        from multimodal_fusion_tpu.parallel.mesh import batch_sharding
+
+        return jax.device_put(x, batch_sharding(self.mesh))
+
+    def _shard_scan(self, xs):
+        """Shard a stacked [S, B, ...] scan group: scan axis S stays
+        unsharded (sequential), batch axis B shards over every mesh axis."""
+        if self.mesh is None:
+            return xs
+        if xs.shape[1] % self.mesh.devices.size:
+            return xs
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P(None, tuple(self.mesh.axis_names)))
+        return jax.device_put(xs, sh)
+
     @staticmethod
     def _index_batches(n: int, batch_size: int, shuffle_rng=None):
         """The index walk of ``WSIVAEDataset.batches`` (shuffle + wrap-around
@@ -173,7 +217,7 @@ class VAETrainer:
             if not buf:
                 return
             if len(buf) == self.scan_steps and self.scan_steps > 1:
-                xs = jnp.stack([b[0] for b in buf])
+                xs = self._shard_scan(jnp.stack([b[0] for b in buf]))
                 keys = jnp.stack([b[1] for b in buf])
                 if dev:
                     state, opt_state, l, r, k2 = self._train_steps_dev_scanned(
@@ -209,7 +253,7 @@ class VAETrainer:
         )
         for x in batches:
             key, sub = jax.random.split(key)
-            x = jnp.asarray(x)
+            x = self._shard_batch(jnp.asarray(x))
             if buf and x.shape != buf[0][0].shape:
                 flush()
             buf.append((x, sub))
@@ -231,7 +275,7 @@ class VAETrainer:
             for rows in self._index_batches(len(dataset), batch_size):
                 key, sub = jax.random.split(key)
                 total, _, _ = self._eval_step_dev(
-                    self.state, table, jnp.asarray(rows), sub
+                    self.state, table, self._shard_batch(jnp.asarray(rows)), sub
                 )
                 losses.append(total)
             if not losses:
@@ -239,7 +283,7 @@ class VAETrainer:
             return float(np.mean(np.asarray([np.asarray(l) for l in losses])))
         for x in dataset.batches(batch_size):
             key, sub = jax.random.split(key)
-            total, _, _ = self._eval_step(self.state, jnp.asarray(x), sub)
+            total, _, _ = self._eval_step(self.state, self._shard_batch(jnp.asarray(x)), sub)
             losses.append(total)
         if not losses:
             return float("nan")
@@ -331,12 +375,27 @@ class VAETrainer:
         seed: int = 42,
         verbose: bool = False,
         resample: bool = True,
-        device_data: bool = False,
+        device_data="auto",
     ) -> Dict:
-        """``device_data=True`` keeps the current patch subsample resident in
+        """``device_data`` keeps the current patch subsample resident in
         device memory (re-uploaded only on resample) and batches become row
         gathers — numerically identical to the host path, tested in
-        test_vae_device_data_matches_host."""
+        test_vae_device_data_matches_host.  "auto" (default since round 3)
+        enables it whenever the materialised tables fit the HBM budget;
+        True forces it, False opts out."""
+        if device_data == "auto":
+            from multimodal_fusion_tpu.train.survival import DEVICE_DATA_AUTO_BUDGET
+
+            nbytes = (len(train_ds) + len(val_ds)) * 4 * getattr(
+                self.model, "input_dim", 1024
+            )
+            can = hasattr(train_ds, "materialize") and hasattr(val_ds, "materialize")
+            device_data = can and nbytes <= DEVICE_DATA_AUTO_BUDGET
+            if can and not device_data:
+                print(
+                    f"device_data=auto: patch tables are ~{nbytes / 2**30:.1f} "
+                    "GiB — using the host batch path"
+                )
         key = jax.random.key(seed)
         shuffle_rng = np.random.default_rng(seed)
         best_val = float("inf")
@@ -344,9 +403,18 @@ class VAETrainer:
         t0 = time.time()
         start = self.epoch
         table_train = table_val = None
+
+        def _up(arr):
+            t = jnp.asarray(arr)
+            if self.mesh is not None:  # tables replicate; row gathers shard
+                from multimodal_fusion_tpu.parallel.mesh import replicated
+
+                t = jax.device_put(t, replicated(self.mesh))
+            return t
+
         if device_data:
-            table_train = jnp.asarray(train_ds.materialize())
-            table_val = jnp.asarray(val_ds.materialize())
+            table_train = _up(train_ds.materialize())
+            table_val = _up(val_ds.materialize())
         for epoch in range(start, epochs):
             self.epoch = epoch
             key, k_train, k_val = jax.random.split(key, 3)
@@ -360,6 +428,18 @@ class VAETrainer:
             self.history["kld_loss"].append(tr["kld"])
             self.history["val_loss"].append(val_loss)
             self.history["lr"].append(self.lr)
+            if self.scalars is not None:
+                self.scalars.write(
+                    {
+                        "epoch": epoch,
+                        "step": self.global_step,
+                        "train_loss": tr["loss"],
+                        "recon_loss": tr["recon"],
+                        "kld_loss": tr["kld"],
+                        "val_loss": val_loss,
+                        "lr": self.lr,
+                    }
+                )
             if verbose:
                 print(f"epoch {epoch}: train={tr['loss']:.4f} val={val_loss:.4f} lr={self.lr:.2e}")
             self.save_checkpoint("latest")
@@ -380,7 +460,7 @@ class VAETrainer:
             if resample and (epoch + 1) % self.resample_interval(epochs) == 0:
                 train_ds.resample_patches()
                 if device_data:
-                    table_train = jnp.asarray(train_ds.materialize())
+                    table_train = _up(train_ds.materialize())
                     if val_ds is train_ds:  # shared dataset: val resamples too
                         table_val = table_train
                     elif getattr(val_ds, "parent", None) is not None and (
@@ -389,7 +469,7 @@ class VAETrainer:
                     ):
                         # subset views over one dataset: the parent resample
                         # moved the val rows too (as the host path would see)
-                        table_val = jnp.asarray(val_ds.materialize())
+                        table_val = _up(val_ds.materialize())
         nnx.update(self.model, self.state)
         return {"best_val_loss": best_val, "elapsed_s": time.time() - t0, "history": self.history}
 

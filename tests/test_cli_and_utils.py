@@ -607,3 +607,31 @@ def test_aligned_channels_colon_mapping(cli_dataset, tmp_path):
         "--k", "2", "--max_epochs", "1", "--batch_size", "4", "--seed", "0",
     ])
     assert (log_dir / "summary.csv").exists()
+
+
+def test_mfu_measure_device_smoke():
+    """measure_device reports a coherent MFU/roofline record on the CPU
+    backend (nominal peaks): positive throughput, bounded MFU, intensity
+    consistent with flops/bytes."""
+    import jax.numpy as jnp
+
+    from multimodal_fusion_tpu.utils.mfu import chip_peaks, measure_device
+
+    kind, p_bf16, p_f32, bw = chip_peaks()
+    assert p_bf16 > 0 and p_f32 > 0 and bw > 0
+
+    a = jnp.ones((256, 256), jnp.float32)
+
+    def f(a):
+        return a @ a
+
+    rep = measure_device(f, (a,), iters=3, dtype="float32", work_items=256)
+    assert rep["sec_per_call"] > 0
+    assert rep["items_per_sec"] > 0
+    assert 0 <= rep["mfu"] <= 1.5  # nominal peaks can undershoot on CPU
+    assert rep["bound"] in ("compute", "memory")
+    assert rep["fraction_of_roofline"] >= 0
+    if rep["bytes_per_call"]:
+        assert rep["arithmetic_intensity_flop_per_byte"] == (
+            rep["flops_per_call"] / rep["bytes_per_call"]
+        )

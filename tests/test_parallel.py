@@ -578,3 +578,160 @@ def test_unknown_hypergraph_channel_raises(tmp_path):
     )
     with pytest.raises(ValueError, match="unknown hypergraph channel"):
         MultimodalDataset(csv_path, tmp_path, channels=["hypergraph=edge_idx"])
+
+
+def test_vae_trainer_mesh_matches_unsharded(tmp_path):
+    """VAETrainer(mesh_shape=...) — SURVEY §2.6 batch sharding for VAE
+    training — must reproduce the unsharded run exactly (params replicate,
+    batches shard, XLA's gradient psum is a pure re-layout of the same sum);
+    1-axis and 2-axis (replica, data) meshes, alone and with scan_steps."""
+    from multimodal_fusion_tpu.data.vae_patches import WSIVAEDataset
+    from multimodal_fusion_tpu.io.fixtures import make_synthetic_dataset
+    from multimodal_fusion_tpu.models.vae import VAE
+    from multimodal_fusion_tpu.train.vae import VAETrainer
+    from flax import nnx
+
+    root = tmp_path / "data"
+    csv_path = make_synthetic_dataset(
+        root, n_patients=4, seed=3, min_wsi_patches=30, max_wsi_patches=50,
+        feature_dim=16,
+    )
+
+    def run(mesh_shape, scan_steps=1, device_data=False):
+        ds = WSIVAEDataset(csv_path, root, label_filter="living", preload=True, seed=9)
+        model = VAE(input_dim=16, encoder_hidden=[32, 16], decoder_hidden=[16, 32],
+                    latent_dim=8, rngs=nnx.Rngs(0))
+        tr = VAETrainer(model, learning_rate=1e-3, scan_steps=scan_steps,
+                        mesh_shape=mesh_shape)
+        out = tr.fit(ds, ds, epochs=2, batch_size=8, verbose=False,
+                     resample=False, device_data=device_data)
+        return out, nnx.state(model)
+
+    base, st0 = run(None)
+    for mesh_shape, scan_steps, device_data in (
+        ({"data": 4}, 1, False),
+        ({"replica": 2, "data": 2}, 1, False),
+        ({"data": 4}, 3, False),
+        ({"data": 4}, 1, True),
+    ):
+        out, st = run(mesh_shape, scan_steps, device_data)
+        for k in ("train_loss", "val_loss", "recon_loss", "kld_loss"):
+            np.testing.assert_allclose(
+                base["history"][k], out["history"][k], rtol=1e-5,
+                err_msg=f"{mesh_shape} scan={scan_steps} dev={device_data} {k}",
+            )
+        for a, b in zip(jax.tree.leaves(st0), jax.tree.leaves(st)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
+
+def test_alignment_trainer_mesh_matches_unsharded(tmp_path):
+    """MultiModalAlignmentTrainer(mesh_shape=...) — SURVEY §2.6 batch
+    sharding for alignment training — must reproduce the unsharded run
+    exactly, including the loss_IM negative path (negatives shard or fall
+    back to replicated per-leaf), alone and with scan_steps/device_data."""
+    from multimodal_fusion_tpu.data.alignment import TMANpzAlignedWithNegDataset
+    from multimodal_fusion_tpu.io.fixtures import make_alignment_npz_fixtures
+    from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
+    from multimodal_fusion_tpu.train.alignment import MultiModalAlignmentTrainer
+    from flax import nnx
+
+    markers = ("cd3", "cd8")
+    make_alignment_npz_fixtures(
+        tmp_path, n_cores=12, patches_per_core=1, feature_dim=8, markers=markers
+    )
+    ds = TMANpzAlignedWithNegDataset(
+        tmp_path, list(markers), filename_template="{marker}.npz", mismatch_ratio=1.0
+    )
+
+    def run(mesh_shape, scan_steps=1, device_data=False):
+        model = MultiModalAlignmentModel(
+            list(markers), feature_dim=8, num_layers=1, rngs=nnx.Rngs(3)
+        )
+        tr = MultiModalAlignmentTrainer(
+            model, learning_rate=1e-3, lambda2=0.1, scan_steps=scan_steps,
+            mesh_shape=mesh_shape,
+        )
+        out = tr.train(ds, ds, max_steps=8, batch_size=4, val_interval=4,
+                       seed=5, device_data=device_data)
+        return out, nnx.state(model)
+
+    base, st0 = run(None)
+    for mesh_shape, scan_steps, device_data in (
+        ({"data": 4}, 1, False),
+        ({"replica": 2, "data": 2}, 1, False),
+        ({"data": 4}, 3, False),
+        ({"data": 4}, 1, True),
+    ):
+        out, st = run(mesh_shape, scan_steps, device_data)
+        np.testing.assert_allclose(
+            base["history"]["train_loss"], out["history"]["train_loss"],
+            rtol=1e-5,
+            err_msg=f"{mesh_shape} scan={scan_steps} dev={device_data}",
+        )
+        np.testing.assert_allclose(
+            [v["loss"] for v in base["history"]["val_loss"]],
+            [v["loss"] for v in out["history"]["val_loss"]],
+            rtol=1e-5,
+        )
+        for a, b in zip(jax.tree.leaves(st0), jax.tree.leaves(st)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
+
+def test_sharded_build_uses_pallas_kernel(tmp_path, monkeypatch):
+    """shard_map + Pallas similarity on a mesh (VERDICT r2 weak #2): the
+    mesh build no longer forces the XLA formulation — each device runs the
+    fused Pallas kernel on its row stripe after one all-gather.  On the CPU
+    test mesh the kernel runs in interpret mode (FORCE_SHARDED_PALLAS_
+    INTERPRET); sharded == unsharded to f32 rounding, kernel-level and
+    through the full fused build."""
+    import h5py
+    import jax.numpy as jnp
+
+    import multimodal_fusion_tpu.ops.pallas_similarity as ps
+    from multimodal_fusion_tpu.ops.similarity import combined_similarity
+    from multimodal_fusion_tpu.parallel.mesh import make_mesh
+    import multimodal_fusion_tpu.hypergraph.build as build_mod
+
+    rng = np.random.default_rng(3)
+    n, d = 128, 16
+    feats = (rng.standard_normal((n, d)) * 0.4).astype(np.float32)
+    pos = rng.uniform(0, 3, (n, 2)).astype(np.float32)
+    mesh = make_mesh(4)
+
+    # kernel level: sharded stripes == the XLA oracle
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(("data",)))
+    f_s = jax.device_put(jnp.asarray(feats), sh)
+    p_s = jax.device_put(jnp.asarray(pos), sh)
+    K_sharded = ps.sharded_combined_similarity(mesh, f_s, p_s, 1.0, 1.0, interpret=True)
+    K_ref = combined_similarity(jnp.asarray(feats), jnp.asarray(pos), 1.0, 1.0)
+    np.testing.assert_allclose(np.asarray(K_sharded), np.asarray(K_ref), rtol=1e-5, atol=1e-6)
+    # result stays ROW-SHARDED (each device holds its stripe, not a gathered copy)
+    assert "data" in str(K_sharded.sharding.spec)
+
+    # end-to-end: the mesh build picks the shard_map+Pallas path (forced in
+    # interpret mode off-TPU) and matches the unsharded build
+    monkeypatch.setattr(ps, "FORCE_SHARDED_PALLAS_INTERPRET", True)
+    monkeypatch.setattr(ps, "MIN_PALLAS_N", 1)
+    tma = (rng.standard_normal((6, d)) * 0.4).astype(np.float32)
+    for name in ("plain.h5", "mesh.h5"):
+        with h5py.File(tmp_path / name, "w") as f:
+            f["wsi/features"] = feats
+            f["wsi/positions"] = pos
+            f["tma/features"] = tma
+    plain = build_mod.process_single_file(
+        tmp_path / "plain.h5", 6, 2, 2, 3, save_similarity=False
+    )
+    sharded = build_mod.process_single_file(
+        tmp_path / "mesh.h5", 6, 2, 2, 3, save_similarity=False, mesh=mesh
+    )
+    ps_stats = plain["wsi_aggregation"]["wsi_similarity_matrix_stats"]
+    ms_stats = sharded["wsi_aggregation"]["wsi_similarity_matrix_stats"]
+    for k in ("mean", "std", "min", "max", "median"):
+        np.testing.assert_allclose(ms_stats[k], ps_stats[k], rtol=1e-4, atol=1e-6, err_msg=k)
+    assert sharded["hypergraph"]["num_edges"] == plain["hypergraph"]["num_edges"]

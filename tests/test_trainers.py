@@ -728,3 +728,87 @@ def test_early_stopping_flag_gates_stop_and_restore(surv_dataset, tmp_path):
     summary2 = trainer2.train_fold(surv_dataset, splits[0], 0)
     assert len(summary2["history"]) <= 3  # may stop early; ckpt = best
     assert (tmp_path / "r_es" / "s_0_checkpoint.npz").exists()
+
+
+def test_vae_scalar_log_rows_appear_midtraining(tmp_path):
+    """Live observability (reference TB scalars, vae/train.py:162-165): the
+    scalar CSV must gain rows DURING training, not at exit — captured by
+    snapshotting the file from inside the epoch loop via the validate hook."""
+    from multimodal_fusion_tpu.data.vae_patches import WSIVAEDataset
+    from multimodal_fusion_tpu.models.vae import VAE
+    from multimodal_fusion_tpu.train.vae import VAETrainer
+
+    root = tmp_path / "data"
+    csv_path = make_synthetic_dataset(
+        root, n_patients=4, seed=3, min_wsi_patches=30, max_wsi_patches=50,
+        feature_dim=16,
+    )
+    ds = WSIVAEDataset(csv_path, root, label_filter="living", preload=True)
+    model = VAE(input_dim=16, encoder_hidden=[32, 16], decoder_hidden=[16, 32],
+                latent_dim=8, rngs=nnx.Rngs(0))
+    log_path = tmp_path / "scalars.csv"
+    trainer = VAETrainer(model, learning_rate=1e-3, scalar_log_path=log_path)
+
+    seen_midtraining = []
+    orig_validate = trainer.validate
+
+    def spying_validate(*a, **k):
+        # called once per epoch BEFORE the row for that epoch is written:
+        # rows seen here were flushed by earlier epochs -> live emission
+        seen_midtraining.append(log_path.read_text() if log_path.exists() else "")
+        return orig_validate(*a, **k)
+
+    trainer.validate = spying_validate
+    trainer.fit(ds, ds, epochs=3, batch_size=16, verbose=False, resample=False)
+
+    # by the 3rd epoch's validation, epochs 0 and 1 must already be on disk
+    rows = [l for l in seen_midtraining[2].strip().splitlines() if l]
+    assert len(rows) == 3  # header + 2 epochs
+    assert rows[0].startswith("epoch,step,train_loss")
+    final = [l for l in log_path.read_text().strip().splitlines() if l]
+    assert len(final) == 4  # header + 3 epochs
+    # columns parse as floats
+    vals = final[1].split(",")
+    assert float(vals[2]) > 0  # train_loss
+
+
+def test_alignment_scalar_log_rows_appear_midtraining(tmp_path):
+    """Alignment live scalars: a row per validation interval, flushed
+    immediately (reference's tqdm live postfix equivalent)."""
+    from multimodal_fusion_tpu.data.alignment import TMANpzAlignedWithNegDataset
+    from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
+    from multimodal_fusion_tpu.train.alignment import MultiModalAlignmentTrainer
+
+    markers = ("cd3", "cd8")
+    make_alignment_npz_fixtures(
+        tmp_path, n_cores=12, patches_per_core=1, feature_dim=8, markers=markers
+    )
+    ds = TMANpzAlignedWithNegDataset(
+        tmp_path, list(markers), filename_template="{marker}.npz", mismatch_ratio=1.0
+    )
+    model = MultiModalAlignmentModel(
+        list(markers), feature_dim=8, num_layers=1, rngs=nnx.Rngs(3)
+    )
+    log_path = tmp_path / "align_scalars.csv"
+    tr = MultiModalAlignmentTrainer(
+        model, learning_rate=1e-3, lambda2=0.1, scalar_log_path=log_path
+    )
+
+    seen = []
+    orig_validate = tr.validate
+
+    def spying_validate(*a, **k):
+        seen.append(log_path.read_text() if log_path.exists() else "")
+        return orig_validate(*a, **k)
+
+    tr.validate = spying_validate
+    tr.train(ds, ds, max_steps=12, batch_size=4, val_interval=4, seed=5)
+
+    # at the 3rd validation call, intervals 1 and 2 are already on disk
+    rows = [l for l in seen[2].strip().splitlines() if l]
+    assert len(rows) == 3  # header + 2 interval rows
+    assert rows[0].startswith("step,train_loss,val_loss,svd_top")
+    final = [l for l in log_path.read_text().strip().splitlines() if l]
+    assert len(final) == 4  # header + 3 interval rows
+    step, train_loss, val_loss, svd_top = final[1].split(",")
+    assert int(step) == 4 and float(val_loss) > 0

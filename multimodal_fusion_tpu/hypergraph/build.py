@@ -428,7 +428,7 @@ def _unpack_triu(packed: np.ndarray, n: int) -> np.ndarray:
     static_argnames=(
         "lambda_h", "lambda_g", "num_super", "num_groups", "k",
         "num_hyperedges", "cache_bf16", "full_stats", "ship_cache", "padded",
-        "block_stats", "allow_pallas", "mesh",
+        "block_stats", "allow_pallas", "mesh", "bf16_exact",
     ),
 )
 def _fused_build(
@@ -450,6 +450,7 @@ def _fused_build(
     block_stats: bool = False,
     allow_pallas: bool = True,
     mesh=None,
+    bf16_exact: bool = False,
 ):
     """The entire per-file numeric pipeline as ONE compiled program:
     similarity -> KMeans super-patches (+ intra-cluster stats) -> cross-modal
@@ -506,7 +507,7 @@ def _fused_build(
         # ops.pallas_similarity.sharded_combined_similarity).
         K = combined_similarity_auto(
             feats, pos, lambda_h, lambda_g, allow_pallas=allow_pallas,
-            mesh=mesh,
+            mesh=mesh, bf16_exact=bf16_exact,
         )
         stat_sel = None
     else:
@@ -1001,6 +1002,7 @@ def process_single_file(
         padded=padded,
         block_stats=block_stats,
         mesh=mesh,
+        bf16_exact=upload_dtype == "bfloat16",
     )
     host = jax.device_get(out)  # one bulk transfer
     _attach_exact_median(host, n, feats_j, pos_j, lambda_h, lambda_g, padded)
@@ -1101,7 +1103,7 @@ def _finalize_host(
     static_argnames=(
         "lambda_h", "lambda_g", "num_super", "num_groups", "k",
         "num_hyperedges", "cache_bf16", "full_stats", "ship_cache", "padded",
-        "block_stats",
+        "block_stats", "bf16_exact",
     ),
 )
 def _fused_build_batch(
@@ -1121,6 +1123,7 @@ def _fused_build_batch(
     ship_cache: bool = True,
     padded: bool = False,
     block_stats: bool = False,
+    bf16_exact: bool = False,
 ):
     """vmapped fused build over a batch of SAME-SHAPE files: one device
     dispatch + one device->host transfer per batch instead of per file.
@@ -1132,6 +1135,7 @@ def _fused_build_batch(
             key, f, p, t, nv, lambda_h, lambda_g, num_super, num_groups,
             k, num_hyperedges, cache_bf16=cache_bf16, full_stats=full_stats,
             ship_cache=ship_cache, padded=padded, block_stats=block_stats,
+            bf16_exact=bf16_exact,
         )
 
     return jax.vmap(one)(keys, feats, pos, tma, n_valid)
@@ -1263,6 +1267,7 @@ def process_dataset(
             padded=padded,
             block_stats=block_stats,
             mesh=mesh,
+            bf16_exact=upload_dtype == "bfloat16",
         )
         # start the device->host copies now so they overlap the host-side
         # edge assembly + h5 writes of earlier files
@@ -1511,6 +1516,7 @@ def _process_dataset_batched(
                     ship_cache=save_similarity,
                     padded=bool(bucket_patches) and not save_similarity,
                     block_stats=block_stats,
+                    bf16_exact=upload_dtype == "bfloat16",
                 )
                 for leaf in jax.tree.leaves(out):
                     leaf.copy_to_host_async()

@@ -31,10 +31,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _sim_kernel(fi_ref, pi_ref, fj_ref, pj_ref, o_ref, *, lambda_h, lambda_g):
-    # HIGHEST matmul precision: bf16 passes make the norm expansion cancel
-    # catastrophically for large-magnitude inputs (see ops/similarity.py).
+def _sim_kernel(
+    fi_ref, pi_ref, fj_ref, pj_ref, o_ref, *, lambda_h, lambda_g, bf16_exact
+):
+    # HIGHEST matmul precision by default: bf16 passes make the norm
+    # expansion cancel catastrophically for large-magnitude inputs (see
+    # ops/similarity.py).  ``bf16_exact`` marks FEATURE values known to be
+    # exactly bf16-representable (the --upload_dtype bfloat16 path ships
+    # bf16 and casts to f32 on device): truncating them back to bf16 for a
+    # 1-pass MXU dot is LOSSLESS, and HIGHEST's passes 2-6 would multiply
+    # exact-zero residuals — so DEFAULT precision is numerically identical
+    # there at ~6x the matmul rate (the kernel is compute-bound at ~95% of
+    # the 6-pass ceiling; measured r3).  Positions are always f32, so the
+    # spatial dot stays HIGHEST regardless.
     hi = jax.lax.Precision.HIGHEST
+    feat_prec = jax.lax.Precision.DEFAULT if bf16_exact else hi
     fi = fi_ref[:]  # [TM, D]
     fj = fj_ref[:]  # [TN, D]
     pi = pi_ref[:]  # [TM, 128]
@@ -43,7 +54,7 @@ def _sim_kernel(fi_ref, pi_ref, fj_ref, pj_ref, o_ref, *, lambda_h, lambda_g):
     fi_sq = jnp.sum(fi * fi, axis=1, keepdims=True)  # [TM, 1]
     fj_sq = jnp.sum(fj * fj, axis=1, keepdims=True)  # [TN, 1]
     d_h = fi_sq + fj_sq.T - 2.0 * jnp.dot(
-        fi, fj.T, preferred_element_type=jnp.float32, precision=hi
+        fi, fj.T, preferred_element_type=jnp.float32, precision=feat_prec
     )
 
     pi_sq = jnp.sum(pi * pi, axis=1, keepdims=True)
@@ -58,7 +69,10 @@ def _sim_kernel(fi_ref, pi_ref, fj_ref, pj_ref, o_ref, *, lambda_h, lambda_g):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lambda_h", "lambda_g", "tile_m", "tile_n", "interpret")
+    jax.jit,
+    static_argnames=(
+        "lambda_h", "lambda_g", "tile_m", "tile_n", "interpret", "bf16_exact"
+    ),
 )
 def pallas_combined_similarity_rect(
     row_features: jax.Array,
@@ -70,6 +84,7 @@ def pallas_combined_similarity_rect(
     tile_m: int = 256,
     tile_n: int = 256,
     interpret: bool = False,
+    bf16_exact: bool = False,
 ) -> jax.Array:
     """Fused [M, N] combined-similarity stripe via the tiled Pallas kernel.
 
@@ -88,7 +103,9 @@ def pallas_combined_similarity_rect(
     pj = jnp.zeros((n_pad, 128), jnp.float32).at[:n, : col_positions.shape[1]].set(col_positions)
 
     grid = (m_pad // tile_m, n_pad // tile_n)
-    kernel = functools.partial(_sim_kernel, lambda_h=lambda_h, lambda_g=lambda_g)
+    kernel = functools.partial(
+        _sim_kernel, lambda_h=lambda_h, lambda_g=lambda_g, bf16_exact=bf16_exact
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
@@ -122,11 +139,12 @@ def pallas_combined_similarity(
     tile_m: int = 256,
     tile_n: int = 256,
     interpret: bool = False,
+    bf16_exact: bool = False,
 ) -> jax.Array:
     """Fused [N, N] combined similarity via a tiled Pallas kernel."""
     return pallas_combined_similarity_rect(
         features, positions, features, positions,
-        lambda_h, lambda_g, tile_m, tile_n, interpret,
+        lambda_h, lambda_g, tile_m, tile_n, interpret, bf16_exact,
     )
 
 
@@ -137,6 +155,7 @@ def sharded_combined_similarity(
     lambda_h: float = 1.0,
     lambda_g: float = 1.0,
     interpret: bool = False,
+    bf16_exact: bool = False,
 ) -> jax.Array:
     """Mesh-sharded fused similarity: shard_map + Pallas (VERDICT r2 weak #2).
 
@@ -165,16 +184,30 @@ def sharded_combined_similarity(
         f_all = jax.lax.all_gather(f_loc, axes, axis=0, tiled=True)
         p_all = jax.lax.all_gather(p_loc, axes, axis=0, tiled=True)
         return pallas_combined_similarity_rect(
-            f_loc, p_loc, f_all, p_all, lambda_h, lambda_g, interpret=interpret
+            f_loc, p_loc, f_all, p_all, lambda_h, lambda_g,
+            interpret=interpret, bf16_exact=bf16_exact,
         )
 
-    return shard_map(
-        stripe,
-        mesh=mesh,
-        in_specs=(P(axes, None), P(axes, None)),
-        out_specs=P(axes, None),
-        check_rep=False,
-    )(features, positions)
+    # jax renamed check_rep -> check_vma (0.7.x); the Pallas call inside the
+    # body is opaque to the replication checker either way, so disable it
+    # under whichever spelling this jax accepts.
+    try:
+        smapped = shard_map(
+            stripe,
+            mesh=mesh,
+            in_specs=(P(axes, None), P(axes, None)),
+            out_specs=P(axes, None),
+            check_vma=False,
+        )
+    except TypeError:  # pragma: no cover - older jax
+        smapped = shard_map(
+            stripe,
+            mesh=mesh,
+            in_specs=(P(axes, None), P(axes, None)),
+            out_specs=P(axes, None),
+            check_rep=False,
+        )
+    return smapped(features, positions)
 
 
 # Below this N the XLA formulation wins (kernel launch overhead); tests
@@ -194,6 +227,7 @@ def combined_similarity_auto(
     min_pallas_n: int = None,
     allow_pallas: bool = True,
     mesh=None,
+    bf16_exact: bool = False,
 ) -> jax.Array:
     """Pallas kernel on TPU for large N, XLA formulation otherwise.
 
@@ -216,10 +250,12 @@ def combined_similarity_auto(
         ):
             return sharded_combined_similarity(
                 mesh, features, positions, lambda_h, lambda_g,
-                interpret=not on_tpu,
+                interpret=not on_tpu, bf16_exact=bf16_exact,
             )
         # XLA expansion partitions cleanly into row stripes under GSPMD
         return combined_similarity(features, positions, lambda_h, lambda_g)
     if allow_pallas and on_tpu and n >= min_pallas_n:
-        return pallas_combined_similarity(features, positions, lambda_h, lambda_g)
+        return pallas_combined_similarity(
+            features, positions, lambda_h, lambda_g, bf16_exact=bf16_exact
+        )
     return combined_similarity(features, positions, lambda_h, lambda_g)

@@ -33,6 +33,7 @@ from multimodal_fusion_tpu.ops.losses import (
     volume_loss,
 )
 from multimodal_fusion_tpu.train.checkpoint import save_state
+from multimodal_fusion_tpu.utils.jaxcache import guard_cpu_compile_cache
 
 
 def make_alignment_apply_fn(model: MultiModalAlignmentModel):
@@ -291,6 +292,11 @@ class MultiModalAlignmentTrainer:
         eta_min = 1e-6
         return eta_min + (self.base_lr - eta_min) * (1 + math.cos(math.pi * (epoch % 200) / 100)) / 2
 
+    # CPU-only: keep this trainer's large scanned executables out of the
+    # persistent compile cache — XLA:CPU (de)serialization of exactly these
+    # programs segfaulted twice in aged full-suite processes (see
+    # utils/jaxcache.no_cpu_compile_cache).  TPU runs cache normally.
+    @guard_cpu_compile_cache
     def train(
         self,
         train_view,
@@ -573,6 +579,7 @@ class MultiModalAlignmentTrainer:
             "elapsed_s": time.time() - t0,
         }
 
+    @guard_cpu_compile_cache
     def validate(self, val_view, state=None, batch_size: int = 64) -> float:
         if state is None:
             state = self.state

@@ -43,6 +43,7 @@ from multimodal_fusion_tpu.train.metrics import (
     multiclass_auroc_macro,
 )
 from multimodal_fusion_tpu.train.optim import LRSchedule, make_optimizer
+from multimodal_fusion_tpu.utils.jaxcache import guard_cpu_compile_cache
 
 
 # HBM guard for exp.device_data="auto" (the default): the fold's stacked
@@ -720,6 +721,13 @@ class SurvivalTrainer:
 
     # ------------------------------------------------------------------
 
+    # CPU-only: keep the large (scanned) train/eval executables out of the
+    # persistent compile cache — XLA:CPU executable (de)serialization has
+    # segfaulted in aged full-suite processes on exactly these programs
+    # (alignment trainer twice, then this trainer's windowed train step at
+    # tests/test_trained_parity.py — faulthandler trace ends in
+    # compilation_cache.put_executable_and_time).  TPU caches normally.
+    @guard_cpu_compile_cache
     def train_fold(
         self, dataset: MultimodalDataset, split: FoldSplit, fold_idx: int
     ) -> Dict[str, Any]:
@@ -957,6 +965,7 @@ class SurvivalTrainer:
 
     # ------------------------------------------------------------------
 
+    @guard_cpu_compile_cache
     def evaluate_fold(
         self,
         dataset: MultimodalDataset,

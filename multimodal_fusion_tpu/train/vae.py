@@ -27,6 +27,7 @@ from flax import nnx
 from multimodal_fusion_tpu.io.h5io import write_channel
 from multimodal_fusion_tpu.models.vae import VAE, vae_loss
 from multimodal_fusion_tpu.train.checkpoint import load_state, save_state
+from multimodal_fusion_tpu.utils.jaxcache import guard_cpu_compile_cache
 
 
 class VAETrainer:
@@ -203,6 +204,10 @@ class VAETrainer:
                 idxs = np.concatenate([idxs, order[: batch_size - len(idxs)]])
             yield idxs
 
+    # CPU-only compile-cache guard: see train/survival.py train_fold — the
+    # scanned VAE train executables are the same size class as the ones that
+    # segfaulted XLA:CPU's executable (de)serialization in aged processes.
+    @guard_cpu_compile_cache
     def train_epoch(
         self, dataset, batch_size: int, key, shuffle_rng, table=None
     ) -> Dict[str, float]:
@@ -269,6 +274,7 @@ class VAETrainer:
 
         return {"loss": agg(losses), "recon": agg(recons), "kld": agg(klds)}
 
+    @guard_cpu_compile_cache
     def validate(self, dataset, batch_size: int, key, table=None) -> float:
         losses = []
         if table is not None:

@@ -16,16 +16,18 @@ work estimate comes from XLA's own cost analysis of the compiled executable
 an op with low intensity is HBM-bound and can sit at tiny MFU while running
 at its roofline.
 
-Peak numbers per chip generation are published figures (per chip):
+Peak numbers per chip generation: bf16 and HBM are published figures (per
+chip); the f32 column is the EFFECTIVE peak of precision-HIGHEST f32
+matmuls, which lower onto the bf16 MXU as a 6-pass decomposition
+(peak_bf16 / 6) — the numerically-safe mode this framework's f32 kernels
+use (the similarity norm-expansion cancels catastrophically below it).
 
-| kind        | bf16 FLOP/s | f32 FLOP/s | HBM B/s   |
-| v5e / v5lite| 197e12      | 49e12      | 819e9     |
-| v4          | 275e12      | 69e12      | 1228e9    |
-| v3          | 123e12      | 61e12      | 900e9     |
-| v6e/trillium| 918e12      | 230e12     | 1640e9    |
-
-f32 matmuls lower onto the bf16 MXU via multi-pass decomposition; the f32
-column is the effective single-precision matmul peak (~peak_bf16/4).
+| kind        | bf16 FLOP/s | f32(x6) FLOP/s | HBM B/s   |
+| v5e / v5lite| 197e12      | 33e12          | 819e9     |
+| v5p         | 459e12      | 76e12          | 2765e9    |
+| v4          | 275e12      | 46e12          | 1228e9    |
+| v3          | 123e12      | 61e12 (native) | 900e9     |
+| v6e/trillium| 918e12      | 153e12         | 1640e9    |
 """
 
 from __future__ import annotations
@@ -36,14 +38,15 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 
 _PEAKS = {
-    # substring of device_kind (lowercased) -> (bf16 flop/s, f32 flop/s, hbm b/s)
-    "v5 lite": (197e12, 49e12, 819e9),
-    "v5e": (197e12, 49e12, 819e9),
-    "v5p": (459e12, 115e12, 2765e9),
-    "v4": (275e12, 69e12, 1228e9),
+    # substring of device_kind (lowercased) ->
+    #   (bf16 flop/s, effective precision-HIGHEST f32 flop/s, hbm b/s)
+    "v5 lite": (197e12, 33e12, 819e9),
+    "v5e": (197e12, 33e12, 819e9),
+    "v5p": (459e12, 76e12, 2765e9),
+    "v4": (275e12, 46e12, 1228e9),
     "v3": (123e12, 61e12, 900e9),
-    "v6": (918e12, 230e12, 1640e9),
-    "trillium": (918e12, 230e12, 1640e9),
+    "v6": (918e12, 153e12, 1640e9),
+    "trillium": (918e12, 153e12, 1640e9),
     "cpu": (1e12, 5e11, 1e11),  # nominal; keeps the report well-defined off-TPU
 }
 
@@ -73,6 +76,56 @@ def _cost_analysis(fn: Callable, *args) -> Dict[str, float]:
         return {"flops": 0.0, "bytes": 0.0}
 
 
+def _perturb_floats(tree, eps):
+    """Add a vanishing eps-dependent term to EVERY floating leaf — the data
+    dependency that forces sequential device execution in the chained timing
+    loop (without changing values: eps * 1e-30 underflows against any
+    normal-scale data).  Perturbing only the first leaf is not enough: if
+    that particular leaf is unused by the measured function (e.g. a
+    train-only parameter in an eval forward), the body is loop-invariant and
+    XLA hoists the whole computation out of the loop — measured as an
+    impossible 1,887 TFLOP/s eval step on a v5e before this fix."""
+
+    def f(x):
+        if hasattr(x, "dtype") and jax.numpy.issubdtype(
+            x.dtype, jax.numpy.floating
+        ):
+            return x + (eps * 1e-30).astype(x.dtype)
+        return x
+
+    return jax.tree.map(f, tree)
+
+
+def _digest(tree):
+    """Scalar that depends on EVERY element of every output leaf.
+
+    Chaining only one element lets XLA dead-code-eliminate everything that
+    does not feed it (a vmapped batch collapses to its first row; whole
+    pipeline stages vanish) — measured as 13,000 "TFLOP/s" before this fix.
+    A full-reduction digest keeps the entire computation live at negligible
+    extra cost."""
+    import jax.numpy as jnp
+
+    total = jnp.float32(0.0)
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.number):
+            total = total + jnp.sum(leaf).astype(jnp.float32)
+        elif hasattr(leaf, "dtype"):  # bool
+            total = total + jnp.sum(leaf.astype(jnp.float32))
+    return total
+
+
+def _first_scalar(tree):
+    """Cheapest possible scalar touching the inputs (for the overhead probe:
+    full RPC/dispatch/fetch cost, near-zero device work)."""
+    import jax.numpy as jnp
+
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.ravel()[0].astype(jnp.float32)
+    return jnp.float32(0.0)
+
+
 def measure_device(
     fn: Callable,
     args: Tuple,
@@ -80,50 +133,96 @@ def measure_device(
     dtype: str = "float32",
     work_items: Optional[float] = None,
     flops_override: Optional[float] = None,
+    bytes_override: Optional[float] = None,
 ) -> Dict[str, Any]:
-    """Time ``jit(fn)(*args)`` device-resident and report MFU/roofline.
+    """Time ``fn(*args)`` device-resident and report MFU/roofline.
 
-    ``args`` should already be committed device arrays (device_put done by
-    the caller); the first call compiles + warms, then ``iters`` calls are
-    timed under a single block_until_ready fence.  ``work_items`` (e.g.
-    patches, slides) adds an items/sec field.  ``flops_override`` replaces
-    XLA's estimate when the caller has a better analytic count."""
-    jfn = jax.jit(fn)
-    out = jfn(*args)
-    jax.block_until_ready(out)
-    # best-of-2 timing loops: even device-resident dispatch has jitter
-    best = float("inf")
-    for _ in range(2):
+    Timing method: ``iters`` dependency-chained executions inside ONE jit
+    (a ``fori_loop`` whose body perturbs the first input leaf by the
+    previous iteration's output, so the device cannot overlap or elide
+    them), closed by a single scalar fetch.  A host-side
+    ``block_until_ready`` loop is NOT trustworthy here: through the axon
+    TCP relay it returns as soon as the dispatch queue drains, yielding
+    physically impossible rates (measured: "2 exaFLOP/s").  The one-call
+    RPC/fetch overhead is measured with an empty chained loop and
+    subtracted.  ``work_items`` (e.g. patches, slides) adds an items/sec
+    field.  ``flops_override`` replaces XLA's estimate when the caller has
+    a better analytic count."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(*a):
+        def body(_, acc):
+            out = fn(*_perturb_floats(a, acc))
+            return _digest(out)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    @jax.jit
+    def empty(*a):
+        return jnp.float32(0.0) + _first_scalar(a)
+
+    float(chained(*args))  # compile + warm
+    float(empty(*args))
+    overhead = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = jfn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
+        float(empty(*args))
+        overhead = min(overhead, time.perf_counter() - t0)
+    best = float("inf")
+    signal = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(*args))
+        elapsed = time.perf_counter() - t0
+        signal = max(signal, elapsed - overhead)
+        best = min(best, max(elapsed - overhead, 1e-9) / iters)
+    # SNR guard: through a TCP relay the one-fetch RTT varies by multiple
+    # ms run-to-run; if the chained loop's compute signal is not well above
+    # that noise floor, the per-call number is meaningless — callers must
+    # raise `iters`.  Flag it rather than report garbage.
+    low_snr = signal < 5 * overhead
 
     cost = _cost_analysis(fn, *args)
     flops = flops_override if flops_override is not None else cost["flops"]
-    bytes_accessed = cost["bytes"]
+    bytes_accessed = (
+        bytes_override if bytes_override is not None else cost["bytes"]
+    )
     kind, peak_bf16, peak_f32, peak_bw = chip_peaks()
     peak = peak_bf16 if dtype == "bfloat16" else peak_f32
-    achieved = flops / best if best > 0 else 0.0
-    intensity = flops / bytes_accessed if bytes_accessed else float("inf")
-    ridge = peak / peak_bw
-    bound = min(peak, intensity * peak_bw) if bytes_accessed else peak
     rep = {
         "device_kind": kind,
         "compute_dtype": dtype,
         "sec_per_call": best,
-        "flops_per_call": flops,
-        "bytes_per_call": bytes_accessed,
-        "achieved_tflops": achieved / 1e12,
-        "peak_tflops": peak / 1e12,
-        "mfu": achieved / peak if peak else 0.0,
-        "arithmetic_intensity_flop_per_byte": intensity,
-        "ridge_intensity": ridge,
-        "bound": "compute" if intensity >= ridge else "memory",
-        "roofline_tflops": bound / 1e12,
-        "fraction_of_roofline": achieved / bound if bound else 0.0,
+        "timing_iters": iters,
+        "fetch_overhead_sec": overhead,
+        "low_snr": low_snr,
     }
     if work_items:
         rep["items_per_sec"] = work_items / best
+    if not flops:
+        # XLA's cost analysis cannot see Pallas custom calls and counts
+        # while/scan bodies once, so a composite like the fused build has no
+        # honest static FLOP count — report timing only and let per-kernel
+        # entries (with analytic flops_override) carry the MFU story.
+        rep["flops_per_call"] = None
+        return rep
+    achieved = flops / best if best > 0 else 0.0
+    intensity = flops / bytes_accessed if bytes_accessed else float("inf")
+    ridge = peak / peak_bw
+    bound = min(peak, intensity * peak_bw) if bytes_accessed else peak
+    rep.update(
+        {
+            "flops_per_call": flops,
+            "bytes_per_call": bytes_accessed,
+            "achieved_tflops": achieved / 1e12,
+            "peak_tflops": peak / 1e12,
+            "mfu": achieved / peak if peak else 0.0,
+            "arithmetic_intensity_flop_per_byte": intensity,
+            "ridge_intensity": ridge,
+            "bound": "compute" if intensity >= ridge else "memory",
+            "roofline_tflops": bound / 1e12,
+            "fraction_of_roofline": achieved / bound if bound else 0.0,
+        }
+    )
     return rep

@@ -25,13 +25,42 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-_cache_dir = Path(__file__).resolve().parents[1] / ".jax_cache"
-_cache_dir.mkdir(exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# own subdir: the suite (CPU) must not share cache files with concurrent
+# TPU-process runs; atomic writes (utils/jaxcache) make the dir safe for the
+# suite's OWN subprocess-spawning tests (multihost gang, dryrun) — a cache
+# entry read mid-write segfaulted the suite once
+from multimodal_fusion_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache(Path(__file__).resolve().parents[1] / ".jax_cache" / "cpu")
 
 import numpy as np
 import pytest
+
+# Files that compile trainer/mesh-sized XLA programs, largest first.  They
+# run FIRST: XLA:CPU has segfaulted repeatedly when compiling (or
+# (de)serializing) these big scanned executables deep into an aged
+# full-suite process — never in a young one (test_alignment_trained_parity
+# has always run first alphabetically and never crashed; the same programs
+# compile fine standalone).  Ordering the heavy compiles into the young
+# process sidesteps the upstream bug deterministically; the compile-cache
+# guard (utils/jaxcache.guard_cpu_compile_cache) independently covers the
+# (de)serialization crashes.  Within each file, test order is unchanged.
+_HEAVY_COMPILE_FILES = [
+    "test_trained_parity.py",      # scanned survival train step (crash site x2)
+    "test_trainers.py",            # scanned alignment/VAE steps (crash site x3)
+    "test_vae_trained_parity.py",
+    "test_alignment_trained_parity.py",
+    "test_parallel.py",            # mesh-sharded trainer programs
+    "test_full_pipeline.py",
+    "test_experiment_matrix.py",   # smoke-trains every model family
+    "test_torch_import.py",
+    "test_cli_and_utils.py",       # in-process CLI smoke trainings
+]
+
+
+def pytest_collection_modifyitems(config, items):
+    rank = {name: i for i, name in enumerate(_HEAVY_COMPILE_FILES)}
+    items.sort(key=lambda it: rank.get(Path(it.fspath).name, len(rank)))
 
 
 @pytest.fixture(scope="session")

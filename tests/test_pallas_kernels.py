@@ -110,3 +110,25 @@ def test_pallas_knn_self_distance_pinned_at_large_magnitude():
     assert set(map(tuple, np.sort(i_pl, 1).tolist())) == set(
         map(tuple, np.sort(np.asarray(i_x), 1).tolist())
     )
+
+
+def test_pallas_similarity_bf16_exact_flag(rng):
+    """bf16_exact=True (the --upload_dtype bfloat16 fast path: 1-pass MXU
+    feature dot) must agree with the HIGHEST-precision kernel on
+    bf16-representable inputs — lossless by construction (the truncation is
+    exact and HIGHEST's residual passes multiply zeros).  Interpret mode
+    here; the 1-pass vs 6-pass equality itself is asserted live on TPU
+    (r3 verification) where precision modes actually differ."""
+    import jax.numpy as jnp
+
+    from multimodal_fusion_tpu.ops.pallas_similarity import (
+        pallas_combined_similarity,
+    )
+
+    f = jnp.asarray(
+        rng.standard_normal((64, 32)).astype(np.float32) * 0.1, jnp.bfloat16
+    ).astype(jnp.float32)
+    p = jnp.asarray(rng.uniform(0, 3, (64, 2)), jnp.float32)
+    K_hi = pallas_combined_similarity(f, p, 1.0, 1.0, interpret=True)
+    K_lo = pallas_combined_similarity(f, p, 1.0, 1.0, interpret=True, bf16_exact=True)
+    np.testing.assert_allclose(np.asarray(K_hi), np.asarray(K_lo), rtol=1e-6, atol=1e-7)

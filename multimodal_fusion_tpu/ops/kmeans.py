@@ -54,16 +54,27 @@ def kmeans_plus_plus_init(
     k: int,
     mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Greedy kmeans++ seeding. ``x`` [N,D] -> centers [K,D]."""
+    """Greedy kmeans++ seeding. ``x`` [N,D] -> centers [K,D].
+
+    Candidate distances use the ||x||^2 - 2 x.c + ||c||^2 expansion so each
+    scan step reads ``x`` once through a [T,D]x[D,N] MXU matmul instead of T
+    elementwise [N,D] passes (T = n_local_trials; the init runs k-1 scanned
+    steps x n_init vmapped restarts, so this is the init's whole bandwidth
+    cost)."""
     n = x.shape[0]
     n_local_trials = 2 + int(math.log(max(k, 2)))
     valid = mask if mask is not None else jnp.ones((n,), bool)
+    x_sq = jnp.sum(x * x, axis=-1)  # [N], hoisted out of the scan
 
     key, sub = jax.random.split(key)
     probs0 = valid.astype(jnp.float32)
     first = jax.random.choice(sub, n, p=probs0 / jnp.sum(probs0))
     centers0 = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(x[first])
-    d0 = jnp.sum((x - x[first]) ** 2, axis=-1)
+    d0 = jnp.maximum(
+        x_sq - 2.0 * jnp.dot(x, x[first], preferred_element_type=jnp.float32)
+        + x_sq[first],
+        0.0,
+    )
     d0 = jnp.where(valid, d0, 0.0)
 
     def body(carry, inputs):
@@ -74,7 +85,8 @@ def kmeans_plus_plus_init(
         p = p / jnp.maximum(jnp.sum(p), 1e-30)
         cand_idx = jax.random.choice(subkey, n, shape=(n_local_trials,), p=p)
         cand = x[cand_idx]  # [T, D]
-        d_cand = jax.vmap(lambda c: jnp.sum((x - c) ** 2, axis=-1))(cand)  # [T,N]
+        xc = jnp.dot(cand, x.T, preferred_element_type=jnp.float32)  # [T,N]
+        d_cand = jnp.maximum(x_sq[None, :] - 2.0 * xc + x_sq[cand_idx, None], 0.0)
         d_cand = jnp.minimum(d_cand, closest_d[None, :])
         d_cand = jnp.where(valid[None, :], d_cand, 0.0)
         pots = jnp.sum(d_cand, axis=1)
@@ -146,11 +158,22 @@ def _lloyd(
     n_iters: int,
     tol: float,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Fixed-trip-count Lloyd iterations; frozen once center shift < tol."""
+    """Lloyd iterations to convergence (center shift < tol), capped at
+    ``n_iters``.  A ``while_loop`` rather than a fixed-trip ``scan``: under
+    the restarts vmap a scanned freeze lowers to select (both branches run),
+    so every restart paid all ``n_iters`` distance+segment-sum passes even
+    after converging — ~38 ms of the 42 ms kmeans stage at bench shapes on
+    v5e.  vmapped ``while_loop`` instead iterates until the SLOWEST restart
+    converges (clustered data: typically 10-25 of the 50 allowed), with
+    identical numerics — frozen lanes keep their values either way."""
     k = centers.shape[0]
 
-    def step(carry, _):
-        centers, done = carry
+    def step_cond(carry):
+        _, done, it = carry
+        return (~done) & (it < n_iters)
+
+    def step_body(carry):
+        centers, done, it = carry
 
         def run(centers):
             d = _sq_dists_to_centers(x, centers)
@@ -167,9 +190,11 @@ def _lloyd(
         new_centers, now_done = jax.lax.cond(
             done, lambda c: (c, jnp.asarray(True)), run, centers
         )
-        return (new_centers, done | now_done), None
+        return (new_centers, done | now_done, it + 1)
 
-    (centers, _), _ = jax.lax.scan(step, (centers, jnp.asarray(False)), None, length=n_iters)
+    centers, _, _ = jax.lax.while_loop(
+        step_cond, step_body, (centers, jnp.asarray(False), jnp.int32(0))
+    )
 
     # Relocation refinement OUTSIDE the hot scan: a per-iteration top-k cost
     # ~40% of the fused hypergraph build on TPU (measured round 2), and at

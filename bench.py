@@ -599,6 +599,57 @@ def run_mfu_report() -> dict:
     report["vit_extraction"] = measure_device(
         vit_fwd, (vs, crops), iters=16, dtype="bfloat16", work_items=32,
     )
+
+    # (e) alignment pretraining step (8 markers x [256, 1024], rank1 SVD
+    # loss + frozen-predictor BCE + AdamW — the reference's production
+    # shapes, alignment/trainer.py:108-136)
+    from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
+    from multimodal_fusion_tpu.train.alignment import MultiModalAlignmentTrainer
+
+    markers = [f"m{i}" for i in range(8)]
+    amodel = MultiModalAlignmentModel(markers, feature_dim=DIM, rngs=nnx.Rngs(0))
+    atr = MultiModalAlignmentTrainer(amodel, learning_rate=1e-4)
+    B = 256
+    pos = {m: jnp.asarray(rng.standard_normal((B, DIM)), jnp.float32) for m in markers}
+    neg = {m: jnp.asarray(rng.standard_normal((B, DIM)), jnp.float32) for m in markers}
+    astate = jax.device_put(atr.state)
+    aopt = jax.device_put(atr.opt_state)
+    pos, neg = jax.device_put((pos, neg))
+    akey = jax.device_put(jax.random.key(1))
+
+    def align_step(state, opt_state, pos, neg, key):
+        state, opt_state, loss, _ = atr._step(
+            state, opt_state, pos, neg, key, jnp.float32(1e-4),
+            train=True, has_neg=True,
+        )
+        return state, opt_state, loss
+
+    report["alignment_train_step"] = measure_device(
+        align_step, (astate, aopt, pos, neg, akey), iters=64,
+        dtype="float32", work_items=B,
+    )
+
+    # (f) VAE training step ([256, 1024] -> 512/256/128 VAE + Adam,
+    # vae/train.py production shapes)
+    from multimodal_fusion_tpu.models.vae import VAE
+    from multimodal_fusion_tpu.train.vae import VAETrainer
+
+    vmodel = VAE(DIM, [512, 256], [256, 512], 128, rngs=nnx.Rngs(0))
+    vtr = VAETrainer(vmodel, learning_rate=1e-3)
+    xv = jax.device_put(jnp.asarray(rng.standard_normal((B, DIM)), jnp.float32))
+    vstate = jax.device_put(vtr.state)
+    vopt = jax.device_put(vtr.opt_state)
+
+    def vae_step(state, opt_state, x, key):
+        state, opt_state, loss, recon, kld = vtr._train_step(
+            state, opt_state, x, key, jnp.float32(1e-3)
+        )
+        return state, opt_state, loss
+
+    report["vae_train_step"] = measure_device(
+        vae_step, (vstate, vopt, xv, akey), iters=64,
+        dtype="float32", work_items=B,
+    )
     return report
 
 

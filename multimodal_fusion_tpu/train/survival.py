@@ -572,6 +572,9 @@ class SurvivalTrainer:
             if scanned is not None and len(buf) == scanW:
                 windows = jax.tree.map(lambda *xs: np.stack(xs), *[w for _, w, _ in buf])
                 kstack = jnp.stack([k for _, _, k in buf])
+                # batched-inference mesh DP (SURVEY §2.6): case axis shards,
+                # scan axis stays sequential — same placement as training
+                windows, kstack = self._place_windows_scanned(windows, kstack)
                 logits, probs, preds, losses, risk = scanned(params, rest, windows, kstack)
                 # stacked [W, G, ...] -> flatten the scan axis
                 emit(
@@ -583,6 +586,9 @@ class SurvivalTrainer:
                 )
             else:
                 for _, window, keys in buf:
+                    window, keys = self._place_window(
+                        window, keys, window["label"].shape[0]
+                    )
                     logits, probs, preds, losses, risk = eval_step(params, rest, window, keys)
                     emit(logits, probs, preds, losses, risk)
             buf = []
@@ -597,6 +603,7 @@ class SurvivalTrainer:
             all_labels.append(np.asarray(window["label"]))
             patient_ids.extend(chunk)
             if scanned is None:
+                window, keys = self._place_window(window, keys, n)
                 logits, probs, preds, losses, risk = eval_step(params, rest, window, keys)
                 emit(logits, probs, preds, losses, risk)
                 continue

@@ -735,3 +735,47 @@ def test_sharded_build_uses_pallas_kernel(tmp_path, monkeypatch):
     for k in ("mean", "std", "min", "max", "median"):
         np.testing.assert_allclose(ms_stats[k], ps_stats[k], rtol=1e-4, atol=1e-6, err_msg=k)
     assert sharded["hypergraph"]["num_edges"] == plain["hypergraph"]["num_edges"]
+
+
+def test_eval_mesh_host_path_matches_unsharded(tmp_path):
+    """Batched survival INFERENCE shards over the mesh on the host window
+    path too (SURVEY §2.6 "batched survival inference"): with
+    device_data=False the eval windows go through _place_window /
+    _place_windows_scanned, and val/test numerics are identical to the
+    unsharded run (the device_data eval path is covered by
+    test_trainer_mesh_with_device_data via _constrain_window)."""
+    from multimodal_fusion_tpu.config import Configs, ExperimentConfig
+    from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
+    from multimodal_fusion_tpu.data.splits import create_k_fold_splits
+    from multimodal_fusion_tpu.io.fixtures import make_synthetic_dataset
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    root = tmp_path / "d"
+    csv_path = make_synthetic_dataset(
+        root, n_patients=12, seed=11, min_wsi_patches=16, max_wsi_patches=24,
+        feature_dim=D, n_tma_patches=3,
+    )
+    ds = MultimodalDataset(
+        csv_path, root,
+        channels=["wsi=features", "tma=cd3=features", "clinical=val", "clinical=mask"],
+    )
+
+    def run(mesh_shape, d):
+        mc = _cfg()
+        mc.channel_input_dims = {"clinical=val": 16}
+        ec = ExperimentConfig(
+            exp_name="ev", seed=0, k_folds=3, max_epochs=1, batch_size=4,
+            lr=1e-3, patience=5, min_epochs=0, mesh_shape=mesh_shape,
+            scan_windows=2, device_data=False,
+        )
+        ec.extra["verbose"] = False
+        tr = SurvivalTrainer(Configs(experiment_config=ec, model_config=mc), tmp_path / d)
+        splits = create_k_fold_splits(ds.labels, 3, seed=0)
+        return tr.train_fold(ds, splits[0], 0)
+
+    base = run(None, "ev_base")
+    mesh = run({"data": 4}, "ev_mesh")
+    for h0, h1 in zip(base["history"], mesh["history"]):
+        np.testing.assert_allclose(h0["val_loss"], h1["val_loss"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(base["test_auc"], mesh["test_auc"], rtol=1e-5, atol=1e-6)
+    assert base["test_acc"] == mesh["test_acc"]

@@ -22,7 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import numpy as np
 
 
-def _wait_for_backend(max_wait_s: float = 1500.0, probe_timeout_s: float = 150.0) -> bool:
+def _wait_for_backend(max_wait_s: float = 1500.0, probe_timeout_s: float = 300.0) -> bool:
     """Probe backend liveness in a SUBPROCESS with a hard timeout.
 
     The axon TPU relay occasionally goes unavailable; ``jax.devices()`` in
@@ -31,6 +31,11 @@ def _wait_for_backend(max_wait_s: float = 1500.0, probe_timeout_s: float = 150.0
     never do that, so: probe in a child process (killable), retry up to
     ``max_wait_s`` for the relay to come back, and let the caller fall back
     to CPU if it never does — one JSON line is always printed either way.
+
+    The probe only initialises the backend (no compile, no transfer — the
+    operations whose mid-flight kill wedges the tunnel), and its 300s grace
+    is ~30x a healthy init, so a merely-congested relay is not killed into
+    a wedge (review finding r3).
     """
     import subprocess
 

@@ -242,6 +242,16 @@ _KEY_ONE = 0x3F800000  # int32 bit pattern of 1.0f
 _MEDIAN_W0 = (_KEY_ONE + _MEDIAN_BINS) // _MEDIAN_BINS  # 32513
 
 
+def _hist_safe_block(n: int, block: int) -> int:
+    """Largest stripe height <= ``block`` whose per-stripe histogram cannot
+    overflow int32: a single [B, n_pad] stripe can put every element into
+    one bin, so B * n_pad must stay < 2^31 (first binding above ~2.1M
+    patches at B=1024; up there the scan just uses shorter stripes).  The
+    cross-stripe accumulators carry base-2^15 digit pairs and stay < 2^31
+    for any N where an O(N^2 D) sweep is even conceivable (< ~6e7)."""
+    return max(1, (2**31 - 1) // (n + block))
+
+
 def _hist_fold(cnt_hi, cnt_lo, bmin, bmax, K_blk, tile_valid):
     """Fold one [B, N] similarity stripe into the bit-pattern histogram."""
     keybits = jax.lax.bitcast_convert_type(K_blk, jnp.int32).reshape(-1)
@@ -275,7 +285,7 @@ def _median_refine_pass(
     feats = feats.astype(jnp.float32)
     pos = pos.astype(jnp.float32)
     n, d = feats.shape
-    blk = min(block, n)
+    blk = min(block, n, _hist_safe_block(n, block))
     n_pad = ((n + blk - 1) // blk) * blk
     fp = jnp.zeros((n_pad, d), feats.dtype).at[:n].set(feats)
     pp = jnp.zeros((n_pad, pos.shape[1]), pos.dtype).at[:n].set(pos)
@@ -336,6 +346,15 @@ def _exact_median_host(host: Dict, n_eff: int, refine) -> float:
         chi, clo = refine(lo_key)
         cnt2 = np.asarray(chi).astype(np.int64) * (1 << 15) + np.asarray(clo)
         cum2 = np.cumsum(cnt2)
+        # the refine RECOMPUTES the similarities; if its keys were not
+        # bit-identical to the stats pass the bin totals disagree and the
+        # selection below would silently read past the bin — fail loudly
+        # instead (has never fired; both passes run the same fused kernel)
+        if int(cum2[-1]) != int(cnt[b1]):
+            raise RuntimeError(
+                f"median refine pass disagrees with stats pass: bin {b1} "
+                f"holds {int(cnt[b1])} values, refine counted {int(cum2[-1])}"
+            )
         v1 = _key_to_f32(lo_key + int(np.searchsorted(cum2, k1 - prev)))
         v2 = _key_to_f32(lo_key + int(np.searchsorted(cum2, k2 - prev)))
     if M % 2:
@@ -400,7 +419,7 @@ def _blockwise_similarity_stats(
     (cnt_hi, cnt_lo, bmin, bmax)) over VALID entries only (rows/cols with
     label -1 excluded)."""
     n, d = feats.shape
-    block = min(block, n)
+    block = min(block, n, _hist_safe_block(n, block))
     n_pad = ((n + block - 1) // block) * block
     fp = jnp.zeros((n_pad, d), feats.dtype).at[:n].set(feats)
     pp = jnp.zeros((n_pad, pos.shape[1]), pos.dtype).at[:n].set(pos)
@@ -580,10 +599,15 @@ def _fused_build(
         last = (n_valid - 1).astype(jnp.float32) if padded else float(n - 1)
         stat_sel = jnp.linspace(0.0, 1.0, S)
         stat_sel = (stat_sel * last).round().astype(jnp.int32)
+        # [S, S] sample for statistics only (valid rows only when padded).
+        # Under a mesh the RAW Pallas kernel must not see GSPMD-sharded
+        # operands (Mosaic custom calls cannot be partitioned — the round-2
+        # bug class); the subsample is <= [2048, 2048], where the XLA
+        # formulation partitions cleanly and is plenty fast.
         K = combined_similarity_auto(
             feats[stat_sel], pos[stat_sel], lambda_h, lambda_g,
-            allow_pallas=allow_pallas,
-        )  # [S, S] sample for statistics only (valid rows only when padded)
+            allow_pallas=allow_pallas and mesh is None,
+        )
 
     km = kmeans(k1, feats, k=num_super, n_init=10, mask=mask)
     onehot = jax.nn.one_hot(km.labels, num_super, dtype=feats.dtype)  # [N,S]

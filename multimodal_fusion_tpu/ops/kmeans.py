@@ -8,9 +8,10 @@ the hypergraph pipeline (reference: ``build_hypergraph/preprocess_hypergraph.py
   driven by a JAX PRNG key.  Parity with sklearn is *structural* (same
   algorithm, deterministic given the key), not bitwise with MT19937 — see
   SURVEY.md §7 "Hard parts".
-- Lloyd iterations run as a ``lax.scan`` with a fixed trip count; converged
-  runs freeze (centers stop moving), so extra iterations are no-ops instead of
-  dynamic control flow.
+- Lloyd iterations run as a ``lax.while_loop`` capped at ``n_iters``: under
+  the restarts vmap the loop runs until the SLOWEST restart converges
+  (already-converged lanes freeze via ``lax.cond``), instead of every
+  restart paying the full fixed trip count (see ``_lloyd``).
 - ``n_init`` restarts are vmapped and the lowest-inertia run wins — restarts
   run as one batched kernel instead of a host loop.
 - Distances use the ||x||^2 - 2 x.c + ||c||^2 expansion: the hot op is a

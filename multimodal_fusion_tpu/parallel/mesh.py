@@ -107,3 +107,33 @@ def shard_batch(mesh: Mesh, batch, axis: Optional[str] = None):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def place_batch(mesh: Optional[Mesh], tree, scan: bool = False,
+                batch_size: Optional[int] = None):
+    """The ONE batch-placement rule every trainer uses (it used to live in
+    three per-trainer copies — review finding r3).
+
+    Shards each leaf's batch axis — axis 0, or axis 1 for stacked [S, B,
+    ...] scan groups (``scan=True``; the scan axis is sequential and stays
+    unsharded) — over ALL mesh axes.  Fallback to the leaf's existing
+    (replicated) placement whenever the batch dim doesn't divide the device
+    count: per leaf by default (e.g. alignment's small negative pool), or
+    for the WHOLE tree when ``batch_size`` is given (the survival window
+    rule: a leftover window stays fully replicated).  ``mesh=None`` is a
+    no-op so call sites need no guard."""
+    if mesh is None:
+        return tree
+    n_dev = mesh.devices.size
+    if batch_size is not None and batch_size % n_dev:
+        return tree
+    axes = tuple(mesh.axis_names)
+    sh = NamedSharding(mesh, P(None, axes) if scan else P(axes))
+    b_axis = 1 if scan else 0
+
+    def place(x):
+        if x.ndim <= b_axis or x.shape[b_axis] % n_dev:
+            return x
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(place, tree)

@@ -271,21 +271,9 @@ class MultiModalAlignmentTrainer:
         means leaves are [S, B, ...] (scan axis unsharded).  Per-leaf
         fallback: a leaf whose batch dim doesn't divide the device count
         (e.g. a small negative pool) stays replicated."""
-        if self.mesh is None:
-            return tree
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from multimodal_fusion_tpu.parallel.mesh import place_batch
 
-        n_dev = self.mesh.devices.size
-        axes = tuple(self.mesh.axis_names)
-        sh = NamedSharding(self.mesh, P(None, axes) if scan else P(axes))
-        b_axis = 1 if scan else 0
-
-        def place(x):
-            if x.ndim <= b_axis or x.shape[b_axis] % n_dev:
-                return x
-            return jax.device_put(x, sh)
-
-        return jax.tree.map(place, tree)
+        return place_batch(self.mesh, tree, scan=scan)
 
     def _lr_for_epoch(self, epoch: int) -> float:
         # CosineAnnealingLR(T_max=100, eta_min=1e-6), stepped per epoch wrap

@@ -117,33 +117,20 @@ class SurvivalTrainer:
     def _place_window(self, window, keys, n_cases: int):
         """Shard a full-size window over the data mesh (replicated fallback
         for leftover windows whose size doesn't divide the mesh)."""
-        if self.mesh is None:
-            return window, keys
-        n_dev = self.mesh.devices.size
-        if n_cases % n_dev != 0:
-            return window, keys
-        from multimodal_fusion_tpu.parallel.mesh import batch_sharding
+        from multimodal_fusion_tpu.parallel.mesh import place_batch
 
-        sh = batch_sharding(self.mesh)
-        window = jax.tree.map(lambda x: jax.device_put(x, sh), window)
-        keys = jax.device_put(keys, sh)
-        return window, keys
+        return place_batch(self.mesh, (window, keys), batch_size=n_cases)
 
     def _place_windows_scanned(self, windows, keys):
         """Shard a stacked [W, G, ...] scan group over the data mesh: the
         scan axis W stays unsharded (it is sequential), the case axis G
         shards over every mesh axis."""
-        if self.mesh is None:
-            return windows, keys
-        n_dev = self.mesh.devices.size
-        if windows["label"].shape[1] % n_dev != 0:
-            return windows, keys
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from multimodal_fusion_tpu.parallel.mesh import place_batch
 
-        sh = NamedSharding(self.mesh, P(None, tuple(self.mesh.axis_names)))
-        windows = jax.tree.map(lambda x: jax.device_put(x, sh), windows)
-        keys = jax.device_put(keys, sh)
-        return windows, keys
+        return place_batch(
+            self.mesh, (windows, keys), scan=True,
+            batch_size=windows["label"].shape[1],
+        )
 
     def _constrain_window(self, window, keys):
         """In-jit analog of ``_place_window``: constrain a gathered window's

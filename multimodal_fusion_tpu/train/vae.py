@@ -170,25 +170,16 @@ class VAETrainer:
     def _shard_batch(self, x):
         """Shard a [B, ...] batch's leading axis over the data mesh
         (replicated fallback when B doesn't divide the device count)."""
-        if self.mesh is None:
-            return x
-        if x.shape[0] % self.mesh.devices.size:
-            return x
-        from multimodal_fusion_tpu.parallel.mesh import batch_sharding
+        from multimodal_fusion_tpu.parallel.mesh import place_batch
 
-        return jax.device_put(x, batch_sharding(self.mesh))
+        return place_batch(self.mesh, x)
 
     def _shard_scan(self, xs):
         """Shard a stacked [S, B, ...] scan group: scan axis S stays
         unsharded (sequential), batch axis B shards over every mesh axis."""
-        if self.mesh is None:
-            return xs
-        if xs.shape[1] % self.mesh.devices.size:
-            return xs
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from multimodal_fusion_tpu.parallel.mesh import place_batch
 
-        sh = NamedSharding(self.mesh, P(None, tuple(self.mesh.axis_names)))
-        return jax.device_put(xs, sh)
+        return place_batch(self.mesh, xs, scan=True)
 
     @staticmethod
     def _index_batches(n: int, batch_size: int, shuffle_rng=None):

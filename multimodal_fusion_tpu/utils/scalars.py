@@ -9,7 +9,10 @@ plottable, and dependency-free (no TB event-file writer needed).
 
 Rows are written at the same cadence the reference emits scalars: per epoch
 for the VAE, per validation interval for alignment.  Columns are fixed at
-first write; subsequent writes must pass the same keys.
+first write; subsequent writes must pass the same keys.  Resuming into an
+existing CSV keeps its column order when the scalar set matches, and rotates
+the old file to ``scalars.csv.N`` when it doesn't — rows are never appended
+under a mismatched header.
 """
 
 from __future__ import annotations
@@ -33,6 +36,21 @@ class ScalarWriter:
     def write(self, scalars: Dict[str, float]) -> None:
         if self._writer is None:
             self._fields = list(scalars)
+            if self._fh.tell() > 0:
+                # appending to an existing log (--resume): keep its column
+                # order if the scalar sets match; otherwise rotate the old
+                # file aside so rows never land under a mismatched header
+                with open(self.path, newline="") as rf:
+                    old = next(csv.reader(rf), None)
+                if old and set(old) == set(self._fields):
+                    self._fields = old
+                elif old is not None:
+                    self._fh.close()
+                    n = 1
+                    while self.path.with_suffix(self.path.suffix + f".{n}").exists():
+                        n += 1
+                    os.replace(self.path, self.path.with_suffix(self.path.suffix + f".{n}"))
+                    self._fh = open(self.path, "a", newline="")
             self._writer = csv.DictWriter(self._fh, fieldnames=self._fields)
             if self._fh.tell() == 0:
                 self._writer.writeheader()

@@ -728,3 +728,29 @@ def test_no_cpu_compile_cache_scopes_reads_and_writes(tmp_path):
     finally:
         cc.get_executable_and_time = orig_get
         cc.put_executable_and_time = orig_put
+
+
+def test_scalar_writer_resume_semantics(tmp_path):
+    """Resume-append keeps the existing column ORDER for a matching scalar
+    set; a mismatched set rotates the old file to .N instead of appending
+    rows under the wrong header (review finding r3)."""
+    import csv as _csv
+
+    from multimodal_fusion_tpu.utils.scalars import ScalarWriter
+
+    p = tmp_path / "scalars.csv"
+    with ScalarWriter(p) as w:
+        w.write({"epoch": 0, "loss": 1.5})
+    # same keys, different dict order -> appends under the ORIGINAL header
+    with ScalarWriter(p) as w:
+        w.write({"loss": 1.0, "epoch": 1})
+    rows = list(_csv.DictReader(p.open()))
+    assert [r["epoch"] for r in rows] == ["0", "1"]
+    assert [r["loss"] for r in rows] == ["1.5", "1.0"]
+    # different scalar set -> old file rotated, fresh header written
+    with ScalarWriter(p) as w:
+        w.write({"step": 7, "lr": 0.1})
+    rows2 = list(_csv.DictReader(p.open()))
+    assert rows2 == [{"step": "7", "lr": "0.1"}]
+    rotated = list(_csv.DictReader((tmp_path / "scalars.csv.1").open()))
+    assert [r["epoch"] for r in rotated] == ["0", "1"]

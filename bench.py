@@ -478,6 +478,17 @@ def run_mfu_report() -> dict:
         work_items=N_PATCHES, flops_override=0,
     )
 
+    # the kmeans super-patch stage on its own (timing-only, like the
+    # composite): the dominant non-similarity stage of the build — while_loop
+    # Lloyd + kmeans++ init x 10 vmapped restarts at bench shapes
+    from multimodal_fusion_tpu.ops.kmeans import kmeans
+
+    report["kmeans_super_stage"] = measure_device(
+        lambda k_, f: kmeans(k_, f, k=NUM_SUPER, n_init=10).inertia,
+        (key, feats), iters=32, dtype="float32",
+        work_items=N_PATCHES, flops_override=0,
+    )
+
     # the dominant kernel with exact analytic flops: fused Pallas similarity.
     # bytes = MINIMUM HBM traffic (each operand once + the output once) — an
     # upper bound on intensity; with it the kernel classifies compute-bound

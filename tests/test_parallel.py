@@ -779,3 +779,32 @@ def test_eval_mesh_host_path_matches_unsharded(tmp_path):
         np.testing.assert_allclose(h0["val_loss"], h1["val_loss"], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(base["test_auc"], mesh["test_auc"], rtol=1e-5, atol=1e-6)
     assert base["test_acc"] == mesh["test_acc"]
+
+
+def test_place_batch_unit():
+    """place_batch (the shared trainer placement rule): axis-0 sharding,
+    scan-group axis-1 sharding, per-leaf fallback for non-dividing dims,
+    whole-tree fallback via batch_size, and mesh=None no-op."""
+    import jax
+    from jax.sharding import Mesh
+
+    from multimodal_fusion_tpu.parallel.mesh import place_batch
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("data",))
+    x = jnp.zeros((8, 6))
+    y = jnp.zeros((5, 6))  # 5 % 4 != 0 -> stays as-is per leaf
+    out = place_batch(mesh, {"x": x, "y": y})
+    assert out["x"].sharding.is_fully_replicated is False
+    assert len(set(d for s in out["x"].addressable_shards for d in [s.device])) == 4
+    assert out["y"].sharding.is_fully_replicated or out["y"].sharding == y.sharding
+    # scan group: axis 1 shards, axis 0 (scan) does not
+    xs = jnp.zeros((3, 8, 2))
+    outs = place_batch(mesh, xs, scan=True)
+    shard_shape = outs.addressable_shards[0].data.shape
+    assert shard_shape == (3, 2, 2)
+    # whole-tree fallback
+    out2 = place_batch(mesh, {"x": x}, batch_size=5)
+    assert out2["x"].sharding == x.sharding
+    # no mesh -> identity
+    assert place_batch(None, {"x": x})["x"] is x

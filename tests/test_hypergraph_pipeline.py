@@ -804,3 +804,9 @@ def test_bitpattern_median_matches_sort(rng):
     assert np.isnan(
         float(jax.jit(lambda K, v: _bitpattern_median(K, mask=v))(K8, empty))
     )
+    # denormal-heavy + exact-zero values (exp(-d) underflows at large
+    # distances): bit patterns are tiny ints, bisection must still be exact
+    tiny = rng.uniform(0, 1, (257, 257)).astype(np.float32) * np.float32(1e-41)
+    tiny[rng.uniform(size=tiny.shape) < 0.3] = 0.0
+    Kt = jnp.asarray(tiny)
+    assert float(jax.jit(_bitpattern_median)(Kt)) == float(jnp.median(Kt))

@@ -36,16 +36,27 @@ def _wait_for_backend(max_wait_s: float = 1500.0, probe_timeout_s: float = 300.0
     operations whose mid-flight kill wedges the tunnel), and its 300s grace
     is ~30x a healthy init, so a merely-congested relay is not killed into
     a wedge (review finding r3).
+
+    The probe FAILS (exit 3) when ``jax.devices()`` succeeds but returns CPU
+    devices: when the plugin errors and the platform is not hard-pinned, jax
+    silently falls back to CPU with returncode 0 — exactly what happened on
+    the 2026-08-17 driver run, which recorded CPU throughput with no
+    ``backend_fallback`` marker.  A probe success now means "an accelerator
+    is actually reachable".
     """
     import subprocess
 
     if os.environ.get("BENCH_SKIP_PROBE"):
         return True
+    probe_src = (
+        "import jax, sys; d = jax.devices(); "
+        "sys.exit(0 if d and d[0].platform != 'cpu' else 3)"
+    )
     deadline = time.time() + max_wait_s
     while True:
         try:
             r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c", probe_src],
                 timeout=probe_timeout_s,
                 capture_output=True,
             )
@@ -822,6 +833,18 @@ def main():
             "under-represent the chip (see prior BENCH_r*.json for TPU runs)"
         )
     _enable_compile_cache()
+    if backend_note is None:
+        # Belt-and-braces: the probe subprocess saw an accelerator, but THIS
+        # process must too — if the plugin failed only here (or fell back to
+        # CPU because the platform is not hard-pinned), mark the run.
+        import jax
+
+        if jax.devices()[0].platform == "cpu":
+            backend_note = (
+                "backend initialised as CPU in the bench process despite a "
+                "successful accelerator probe — all 'ours' numbers ran on "
+                "the host CPU backend (see prior BENCH_r*.json for TPU runs)"
+            )
     with tempfile.TemporaryDirectory() as td:
         root = Path(td)
         (root / "ours").mkdir(exist_ok=True)

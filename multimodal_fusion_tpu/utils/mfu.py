@@ -16,6 +16,14 @@ work estimate comes from XLA's own cost analysis of the compiled executable
 an op with low intensity is HBM-bound and can sit at tiny MFU while running
 at its roofline.
 
+Caveat on the byte counts: XLA's ``cost_analysis()`` reports HLO-level
+"bytes accessed" — an operand re-used by k consumers counts k times, and
+post-fusion HBM traffic is lower still.  So ``bytes_per_call`` is an UPPER
+bound on true HBM traffic, ``arithmetic_intensity`` a LOWER bound, and the
+"memory"-bound classification conservative (a vmapped ViT-L forward counts
+its weights once per layer-consumer, ~30x the real weight traffic).  ``mfu``
+(achieved/peak) is unaffected — compare kernels on that when in doubt.
+
 Peak numbers per chip generation: bf16 and HBM are published figures (per
 chip); the f32 column is the EFFECTIVE peak of precision-HIGHEST f32
 matmuls, which lower onto the bf16 MXU as a 6-pass decomposition

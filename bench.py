@@ -627,6 +627,35 @@ def run_mfu_report() -> dict:
         vit_fwd, (vs, crops), iters=16, dtype="bfloat16", work_items=32,
     )
 
+    # breakdown: preprocess (f32 /255 + bicubic resize + normalise) vs the
+    # pure bf16 transformer forward — answers where the composite's gap to
+    # peak lives (preprocess is VPU/gather work with ~zero MXU FLOPs, so a
+    # large share here means the fix is resize-as-matmul or bf16 resize, not
+    # transformer work)
+    # NOTE the f32 ``bias`` carrier: crops are uint8, and the chained timing
+    # loop creates its data dependency by perturbing FLOAT leaves — an
+    # all-integer-input body would be loop-invariant and hoisted (the exact
+    # 1,887-TFLOP/s failure mode utils/mfu._perturb_floats documents)
+    def vit_preprocess_only(bias, crops):
+        x = crops.astype(jnp.float32) / 255.0 + bias
+        x = jax.image.resize(x, (x.shape[0], 224, 224, 3), method="bicubic")
+        return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+    zero = jax.device_put(jnp.float32(0.0))
+    pre = jax.device_put(vit_preprocess_only(zero, crops).astype(jnp.bfloat16))
+
+    def vit_forward_only(vs, pre):
+        m = nnx.merge(vg, vs)
+        return jax.vmap(m)(pre).astype(jnp.float32)
+
+    report["vit_preprocess_only"] = measure_device(
+        vit_preprocess_only, (zero, crops), iters=16, dtype="float32",
+        work_items=32, flops_override=0,
+    )
+    report["vit_forward_only"] = measure_device(
+        vit_forward_only, (vs, pre), iters=16, dtype="bfloat16", work_items=32,
+    )
+
     # (e) alignment pretraining step (8 markers x [256, 1024], rank1 SVD
     # loss + frozen-predictor BCE + AdamW — the reference's production
     # shapes, alignment/trainer.py:108-136)

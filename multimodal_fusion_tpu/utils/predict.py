@@ -32,6 +32,30 @@ import pandas as pd
 from multimodal_fusion_tpu.data.splits import FoldSplit
 
 
+def ensemble_rows(per_fold: Dict[int, Dict], folds: Sequence[int],
+                  case_to_patient: Dict) -> List[Dict]:
+    """Mean-probability fold ensemble → one output row per case (shared by
+    the one-shot ``predict`` path and the long-lived ``utils/serve`` server)."""
+    case_ids = per_fold[folds[0]]["patient_ids"]
+    probs = np.mean([np.asarray(per_fold[f]["probs"]) for f in folds], axis=0)
+    risk = np.mean([np.asarray(per_fold[f]["risk"]) for f in folds], axis=0)
+    preds = probs.argmax(axis=1)
+    rows: List[Dict] = []
+    for i, cid in enumerate(case_ids):
+        row = {
+            "case_id": cid,
+            "patient_id": case_to_patient[cid],
+            "prediction": int(preds[i]),
+            "risk": float(risk[i]),
+        }
+        for c in range(probs.shape[1]):
+            row[f"prob_{c}"] = float(probs[i, c])
+        for f in folds:
+            row[f"fold_{f}_prob_1"] = float(per_fold[f]["probs"][i][1])
+        rows.append(row)
+    return rows
+
+
 def predict(
     results_dir: str | Path,
     csv_path: str | Path,
@@ -82,24 +106,7 @@ def predict(
         if tmp is not None:
             Path(tmp.name).unlink(missing_ok=True)
 
-    case_ids = per_fold[folds[0]]["patient_ids"]
-    probs = np.mean([np.asarray(per_fold[f]["probs"]) for f in folds], axis=0)
-    risk = np.mean([np.asarray(per_fold[f]["risk"]) for f in folds], axis=0)
-    preds = probs.argmax(axis=1)
-
-    rows: List[Dict] = []
-    for i, cid in enumerate(case_ids):
-        row = {
-            "case_id": cid,
-            "patient_id": dataset.case_to_patient[cid],
-            "prediction": int(preds[i]),
-            "risk": float(risk[i]),
-        }
-        for c in range(probs.shape[1]):
-            row[f"prob_{c}"] = float(probs[i, c])
-        for f in folds:
-            row[f"fold_{f}_prob_1"] = float(per_fold[f]["probs"][i][1])
-        rows.append(row)
+    rows = ensemble_rows(per_fold, folds, dataset.case_to_patient)
 
     import os as _os
 

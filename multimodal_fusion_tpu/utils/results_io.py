@@ -35,10 +35,11 @@ def discover_folds(results_dir: str | Path) -> List[int]:
     ]
 
 
-def build_dataset(configs: Configs, csv_path, data_root_dir) -> MultimodalDataset:
-    """Dataset over ``csv_path`` exactly as training built it: same target
-    channels AND the persisted alignment model (when the config names one)
-    producing ``aligned_<channel>`` features at load time."""
+def load_alignment(configs: Configs):
+    """(alignment_apply_fn, align_channels_map) for the alignment model the
+    config names, or ``(None, None)``.  Split out of ``build_dataset`` so a
+    long-lived server (``utils/serve.py``) loads the checkpoint ONCE instead
+    of per request."""
     exp = configs.experiment_config
     align_fn = None
     align_channels = None
@@ -76,10 +77,21 @@ def build_dataset(configs: Configs, csv_path, data_root_dir) -> MultimodalDatase
         )
         load_model(model_path, model)
         align_fn = make_alignment_apply_fn(model)
+    return align_fn, align_channels
+
+
+def build_dataset(configs: Configs, csv_path, data_root_dir,
+                  align=None) -> MultimodalDataset:
+    """Dataset over ``csv_path`` exactly as training built it: same target
+    channels AND the persisted alignment model (when the config names one)
+    producing ``aligned_<channel>`` features at load time.  Pass a preloaded
+    ``align=(align_fn, align_channels)`` pair (from :func:`load_alignment`)
+    to skip re-reading the alignment checkpoint."""
+    align_fn, align_channels = align if align is not None else load_alignment(configs)
     return MultimodalDataset(
         csv_path,
         data_root_dir,
-        channels=exp.target_channels,
+        channels=configs.experiment_config.target_channels,
         align_channels=align_channels,
         alignment_apply_fn=align_fn,
     )

@@ -162,6 +162,58 @@ def test_predict_cli_serving(cli_dataset, tmp_path):
     # no stray placeholder CSV left behind in the results dir
     assert not list(log_dir.glob("*.csv.tmp")) and not list(log_dir.glob("tmp*"))
 
+    # --- HTTP serving endpoint over the SAME trained run (cli.serve) ---
+    # the long-lived server must return the one-shot predict ensemble
+    # exactly: same eval path, checkpoints loaded once at startup.
+    import http.client
+    import threading
+
+    from multimodal_fusion_tpu.utils.serve import make_server
+
+    httpd = make_server(log_dir, root, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/health")
+        health = json.loads(conn.getresponse().read())
+        assert health["status"] == "ok" and health["folds"] == [0, 1]
+        assert health["model_type"] == "mil"
+
+        cases = pd.read_csv(csv_path)[
+            ["patient_id", "case_id", "h5_file_path"]
+        ].to_dict("records")  # label-less request rows
+        conn.request(
+            "POST", "/predict", body=json.dumps({"cases": cases}),
+            headers={"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        payload = json.loads(resp.read())
+        assert resp.status == 200, payload
+        assert payload["n_cases_scored"] == n_cases
+        served = pd.DataFrame(payload["cases"])
+        merged2 = dfp.merge(served, on="case_id", suffixes=("_p", "_h"))
+        np.testing.assert_allclose(
+            merged2["prob_1_p"], merged2["prob_1_h"], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            merged2["risk_p"], merged2["risk_h"], atol=1e-6
+        )
+
+        # malformed request -> 400 with an error body, server stays up
+        conn.request("POST", "/predict", body=json.dumps({"cases": [{}]}))
+        bad = conn.getresponse()
+        err = json.loads(bad.read())
+        assert bad.status == 400 and "patient_id" in err["error"]
+        conn.request("GET", "/health")
+        assert json.loads(conn.getresponse().read())["status"] == "ok"
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        t.join(timeout=30)
+
 
 def test_export_serving_artifact(cli_dataset, tmp_path):
     """StableHLO export roundtrip: train a tiny run, export the fold-0 eval

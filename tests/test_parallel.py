@@ -1,5 +1,7 @@
 """Sharded data-parallel training on the virtual 8-device CPU mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -492,6 +494,24 @@ def test_multihost_two_process_gang():
     out = launch(num_processes=2, timeout=540)
     assert "multihost OK proc 0/2" in out
     assert "multihost OK proc 1/2" in out
+
+
+@pytest.mark.skipif(
+    not os.environ.get("MMF_BIG_GANG"),
+    reason="4-process gang takes ~6 min on a 1-CPU host; set MMF_BIG_GANG=1 "
+    "(verified green 2026-08-18: all 4 workers report sharded==unsharded on "
+    "a global (replica=4, data=2) mesh)",
+)
+def test_multihost_four_process_gang():
+    """Scale the gang past a pair: FOUR processes x 2 local CPU devices, one
+    global (replica=4, data=2) mesh — a >2-member replica axis exercises the
+    Gloo all-reduce ring (not just a pairwise exchange) and the 4-way
+    process-boundary device ordering."""
+    from multimodal_fusion_tpu.parallel.multihost import launch
+
+    out = launch(num_processes=4, local_devices=2, timeout=1000)
+    for i in range(4):
+        assert f"multihost OK proc {i}/4" in out
 
 
 def test_pad_case_edge_weights_and_aligned_and_group_labels():

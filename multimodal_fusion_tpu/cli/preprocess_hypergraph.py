@@ -45,6 +45,10 @@ def build_parser():
     # stays f32 — structure unchanged, similarity stats move ~1%)
     p.add_argument("--upload_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    # resume an interrupted dataset build: files that already carry a
+    # complete hypergraph/ group (stats attr present) are skipped.
+    # Presence-based — changing build parameters needs --rebuild instead.
+    p.add_argument("--skip_existing", action="store_true", default=False)
     return p
 
 
@@ -91,6 +95,7 @@ def main(argv=None):
         bucket_patches=args.bucket_patches,
         mesh=mesh,
         upload_dtype=args.upload_dtype,
+        skip_existing=args.skip_existing,
     )
     print(json.dumps(summary))
     return stats

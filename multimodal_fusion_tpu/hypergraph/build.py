@@ -1267,6 +1267,7 @@ def process_dataset(
     bucket_patches: Optional[int] = None,
     mesh=None,
     upload_dtype: str = "float32",
+    skip_existing: bool = False,
 ):
     """Dataset-level build, software-pipelined: up to ``pipeline_depth`` files
     have their fused device program dispatched ahead (JAX async dispatch), so
@@ -1294,6 +1295,26 @@ def process_dataset(
     df = pd.read_csv(csv_path)
     if "h5_file_path" not in df.columns:
         raise ValueError("CSV must contain 'h5_file_path' column")
+    # resume mode: drop files that already carry a COMPLETE hypergraph group
+    # (stats attr written last = completion marker), so an interrupted
+    # dataset build restarts where it died instead of recomputing thousands
+    # of slides (the reference recomputes unconditionally).  Presence-based
+    # only — re-tuning parameters on built files is `rebuild`'s job.
+    skipped_existing: list = []
+    if skip_existing:
+        from multimodal_fusion_tpu.io.h5io import has_complete_hypergraph
+
+        keep = []
+        for idx, row in df.iterrows():
+            h5_path = os.path.join(str(data_root_dir), row["h5_file_path"])
+            if os.path.exists(h5_path) and has_complete_hypergraph(h5_path):
+                skipped_existing.append({
+                    "case_id": str(row.get("case_id", f"case_{idx}")),
+                    "status": "skipped", "reason": "existing_hypergraph",
+                })
+            else:
+                keep.append(idx)
+        df = df.loc[keep]
     if file_batch > 1:
         if mesh is not None:
             raise ValueError(
@@ -1304,9 +1325,9 @@ def process_dataset(
             df, data_root_dir, num_wsi_super_patches, num_groups, hypergraph_k,
             num_hyperedges, lambda_h, lambda_g, output_stats_path, seed,
             save_similarity, file_batch, bucket_patches,
-            upload_dtype=upload_dtype,
+            upload_dtype=upload_dtype, pre_stats=skipped_existing,
         )
-    all_stats = []
+    all_stats = list(skipped_existing)
     t0 = time.time()
 
     from collections import deque
@@ -1448,6 +1469,7 @@ def _process_dataset_batched(
     file_batch,
     bucket_patches=None,
     upload_dtype="float32",
+    pre_stats=None,
 ):
     """Batched dataset build: files are grouped by their full array shapes
     (N_patches, feature dim, position dim, N_tma, TMA dim) and each group
@@ -1624,7 +1646,7 @@ def _process_dataset_batched(
         results[order] = fut.result()
     finalize_pool.shutdown(wait=True)
 
-    all_stats = [results[o] for o in sorted(results)]
+    all_stats = list(pre_stats or []) + [results[o] for o in sorted(results)]
     total_patches = sum(s.get("num_patches_processed", 0) for s in all_stats)
     elapsed = time.time() - t0
     summary = {

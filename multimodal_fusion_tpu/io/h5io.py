@@ -241,6 +241,28 @@ def write_hypergraph_group(
                 grp.attrs["stats"] = json.dumps(stats, default=_json_default)
 
 
+def has_complete_hypergraph(h5_path: str | Path) -> bool:
+    """True when ``h5_path`` already carries a COMPLETE ``hypergraph/``
+    group: every structural key present plus the ``stats`` attribute —
+    written last by :func:`write_hypergraph_group`, so it doubles as the
+    completion marker after a crash mid-write (the writer deletes the old
+    group first, so a partial group has no ``stats``).  Powers the build
+    driver's ``skip_existing`` resume mode (the reference recomputes
+    unconditionally, preprocess_hypergraph.py:475-492)."""
+    path = str(h5_path)
+    try:
+        with _lock_for(path):
+            with h5py.File(path, "r") as f:
+                if "hypergraph" not in f:
+                    return False
+                grp = f["hypergraph"]
+                return "stats" in grp.attrs and all(
+                    k in grp for k in HYPERGRAPH_KEYS
+                )
+    except OSError:
+        return False
+
+
 def read_hypergraph_group(
     h5_path: str | Path, keys: Optional[Iterable[str]] = None
 ) -> Dict[str, np.ndarray]:

@@ -96,6 +96,55 @@ def test_build_hypergraph_structure():
     assert stats["num_nodes"] == 16
 
 
+def test_skip_existing_resume(tmp_path):
+    """``skip_existing`` resume mode: a second run over a built dataset
+    skips every complete file untouched; a file whose hypergraph group lost
+    its ``stats`` completion marker (crash mid-write) is rebuilt."""
+    import h5py
+
+    root = tmp_path
+    csv_path = make_synthetic_dataset(
+        root, n_patients=3, seed=5, min_wsi_patches=50, max_wsi_patches=60,
+        feature_dim=16,
+    )
+    for line in csv_path.read_text().strip().split("\n")[1:]:
+        rel = line.split(",")[-1]
+        with h5py.File(root / rel, "a") as f:
+            parts = [np.asarray(f[f"tma/{m}/features"]) for m in sorted(f["tma"].keys())]
+            f["tma/features"] = np.concatenate(parts)
+    rels = [l.split(",")[-1] for l in csv_path.read_text().strip().split("\n")[1:]]
+
+    stats1, summary1 = process_dataset(csv_path, root, 6, 2, 2, 3)
+    assert summary1["files"] == 3 and summary1["total_patches"] > 0
+
+    # plant a sentinel: a skipped file must not be rewritten
+    with h5py.File(root / rels[0], "a") as f:
+        f["hypergraph"].attrs["sentinel"] = "untouched"
+
+    stats2, summary2 = process_dataset(csv_path, root, 6, 2, 2, 3, skip_existing=True)
+    assert summary2["files"] == 3 and summary2["total_patches"] == 0
+    assert all(s.get("reason") == "existing_hypergraph" for s in stats2)
+    with h5py.File(root / rels[0], "r") as f:
+        assert f["hypergraph"].attrs["sentinel"] == "untouched"
+
+    # simulate a crash mid-write: completion marker gone -> that ONE file
+    # rebuilds, the others stay skipped
+    with h5py.File(root / rels[1], "a") as f:
+        del f["hypergraph"].attrs["stats"]
+    stats3, summary3 = process_dataset(csv_path, root, 6, 2, 2, 3, skip_existing=True)
+    assert summary3["total_patches"] > 0
+    reasons = [s.get("reason") for s in stats3]
+    assert reasons.count("existing_hypergraph") == 2
+    with h5py.File(root / rels[1], "r") as f:
+        assert "stats" in f["hypergraph"].attrs  # rebuilt to completion
+
+    # batched driver honors the same filter
+    stats4, summary4 = process_dataset(
+        csv_path, root, 6, 2, 2, 3, skip_existing=True, file_batch=3
+    )
+    assert summary4["files"] == 3 and summary4["total_patches"] == 0
+
+
 def test_process_and_rebuild_roundtrip(hg_dataset):
     root, csv_path = hg_dataset
     all_stats, summary = process_dataset(

@@ -52,6 +52,16 @@ def _wait_for_backend(max_wait_s: float = 1500.0, probe_timeout_s: float = 300.0
         "import jax, sys; d = jax.devices(); "
         "sys.exit(0 if d and d[0].platform != 'cpu' else 3)"
     )
+    # A host that is DELIBERATELY CPU-only (no accelerator platform named in
+    # the env, no plugin failure in the probe output) will exit 3 forever —
+    # retrying 25 min there is pure waste.  Only retry exit-3 when the env
+    # names an accelerator (the driver pins JAX_PLATFORMS=axon) or the probe
+    # stderr shows a backend-init failure: those are the relay-down /
+    # silent-CPU-fallback states that DO recover.
+    env_platforms = os.environ.get("JAX_PLATFORMS", "").lower()
+    env_wants_accel = any(
+        p and p != "cpu" for p in env_platforms.replace(",", " ").split()
+    )
     deadline = time.time() + max_wait_s
     while True:
         try:
@@ -62,6 +72,11 @@ def _wait_for_backend(max_wait_s: float = 1500.0, probe_timeout_s: float = 300.0
             )
             if r.returncode == 0:
                 return True
+            if r.returncode == 3 and not env_wants_accel and not any(
+                s in (r.stderr or b"").lower()
+                for s in (b"unable to initialize", b"axon")
+            ):
+                return False  # deliberate CPU host: don't stall the bench
         except subprocess.TimeoutExpired:
             pass
         if time.time() > deadline:
@@ -870,9 +885,14 @@ def main():
 
         if jax.devices()[0].platform == "cpu":
             backend_note = (
-                "backend initialised as CPU in the bench process despite a "
-                "successful accelerator probe — all 'ours' numbers ran on "
-                "the host CPU backend (see prior BENCH_r*.json for TPU runs)"
+                "bench process initialised a CPU backend"
+                + (
+                    " (BENCH_SKIP_PROBE set — no accelerator probe ran)"
+                    if os.environ.get("BENCH_SKIP_PROBE")
+                    else " despite a successful accelerator probe"
+                )
+                + " — all 'ours' numbers ran on the host CPU backend "
+                "(see prior BENCH_r*.json for TPU runs)"
             )
     with tempfile.TemporaryDirectory() as td:
         root = Path(td)

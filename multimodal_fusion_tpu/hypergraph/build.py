@@ -1307,7 +1307,9 @@ def process_dataset(
         keep = []
         for idx, row in df.iterrows():
             h5_path = os.path.join(str(data_root_dir), row["h5_file_path"])
-            if os.path.exists(h5_path) and has_complete_hypergraph(h5_path):
+            if os.path.exists(h5_path) and has_complete_hypergraph(
+                h5_path, require_similarity=save_similarity
+            ):
                 skipped_existing.append({
                     "case_id": str(row.get("case_id", f"case_{idx}")),
                     "status": "skipped", "reason": "existing_hypergraph",
@@ -1421,8 +1423,8 @@ def process_dataset(
             item = dispatch(idx, row)
         except Exception as e:
             finalize_futures.append(
-                (str(row.get("case_id", idx)), None,
-                 {"case_id": str(row.get("case_id", idx)), "error": str(e)})
+                (str(row.get("case_id", f"case_{idx}")), None,
+                 {"case_id": str(row.get("case_id", f"case_{idx}")), "error": str(e)})
             )
             continue
         if item is None:
@@ -1554,7 +1556,7 @@ def _process_dataset_batched(
         except Exception as e:
             for order, row, h5_path, tma, n_true, *_ in chunk:
                 results[order] = {
-                    "case_id": str(row.get("case_id", order)), "error": str(e)
+                    "case_id": str(row.get("case_id", f"case_{row.name}")), "error": str(e)
                 }
             return
         for i, (order, row, h5_path, tma, n_true, feats, pos, was_padded) in enumerate(chunk):
@@ -1572,7 +1574,7 @@ def _process_dataset_batched(
                 order,
                 finalize_pool.submit(
                     _finalize_host,
-                    str(row.get("case_id", f"case_{order}")),
+                    str(row.get("case_id", f"case_{row.name}")),
                     row["h5_file_path"], h5_path, n_true, tma,
                     host_i, save_similarity, num_wsi_super_patches,
                     num_groups, hypergraph_k, num_hyperedges,
@@ -1608,7 +1610,7 @@ def _process_dataset_batched(
                     ))
                 except Exception as e:
                     results[order] = {
-                        "case_id": str(row.get("case_id", order)), "error": str(e)
+                        "case_id": str(row.get("case_id", f"case_{row.name}")), "error": str(e)
                     }
             if not loaded:
                 continue
@@ -1634,7 +1636,7 @@ def _process_dataset_batched(
             except Exception as e:
                 for order, row, h5_path, tma, n_true, *_ in meta:
                     results[order] = {
-                        "case_id": str(row.get("case_id", order)), "error": str(e)
+                        "case_id": str(row.get("case_id", f"case_{row.name}")), "error": str(e)
                     }
                 continue
             inflight.append((meta, out))

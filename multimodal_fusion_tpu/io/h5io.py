@@ -241,24 +241,33 @@ def write_hypergraph_group(
                 grp.attrs["stats"] = json.dumps(stats, default=_json_default)
 
 
-def has_complete_hypergraph(h5_path: str | Path) -> bool:
+def has_complete_hypergraph(
+    h5_path: str | Path, require_similarity: bool = False
+) -> bool:
     """True when ``h5_path`` already carries a COMPLETE ``hypergraph/``
     group: every structural key present plus the ``stats`` attribute —
     written last by :func:`write_hypergraph_group`, so it doubles as the
     completion marker after a crash mid-write (the writer deletes the old
     group first, so a partial group has no ``stats``).  Powers the build
     driver's ``skip_existing`` resume mode (the reference recomputes
-    unconditionally, preprocess_hypergraph.py:475-492)."""
-    path = str(h5_path)
+    unconditionally, preprocess_hypergraph.py:475-492).
+
+    ``require_similarity``: also require the persisted similarity caches —
+    a resumed ``save_similarity=True`` build must NOT skip files produced by
+    a ``--no_save_similarity`` run (they'd silently lack the caches the
+    invocation asked for).  Reads go through :func:`read_h5_retrying` so an
+    NFS hiccup can't misclassify a built slide as missing and trigger a
+    full rebuild."""
+    keys = HYPERGRAPH_KEYS + (SIMILARITY_KEYS if require_similarity else ())
+
+    def probe(f):
+        if "hypergraph" not in f:
+            return False
+        grp = f["hypergraph"]
+        return "stats" in grp.attrs and all(k in grp for k in keys)
+
     try:
-        with _lock_for(path):
-            with h5py.File(path, "r") as f:
-                if "hypergraph" not in f:
-                    return False
-                grp = f["hypergraph"]
-                return "stats" in grp.attrs and all(
-                    k in grp for k in HYPERGRAPH_KEYS
-                )
+        return read_h5_retrying(h5_path, probe)
     except OSError:
         return False
 

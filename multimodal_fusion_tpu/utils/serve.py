@@ -72,16 +72,29 @@ class ScoringServer:
         self.align = load_alignment(self.configs)
         self._lock = threading.Lock()
         self._fold_state: Dict[int, tuple] = {}
+        from flax import nnx
+
         for fold in self.folds:
             model, graphdef, params, rest = self.trainer._build_model(fold)
             restored, _ = load_state(
                 self.results_dir / f"s_{fold}_checkpoint.npz",
                 {"params": params, "rest": rest},
             )
+            # point the retained model object at the RESTORED arrays — the
+            # freshly-initialized weights otherwise stay reachable for the
+            # server's lifetime purely as ballast (k folds of duplicate
+            # parameter memory)
+            nnx.update(model, restored["params"], restored["rest"])
             self._fold_state[fold] = (
                 model, graphdef, restored["params"], restored["rest"],
             )
-        self._eval_steps: Dict[tuple, object] = {}
+        # (fold, drop_prob) -> jitted eval step, LRU-bounded: drop_prob is
+        # CLIENT-supplied, so an unbounded dict would let a robustness sweep
+        # (or any misbehaving client) pin compiled executables without limit
+        from collections import OrderedDict
+
+        self._eval_steps: "OrderedDict[tuple, object]" = OrderedDict()
+        self._eval_steps_max = 4 * len(self.folds)
 
     def _eval_step(self, fold: int, drop_prob: Optional[float]):
         key = (fold, drop_prob)
@@ -90,6 +103,10 @@ class ScoringServer:
             self._eval_steps[key] = self.trainer._make_eval_step(
                 model, graphdef, drop_prob=drop_prob
             )
+            while len(self._eval_steps) > self._eval_steps_max:
+                self._eval_steps.popitem(last=False)
+        else:
+            self._eval_steps.move_to_end(key)
         return self._eval_steps[key]
 
     @guard_cpu_compile_cache  # trainer-sized executables segfault XLA:CPU's
@@ -110,6 +127,8 @@ class ScoringServer:
 
         if not rows:
             raise ValueError("request contains no cases")
+        if not all(isinstance(r, dict) for r in rows):
+            raise ValueError("'cases' must be a list of objects")
         for col in ("patient_id", "case_id", "h5_file_path"):
             if any(col not in r for r in rows):
                 raise ValueError(f"every case row needs a {col!r} field")
@@ -182,21 +201,36 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._json(404, {"error": f"unknown path {self.path}"})
 
+    MAX_BODY_BYTES = 64 * 1024 * 1024  # requests carry row METADATA (ids +
+    # h5 paths), not features — 64 MB of JSON rows is already ~100k cases
+
     def do_POST(self):
         if self.path != "/predict":
             self._json(404, {"error": f"unknown path {self.path}"})
             return
         try:
             n = int(self.headers.get("Content-Length", 0))
+            if n > self.MAX_BODY_BYTES:
+                self._json(413, {
+                    "error": f"request body {n} bytes exceeds "
+                    f"{self.MAX_BODY_BYTES} (send case metadata, not features)"
+                })
+                return
             body = json.loads(self.rfile.read(n) or b"{}")
+            if not isinstance(body, dict):
+                raise ValueError("request body must be a JSON object")
+            cases = body.get("cases") or []
+            if not isinstance(cases, list):
+                raise ValueError("'cases' must be a list of objects")
             drop = body.get("drop_prob")
             res = self.server.scorer.score_rows(
-                body.get("cases") or [],
+                cases,
                 drop_prob=None if drop is None else float(drop),
                 seed=int(body.get("seed", 0)),
             )
             self._json(200, res)
-        except (ValueError, KeyError, FileNotFoundError, json.JSONDecodeError) as e:
+        except (ValueError, TypeError, KeyError, FileNotFoundError,
+                json.JSONDecodeError) as e:
             self._json(400, {"error": str(e)})
         except Exception as e:  # scoring must never kill the server
             self._json(500, {"error": f"{type(e).__name__}: {e}"})

@@ -144,6 +144,21 @@ def test_skip_existing_resume(tmp_path):
     )
     assert summary4["files"] == 3 and summary4["total_patches"] == 0
 
+    # similarity-aware completeness: files built WITHOUT the similarity
+    # cache must NOT satisfy a resumed save_similarity=True build (review
+    # finding) — rebuild all, caches materialize
+    stats5, _ = process_dataset(
+        csv_path, root, 6, 2, 2, 3, save_similarity=False
+    )
+    stats6, summary6 = process_dataset(csv_path, root, 6, 2, 2, 3, skip_existing=True)
+    assert summary6["total_patches"] > 0
+    assert not any(s.get("reason") == "existing_hypergraph" for s in stats6)
+    with h5py.File(root / rels[0], "r") as f:
+        assert "hypergraph/similarity/wsi_internal" in f
+    # ...and once the caches exist, the similarity-aware skip holds
+    _, summary7 = process_dataset(csv_path, root, 6, 2, 2, 3, skip_existing=True)
+    assert summary7["total_patches"] == 0
+
 
 def test_process_and_rebuild_roundtrip(hg_dataset):
     root, csv_path = hg_dataset

@@ -661,6 +661,56 @@ def test_aligned_channels_colon_mapping(cli_dataset, tmp_path):
     assert (log_dir / "summary.csv").exists()
 
 
+def test_bench_backend_probe_decision_logic(monkeypatch):
+    """_wait_for_backend policy (regression for the 2026-08-17 driver run
+    that silently benched on CPU, and for the 25-min stall a deliberate
+    CPU-only host would otherwise pay):
+    - probe exit 3 (CPU masquerade) + no accelerator named in the env and
+      no plugin failure in stderr -> bail out immediately (False);
+    - same exit 3 with JAX_PLATFORMS naming an accelerator -> keep retrying
+      (the relay-down state that DOES recover);
+    - probe exit 0 -> True."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench_probe", REPO / "bench.py")
+    # import bench WITHOUT running main; bench.py only defines at import
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    import subprocess as sp
+
+    class R:
+        def __init__(self, rc, stderr=b""):
+            self.returncode = rc
+            self.stderr = stderr
+
+    monkeypatch.delenv("BENCH_SKIP_PROBE", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "")
+    monkeypatch.setattr(sp, "run", lambda *a, **k: R(3))
+    import time as _t
+
+    t0 = _t.time()
+    assert bench._wait_for_backend(max_wait_s=1500) is False
+    assert _t.time() - t0 < 5  # bailed, not a 25-min stall
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    calls = []
+
+    def counting(*a, **k):
+        calls.append(1)
+        if len(calls) >= 2:
+            raise sp.TimeoutExpired(cmd="probe", timeout=0)
+        return R(3)
+
+    monkeypatch.setattr(sp, "run", counting)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench._wait_for_backend(max_wait_s=0.1, probe_timeout_s=1) is False
+    assert len(calls) >= 2  # exit-3 was RETRIED under an accelerator env
+
+    monkeypatch.setattr(sp, "run", lambda *a, **k: R(0))
+    assert bench._wait_for_backend(max_wait_s=1) is True
+
+
 def test_mfu_measure_device_smoke():
     """measure_device reports a coherent MFU/roofline record on the CPU
     backend (nominal peaks): positive throughput, bounded MFU, intensity

@@ -213,6 +213,16 @@ def test_predict_cli_serving(cli_dataset, tmp_path):
         httpd.shutdown()
         httpd.server_close()
         t.join(timeout=30)
+        # The handler THREADS compiled the server's eval steps — the only
+        # non-main-thread XLA:CPU compiles in the suite.  Drop them at a
+        # deterministic safe point instead of leaving their destruction to
+        # GC during some later test's compile: XLA:CPU has a history of
+        # segfaulting mid-compile in aged suite processes (conftest notes),
+        # and two full-suite segfaults appeared the day this test landed.
+        del httpd
+        import jax
+
+        jax.clear_caches()
 
 
 def test_export_serving_artifact(cli_dataset, tmp_path):

@@ -15,16 +15,23 @@ from multimodal_fusion_tpu.utils.export import export_serving_fn, write_serving_
 
 def build_parser():
     p = argparse.ArgumentParser(
-        description="Export a trained fold checkpoint as a self-contained "
-        "StableHLO serving artifact (probabilities + risk)"
+        description="Export a trained checkpoint as a self-contained "
+        "StableHLO serving artifact: a survival fold (probabilities + risk), "
+        "an alignment model (aligned features) or a VAE (deterministic "
+        "reconstruction + mean latent)"
     )
-    p.add_argument("--results_dir", type=str, required=True)
+    p.add_argument("--kind", type=str, default="survival",
+                   choices=["survival", "alignment", "vae"])
+    p.add_argument("--results_dir", type=str, default=None,
+                   help="trained survival results dir (kind=survival)")
     p.add_argument("--fold", type=int, default=0)
     p.add_argument("--wsi_patches", type=int, default=4096,
                    help="exported WSI bag size (pad + mask shorter bags)")
     p.add_argument("--tma_patches", type=int, default=32)
     p.add_argument("--platforms", type=str, nargs="+", default=["cpu", "tpu"])
-    p.add_argument("--checkpoint_path", type=str, default=None)
+    p.add_argument("--checkpoint_path", type=str, default=None,
+                   help="explicit checkpoint .npz (required for "
+                   "kind=alignment/vae; optional fold override for survival)")
     p.add_argument("--output_path", type=str, required=True,
                    help="prefix for <out>.stablehlo + <out>.json")
     p.add_argument("--fixed_batch", action="store_true", default=False,
@@ -34,12 +41,30 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    blob, meta = export_serving_fn(
-        args.results_dir, fold=args.fold, wsi_patches=args.wsi_patches,
-        tma_patches=args.tma_patches, platforms=args.platforms,
-        checkpoint_path=args.checkpoint_path,
-        symbolic_batch=not args.fixed_batch,
-    )
+    if args.kind == "survival":
+        if not args.results_dir:
+            raise SystemExit("--results_dir is required for --kind survival")
+        blob, meta = export_serving_fn(
+            args.results_dir, fold=args.fold, wsi_patches=args.wsi_patches,
+            tma_patches=args.tma_patches, platforms=args.platforms,
+            checkpoint_path=args.checkpoint_path,
+            symbolic_batch=not args.fixed_batch,
+        )
+    else:
+        if not args.checkpoint_path:
+            raise SystemExit(
+                f"--checkpoint_path is required for --kind {args.kind}"
+            )
+        from multimodal_fusion_tpu.utils.export import (
+            export_alignment_fn,
+            export_vae_fn,
+        )
+
+        fn = export_alignment_fn if args.kind == "alignment" else export_vae_fn
+        blob, meta = fn(
+            args.checkpoint_path, platforms=args.platforms,
+            symbolic_batch=not args.fixed_batch,
+        )
     out = write_serving_artifact(args.output_path, blob, meta)
     print(json.dumps({"artifact": str(out), "bytes": len(blob),
                       "batch": meta["batch"], "platforms": meta["platforms"]}))

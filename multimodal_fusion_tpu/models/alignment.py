@@ -95,3 +95,23 @@ def infer_alignment_arch(checkpoint_path) -> tuple:
             "checkpoint (no alignment_layers/*/N/kernel keys)"
         )
     return max(idxs) + 1, dim
+
+
+def infer_alignment_markers(checkpoint_path) -> list:
+    """Sorted marker names read from a saved MultiModalAlignmentModel
+    checkpoint's ``alignment_layers/<marker>/...`` keys."""
+    import re
+
+    import numpy as np
+
+    data = np.load(checkpoint_path, allow_pickle=False)
+    markers = sorted({
+        m.group(1)
+        for k in data.files
+        if (m := re.match(r"alignment_layers/([^/]+)/\d+/kernel$", k))
+    })
+    if not markers:
+        raise ValueError(
+            f"{checkpoint_path} has no alignment_layers/<marker> keys"
+        )
+    return markers

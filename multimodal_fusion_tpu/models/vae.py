@@ -16,6 +16,33 @@ from flax import nnx
 from multimodal_fusion_tpu.models.common import dropout, split_keys, torch_linear
 
 
+def infer_vae_arch(checkpoint_path) -> tuple:
+    """(input_dim, encoder_hidden, decoder_hidden, latent_dim) read from a
+    saved VAE checkpoint's keys (``encoder/layers/<i>/kernel`` chains +
+    ``encoder/fc_mean/kernel``) — loaders (export, serving) should not have
+    to re-supply the architecture the model was trained with."""
+    import re
+
+    import numpy as np
+
+    data = np.load(checkpoint_path, allow_pickle=False)
+    enc, dec = {}, {}
+    for k in data.files:
+        m = re.match(r"(encoder|decoder)/layers/(\d+)/kernel$", k)
+        if m:
+            (enc if m.group(1) == "encoder" else dec)[int(m.group(2))] = data[k].shape
+    if not enc or "encoder/fc_mean/kernel" not in data.files:
+        raise ValueError(
+            f"{checkpoint_path} does not look like a VAE checkpoint "
+            "(no encoder/layers/<i>/kernel + encoder/fc_mean/kernel keys)"
+        )
+    input_dim = enc[0][0]
+    encoder_hidden = [enc[i][1] for i in sorted(enc)]
+    decoder_hidden = [dec[i][1] for i in sorted(dec)]
+    latent_dim = data["encoder/fc_mean/kernel"].shape[1]
+    return int(input_dim), encoder_hidden, decoder_hidden, int(latent_dim)
+
+
 class Encoder(nnx.Module):
     def __init__(self, input_dim: int, hidden_dims: Optional[List[int]], latent_dim: int, rngs: nnx.Rngs):
         hidden_dims = hidden_dims or [512, 256]

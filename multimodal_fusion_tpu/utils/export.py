@@ -138,6 +138,138 @@ def export_serving_fn(
     return exp.serialize(), meta
 
 
+def _export_with_symbolic_batch(serve, specs, platforms, symbolic_batch):
+    """Shared export harness: try a symbolic leading (batch) axis, fall back
+    to a fixed batch=1 artifact with a warning (same policy as the survival
+    exporter)."""
+    import jax
+    from jax import export as jexport
+
+    if symbolic_batch:
+        try:
+            (b,) = jexport.symbolic_shape("b")
+            return (
+                jexport.export(jax.jit(serve), platforms=list(platforms))(specs(b)),
+                "symbolic",
+            )
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                "symbolic-batch export failed; falling back to a FIXED "
+                f"batch=1 artifact (callable only with batch 1): {e!r}",
+                stacklevel=2,
+            )
+    return (
+        jexport.export(jax.jit(serve), platforms=list(platforms))(specs(1)),
+        1,
+    )
+
+
+def export_alignment_fn(
+    checkpoint_path: str | Path,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    symbolic_batch: bool = True,
+) -> Tuple[bytes, Dict]:
+    """Lower a trained alignment model's apply pass ({marker: [B, D]} ->
+    {marker: [B, D]} aligned features) to serialized StableHLO — the
+    preprocessing half of deployment (the survival artifact consumes
+    ``aligned_<channel>`` features this produces).  Architecture and marker
+    set are inferred from the checkpoint keys."""
+    import jax.numpy as jnp
+    from flax import nnx
+    from jax import ShapeDtypeStruct
+
+    from multimodal_fusion_tpu.models.alignment import (
+        MultiModalAlignmentModel,
+        infer_alignment_arch,
+        infer_alignment_markers,
+    )
+    from multimodal_fusion_tpu.train.checkpoint import load_model
+
+    num_layers, feature_dim = infer_alignment_arch(checkpoint_path)
+    markers = infer_alignment_markers(checkpoint_path)
+    model = MultiModalAlignmentModel(
+        markers, feature_dim=feature_dim, num_layers=num_layers,
+        rngs=nnx.Rngs(0),
+    )
+    load_model(checkpoint_path, model)
+    graphdef, state = nnx.split(model)
+
+    def serve(feats):
+        return nnx.merge(graphdef, state)(feats)
+
+    def specs(batch):
+        return {
+            m: ShapeDtypeStruct((batch, feature_dim), jnp.float32)
+            for m in markers
+        }
+
+    exp, batch = _export_with_symbolic_batch(
+        serve, specs, platforms, symbolic_batch
+    )
+    meta = {
+        "kind": "alignment",
+        "markers": markers,
+        "feature_dim": feature_dim,
+        "num_layers": num_layers,
+        "platforms": list(platforms),
+        "batch": batch,
+        "outputs": ["{marker: aligned [B, feature_dim]}"],
+    }
+    return exp.serialize(), meta
+
+
+def export_vae_fn(
+    checkpoint_path: str | Path,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    symbolic_batch: bool = True,
+) -> Tuple[bytes, Dict]:
+    """Lower a trained VAE's deterministic reconstruction pass
+    ([B, input_dim] -> (x_hat [B, input_dim], mu [B, latent_dim])) to
+    serialized StableHLO.  Deterministic mean-latent decode — the same
+    policy as ``generate_reconstructed_wsi`` (README "Parity": the
+    reference's writer samples noise even in eval; ours is reproducible).
+    Architecture is inferred from the checkpoint keys."""
+    import jax.numpy as jnp
+    from flax import nnx
+    from jax import ShapeDtypeStruct
+
+    from multimodal_fusion_tpu.models.vae import VAE, infer_vae_arch
+    from multimodal_fusion_tpu.train.checkpoint import load_model
+
+    input_dim, enc_hidden, dec_hidden, latent_dim = infer_vae_arch(checkpoint_path)
+    model = VAE(
+        input_dim=input_dim, encoder_hidden=enc_hidden,
+        decoder_hidden=dec_hidden, latent_dim=latent_dim, rngs=nnx.Rngs(0),
+    )
+    load_model(checkpoint_path, model)
+    graphdef, state = nnx.split(model)
+
+    def serve(x):
+        m = nnx.merge(graphdef, state)
+        mu = m.encode(x)
+        return m.decode(mu), mu
+
+    def specs(batch):
+        return ShapeDtypeStruct((batch, input_dim), jnp.float32)
+
+    exp, batch = _export_with_symbolic_batch(
+        serve, specs, platforms, symbolic_batch
+    )
+    meta = {
+        "kind": "vae",
+        "input_dim": input_dim,
+        "encoder_hidden": enc_hidden,
+        "decoder_hidden": dec_hidden,
+        "latent_dim": latent_dim,
+        "platforms": list(platforms),
+        "batch": batch,
+        "outputs": ["x_hat [B, input_dim]", "mu [B, latent_dim]"],
+    }
+    return exp.serialize(), meta
+
+
 def write_serving_artifact(out_path: str | Path, blob: bytes, meta: Dict) -> Path:
     out = Path(out_path)
     out.parent.mkdir(parents=True, exist_ok=True)
@@ -162,6 +294,14 @@ class ServingArtifact:
     def call(self, channels: Dict[str, np.ndarray], masks: Dict[str, np.ndarray]):
         probs, risk = self._call(channels, masks)
         return np.asarray(probs), np.asarray(risk)
+
+    def __call__(self, *args):
+        """Generic invocation for non-survival artifacts (alignment: one
+        {marker: [B, D]} dict -> aligned dict; vae: [B, input_dim] ->
+        (x_hat, mu)) — outputs as numpy, structure per ``meta['outputs']``."""
+        import jax
+
+        return jax.tree.map(np.asarray, self._call(*args))
 
 
 def load_serving_artifact(path: str | Path) -> ServingArtifact:

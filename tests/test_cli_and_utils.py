@@ -671,6 +671,72 @@ def test_aligned_channels_colon_mapping(cli_dataset, tmp_path):
     assert (log_dir / "summary.csv").exists()
 
 
+def test_export_alignment_and_vae_artifacts(tmp_path):
+    """AOT export of the OTHER two pipelines (kind=alignment / kind=vae):
+    architecture inferred from checkpoint keys alone, symbolic batch axis,
+    deserialized artifact matches the live model — including a batch size
+    never seen at export."""
+    import numpy as np
+    from flax import nnx
+
+    from multimodal_fusion_tpu.cli.export_model import main as export_main
+    from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel
+    from multimodal_fusion_tpu.models.vae import VAE
+    from multimodal_fusion_tpu.train.checkpoint import save_model
+    from multimodal_fusion_tpu.utils.export import load_serving_artifact
+
+    rng = np.random.default_rng(7)
+
+    amodel = MultiModalAlignmentModel(
+        ["cd3", "cd8", "foxp3"], feature_dim=24, num_layers=2,
+        rngs=nnx.Rngs(1),
+    )
+    save_model(tmp_path / "align.npz", amodel)
+    export_main([
+        "--kind", "alignment", "--checkpoint_path", str(tmp_path / "align.npz"),
+        "--output_path", str(tmp_path / "align_art"), "--platforms", "cpu",
+    ])
+    art = load_serving_artifact(tmp_path / "align_art")
+    assert art.meta["kind"] == "alignment"
+    assert art.meta["markers"] == ["cd3", "cd8", "foxp3"]
+    for B in (3, 5):  # two batch sizes -> symbolic axis really is symbolic
+        feats = {m: rng.standard_normal((B, 24)).astype(np.float32)
+                 for m in art.meta["markers"]}
+        got = art(feats)
+        want = amodel({k: jnp_asarray(v) for k, v in feats.items()})
+        for m in feats:
+            np.testing.assert_allclose(got[m], np.asarray(want[m]), atol=1e-5)
+
+    vae = VAE(input_dim=40, encoder_hidden=[24, 16], decoder_hidden=[16, 24],
+              latent_dim=8, rngs=nnx.Rngs(2))
+    save_model(tmp_path / "vae.npz", vae)
+    export_main([
+        "--kind", "vae", "--checkpoint_path", str(tmp_path / "vae.npz"),
+        "--output_path", str(tmp_path / "vae_art"), "--platforms", "cpu",
+    ])
+    vart = load_serving_artifact(tmp_path / "vae_art")
+    assert vart.meta["latent_dim"] == 8 and vart.meta["input_dim"] == 40
+    assert vart.meta["encoder_hidden"] == [24, 16]
+    for B in (2, 6):
+        x = rng.standard_normal((B, 40)).astype(np.float32)
+        x_hat, mu = vart(x)
+        assert x_hat.shape == (B, 40) and mu.shape == (B, 8)
+        want_mu = np.asarray(vae.encode(jnp_asarray(x)))
+        want_hat = np.asarray(vae.decode(jnp_asarray(want_mu)))
+        np.testing.assert_allclose(mu, want_mu, atol=1e-5)
+        np.testing.assert_allclose(x_hat, want_hat, atol=1e-5)
+
+    # missing required arg -> clear error, not a trace failure
+    with pytest.raises(SystemExit):
+        export_main(["--kind", "vae", "--output_path", str(tmp_path / "x")])
+
+
+def jnp_asarray(v):
+    import jax.numpy as jnp
+
+    return jnp.asarray(v)
+
+
 def test_bench_backend_probe_decision_logic(monkeypatch):
     """_wait_for_backend policy (regression for the 2026-08-17 driver run
     that silently benched on CPU, and for the 25-min stall a deliberate

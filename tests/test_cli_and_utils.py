@@ -670,6 +670,34 @@ def test_aligned_channels_colon_mapping(cli_dataset, tmp_path):
     ])
     assert (log_dir / "summary.csv").exists()
 
+    # serving parity over this ALIGNED run: ScoringServer loads the
+    # persisted alignment model once at startup and must score identically
+    # to the one-shot predict bootstrap (which re-reads it per call)
+    import pandas as pd
+
+    from multimodal_fusion_tpu.utils.predict import predict
+    from multimodal_fusion_tpu.utils.serve import ScoringServer
+
+    res = predict(log_dir, csv_path, root, output_path=tmp_path / "alp")
+    scorer = ScoringServer(log_dir, root)
+    rows = pd.read_csv(csv_path)[
+        ["patient_id", "case_id", "h5_file_path"]
+    ].to_dict("records")
+    served = scorer.score_rows(rows)
+    by_case = {r["case_id"]: r for r in served["cases"]}
+    assert len(by_case) == len(res["cases"])
+    for r in res["cases"]:
+        np.testing.assert_allclose(
+            r["prob_1"], by_case[r["case_id"]]["prob_1"], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            r["risk"], by_case[r["case_id"]]["risk"], atol=1e-6
+        )
+    del scorer
+    import jax
+
+    jax.clear_caches()  # same aged-process hygiene as the serve e2e test
+
 
 def test_export_alignment_and_vae_artifacts(tmp_path):
     """AOT export of the OTHER two pipelines (kind=alignment / kind=vae):

@@ -608,7 +608,7 @@ def test_deep_supervise_detach_gradient_flow():
         return jax.grad(f)
 
     def transfer_grad_norm(grads):
-        leaf = grads["transfer_layers"]["clinical=val"]["kernel"].value
+        leaf = grads["transfer_layers"]["clinical=val"]["kernel"][...]
         return float(jnp.abs(leaf).sum())
 
     # DS head loss MUST reach the tabular transfer layer...

@@ -865,6 +865,23 @@ def run_vit_extraction_reference(n_patches: int = 3) -> float:
     return n_patches / (time.time() - t0)
 
 
+def _carryover_mfu(details_path: Path) -> dict:
+    """On a CPU-fallback run the MFU section is meaningless (Pallas entries
+    can't even lower; nominal CPU peaks say nothing about the chip) — carry
+    over the last TPU report from the existing BENCH_DETAILS, clearly
+    marked, instead of clobbering it with an error stub."""
+    try:
+        prior = json.loads(Path(details_path).read_text()).get(
+            "device_resident_mfu"
+        )
+        if isinstance(prior, dict) and "error" not in prior:
+            prior["carried_over_from_prior_tpu_run"] = True
+            return prior
+    except Exception:
+        pass
+    return {"error": "skipped on CPU fallback; no prior TPU report to carry"}
+
+
 def main():
     backend_note = None
     if not _wait_for_backend():
@@ -914,10 +931,15 @@ def main():
         vit_ref = run_vit_extraction_reference()
     except Exception:
         vit_ref = None
-    try:
-        mfu_report = run_mfu_report()
-    except Exception as e:
-        mfu_report = {"error": str(e)}
+    if backend_note:
+        mfu_report = _carryover_mfu(
+            Path(__file__).resolve().parent / "BENCH_DETAILS.json"
+        )
+    else:
+        try:
+            mfu_report = run_mfu_report()
+        except Exception as e:
+            mfu_report = {"error": str(e)}
 
     vs = (ours_pps / ref_pps) if ref_pps else None
     details = {

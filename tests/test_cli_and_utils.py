@@ -765,7 +765,7 @@ def jnp_asarray(v):
     return jnp.asarray(v)
 
 
-def test_bench_backend_probe_decision_logic(monkeypatch):
+def test_bench_backend_probe_decision_logic(monkeypatch, tmp_path):
     """_wait_for_backend policy (regression for the 2026-08-17 driver run
     that silently benched on CPU, and for the 25-min stall a deliberate
     CPU-only host would otherwise pay):
@@ -813,6 +813,21 @@ def test_bench_backend_probe_decision_logic(monkeypatch):
 
     monkeypatch.setattr(sp, "run", lambda *a, **k: R(0))
     assert bench._wait_for_backend(max_wait_s=1) is True
+
+    # CPU-fallback MFU carry-over: prior TPU report survives (marked), error
+    # stubs and missing files don't
+    import json as _json
+
+    good = tmp_path / "d.json"
+    good.write_text(_json.dumps(
+        {"device_resident_mfu": {"chip": "tpu v5 lite", "similarity_kernel": {}}}
+    ))
+    r = bench._carryover_mfu(good)
+    assert r["carried_over_from_prior_tpu_run"] and r["chip"] == "tpu v5 lite"
+    assert "error" in bench._carryover_mfu(tmp_path / "missing.json")
+    bad = tmp_path / "e.json"
+    bad.write_text(_json.dumps({"device_resident_mfu": {"error": "x"}}))
+    assert "error" in bench._carryover_mfu(bad)
 
 
 def test_mfu_measure_device_smoke():

@@ -120,9 +120,29 @@ def test_stage2_vae_hypergraph_survival(pipeline_root, tmp_path):
     ec = ExperimentConfig(
         exp_name="hg", seed=0, k_folds=3, max_epochs=1, batch_size=4,
         lr=1e-3, patience=3, min_epochs=0,
+        target_channels=[
+            "hypergraph=wsi_super_features", "hypergraph=tma_features",
+            "hypergraph=edge_index", "clinical=val", "clinical=mask",
+        ],
     )
     ec.extra["verbose"] = False
-    trainer = SurvivalTrainer(Configs(experiment_config=ec, model_config=mc), tmp_path / "hg_run")
+    cfgs = Configs(experiment_config=ec, model_config=mc)
+    trainer = SurvivalTrainer(cfgs, tmp_path / "hg_run")
     splits = create_k_fold_splits(ds.labels, 3, seed=0)
     summary = trainer.train_fold(ds, splits[0], 0)
     assert np.isfinite(summary["test_acc"])
+
+    # serving over the HYPERGRAPH run: predict must round-trip the config
+    # (incl. the extra hypergraph_* model keys), rebuild the hypergraph
+    # channels from the h5 groups and score every case — the one model
+    # family cli.export_model refuses is still fully served here
+    from multimodal_fusion_tpu.utils.predict import predict
+
+    cfgs.save(tmp_path / "hg_run" / "configs_hg.json")
+    res = predict(
+        tmp_path / "hg_run", csv_path, root, folds=[0],
+        output_path=tmp_path / "hg_pred",
+    )
+    assert res["n_cases_scored"] == 10
+    probs = np.array([[c["prob_0"], c["prob_1"]] for c in res["cases"]])
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)

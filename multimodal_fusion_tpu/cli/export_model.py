@@ -26,8 +26,9 @@ def build_parser():
                    help="trained survival results dir (kind=survival)")
     p.add_argument("--fold", type=int, default=0)
     p.add_argument("--wsi_patches", type=int, default=4096,
-                   help="exported WSI bag size (pad + mask shorter bags)")
-    p.add_argument("--tma_patches", type=int, default=32)
+                   help="exported WSI bag size, kind=survival only (pad + mask shorter bags)")
+    p.add_argument("--tma_patches", type=int, default=32,
+                   help="exported TMA bag size (kind=survival only)")
     p.add_argument("--platforms", type=str, nargs="+", default=["cpu", "tpu"])
     p.add_argument("--checkpoint_path", type=str, default=None,
                    help="explicit checkpoint .npz (required for "
@@ -51,9 +52,25 @@ def main(argv=None):
             symbolic_batch=not args.fixed_batch,
         )
     else:
-        if not args.checkpoint_path:
+        ckpt = args.checkpoint_path
+        if not ckpt and args.kind == "alignment" and args.results_dir:
+            # the natural analogue of the survival invocation: a trained
+            # results dir whose config names the persisted alignment model
+            # (the same path predict/serve auto-load)
+            from multimodal_fusion_tpu.utils.results_io import load_configs
+
+            ckpt = load_configs(args.results_dir).experiment_config.get(
+                "alignment_model_path", None
+            )
+            if not ckpt:
+                raise SystemExit(
+                    f"{args.results_dir} names no alignment_model_path in "
+                    "its config — pass --checkpoint_path explicitly"
+                )
+        if not ckpt:
             raise SystemExit(
-                f"--checkpoint_path is required for --kind {args.kind}"
+                f"--checkpoint_path (or, for alignment, --results_dir) is "
+                f"required for --kind {args.kind}"
             )
         from multimodal_fusion_tpu.utils.export import (
             export_alignment_fn,
@@ -62,13 +79,22 @@ def main(argv=None):
 
         fn = export_alignment_fn if args.kind == "alignment" else export_vae_fn
         blob, meta = fn(
-            args.checkpoint_path, platforms=args.platforms,
+            ckpt, platforms=args.platforms,
             symbolic_batch=not args.fixed_batch,
         )
     out = write_serving_artifact(args.output_path, blob, meta)
     print(json.dumps({"artifact": str(out), "bytes": len(blob),
                       "batch": meta["batch"], "platforms": meta["platforms"]}))
     return out
+
+
+def script_main(argv=None):
+    """Console-script entry (pyproject [project.scripts]): pip's generated
+    wrapper runs sys.exit(script_main()) — main's return value (a
+    Path/dict/list result for programmatic callers) would otherwise be
+    passed to sys.exit and turn every successful run into exit status 1."""
+    main(argv)
+    return 0
 
 
 if __name__ == "__main__":

@@ -101,5 +101,14 @@ def main(argv=None):
     return res
 
 
+def script_main(argv=None):
+    """Console-script entry (pyproject [project.scripts]): pip's generated
+    wrapper runs sys.exit(script_main()) — main's return value (a
+    Path/dict/list result for programmatic callers) would otherwise be
+    passed to sys.exit and turn every successful run into exit status 1."""
+    main(argv)
+    return 0
+
+
 if __name__ == "__main__":
     main()

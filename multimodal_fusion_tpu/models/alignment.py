@@ -74,15 +74,17 @@ class MultiModalAlignmentModel(nnx.Module):
         return self.mlp_predictor(fused, key=key, train=train)
 
 
-def infer_alignment_arch(checkpoint_path) -> tuple:
+def infer_alignment_arch(checkpoint_path, data=None) -> tuple:
     """(num_layers, feature_dim) read from a saved MultiModalAlignmentModel
     checkpoint's keys (``alignment_layers/<marker>/<i>/kernel``) — loaders
-    should not have to guess the depth the model was trained with."""
+    should not have to guess the depth the model was trained with.  Pass an
+    already-open ``data`` NpzFile to avoid re-reading the file."""
     import re
 
     import numpy as np
 
-    data = np.load(checkpoint_path, allow_pickle=False)
+    if data is None:
+        data = np.load(checkpoint_path, allow_pickle=False)
     idxs, dim = [], None
     for k in data.files:
         m = re.match(r"alignment_layers/[^/]+/(\d+)/kernel$", k)
@@ -97,14 +99,17 @@ def infer_alignment_arch(checkpoint_path) -> tuple:
     return max(idxs) + 1, dim
 
 
-def infer_alignment_markers(checkpoint_path) -> list:
+def infer_alignment_markers(checkpoint_path, data=None) -> list:
     """Sorted marker names read from a saved MultiModalAlignmentModel
-    checkpoint's ``alignment_layers/<marker>/...`` keys."""
+    checkpoint's ``alignment_layers/<marker>/...`` keys.  Pass an
+    already-open ``data`` NpzFile to avoid re-reading the file (the export
+    path calls this right after :func:`infer_alignment_arch`)."""
     import re
 
     import numpy as np
 
-    data = np.load(checkpoint_path, allow_pickle=False)
+    if data is None:
+        data = np.load(checkpoint_path, allow_pickle=False)
     markers = sorted({
         m.group(1)
         for k in data.files

@@ -31,10 +31,19 @@ def infer_vae_arch(checkpoint_path) -> tuple:
         m = re.match(r"(encoder|decoder)/layers/(\d+)/kernel$", k)
         if m:
             (enc if m.group(1) == "encoder" else dec)[int(m.group(2))] = data[k].shape
-    if not enc or "encoder/fc_mean/kernel" not in data.files:
+    if (
+        not enc
+        or not dec
+        or "encoder/fc_mean/kernel" not in data.files
+        or "decoder/out/kernel" not in data.files
+    ):
+        # an encoder-only/truncated file must fail HERE — an empty
+        # decoder_hidden would silently coerce to Decoder's default
+        # [256, 512] and produce a confusing load error (or a wrong artifact)
         raise ValueError(
-            f"{checkpoint_path} does not look like a VAE checkpoint "
-            "(no encoder/layers/<i>/kernel + encoder/fc_mean/kernel keys)"
+            f"{checkpoint_path} does not look like a complete VAE checkpoint "
+            "(need encoder/layers + encoder/fc_mean + decoder/layers + "
+            "decoder/out kernels)"
         )
     input_dim = enc[0][0]
     encoder_hidden = [enc[i][1] for i in sorted(enc)]

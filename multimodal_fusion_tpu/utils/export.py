@@ -103,24 +103,9 @@ def export_serving_fn(
     def specs(window):
         return _channel_specs(mc, wsi_patches, tma_patches, window)
 
-    exp = None
-    batch = "symbolic"
-    if symbolic_batch:
-        try:
-            (b,) = jexport.symbolic_shape("b")
-            exp = jexport.export(jax.jit(serve), platforms=list(platforms))(*specs(b))
-        except Exception as e:
-            import warnings
-
-            warnings.warn(
-                "symbolic-batch export failed; falling back to a FIXED "
-                f"batch=1 artifact (callable only with batch 1): {e!r}",
-                stacklevel=2,
-            )
-            exp = None
-    if exp is None:
-        batch = 1
-        exp = jexport.export(jax.jit(serve), platforms=list(platforms))(*specs(1))
+    exp, batch = _export_with_symbolic_batch(
+        serve, specs, platforms, symbolic_batch
+    )
 
     meta = {
         "model_type": mc.model_type,
@@ -140,18 +125,21 @@ def export_serving_fn(
 
 def _export_with_symbolic_batch(serve, specs, platforms, symbolic_batch):
     """Shared export harness: try a symbolic leading (batch) axis, fall back
-    to a fixed batch=1 artifact with a warning (same policy as the survival
-    exporter)."""
+    to a fixed batch=1 artifact with a warning.  ``specs(batch)`` may return
+    one spec pytree (passed as the single argument) or a tuple of them
+    (splatted — the survival exporter's (channels, masks) signature)."""
     import jax
     from jax import export as jexport
+
+    def run(batch):
+        spec = specs(batch)
+        args = spec if isinstance(spec, tuple) else (spec,)
+        return jexport.export(jax.jit(serve), platforms=list(platforms))(*args)
 
     if symbolic_batch:
         try:
             (b,) = jexport.symbolic_shape("b")
-            return (
-                jexport.export(jax.jit(serve), platforms=list(platforms))(specs(b)),
-                "symbolic",
-            )
+            return run(b), "symbolic"
         except Exception as e:
             import warnings
 
@@ -160,10 +148,7 @@ def _export_with_symbolic_batch(serve, specs, platforms, symbolic_batch):
                 f"batch=1 artifact (callable only with batch 1): {e!r}",
                 stacklevel=2,
             )
-    return (
-        jexport.export(jax.jit(serve), platforms=list(platforms))(specs(1)),
-        1,
-    )
+    return run(1), 1
 
 
 def export_alignment_fn(
@@ -187,8 +172,9 @@ def export_alignment_fn(
     )
     from multimodal_fusion_tpu.train.checkpoint import load_model
 
-    num_layers, feature_dim = infer_alignment_arch(checkpoint_path)
-    markers = infer_alignment_markers(checkpoint_path)
+    data = np.load(checkpoint_path, allow_pickle=False)
+    num_layers, feature_dim = infer_alignment_arch(checkpoint_path, data=data)
+    markers = infer_alignment_markers(checkpoint_path, data=data)
     model = MultiModalAlignmentModel(
         markers, feature_dim=feature_dim, num_layers=num_layers,
         rngs=nnx.Rngs(0),

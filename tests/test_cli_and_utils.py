@@ -758,6 +758,16 @@ def test_export_alignment_and_vae_artifacts(tmp_path):
     with pytest.raises(SystemExit):
         export_main(["--kind", "vae", "--output_path", str(tmp_path / "x")])
 
+    # truncated (encoder-only) checkpoint -> the clear arch-inference error,
+    # not a silent default-decoder reconstruction
+    from multimodal_fusion_tpu.models.vae import infer_vae_arch
+
+    full = np.load(tmp_path / "vae.npz")
+    np.savez(tmp_path / "trunc.npz",
+             **{k: full[k] for k in full.files if k.startswith("encoder")})
+    with pytest.raises(ValueError, match="complete VAE checkpoint"):
+        infer_vae_arch(tmp_path / "trunc.npz")
+
 
 def jnp_asarray(v):
     import jax.numpy as jnp
@@ -790,12 +800,19 @@ def test_bench_backend_probe_decision_logic(monkeypatch, tmp_path):
 
     monkeypatch.delenv("BENCH_SKIP_PROBE", raising=False)
     monkeypatch.setenv("JAX_PLATFORMS", "")
-    monkeypatch.setattr(sp, "run", lambda *a, **k: R(3))
-    import time as _t
+    # neuter sleep BEFORE the first call and bound max_wait_s: if the
+    # immediate-bail logic ever regresses, the failure is a fast call-count
+    # assertion, not a stall toward the 25-min deadline
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    bail_calls = []
 
-    t0 = _t.time()
-    assert bench._wait_for_backend(max_wait_s=1500) is False
-    assert _t.time() - t0 < 5  # bailed, not a 25-min stall
+    def bail_probe(*a, **k):
+        bail_calls.append(1)
+        return R(3)
+
+    monkeypatch.setattr(sp, "run", bail_probe)
+    assert bench._wait_for_backend(max_wait_s=2) is False
+    assert len(bail_calls) == 1  # bailed on the FIRST exit-3, no retries
 
     monkeypatch.setenv("JAX_PLATFORMS", "axon")
     calls = []

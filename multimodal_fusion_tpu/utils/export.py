@@ -72,7 +72,6 @@ def export_serving_fn(
     import jax
     import jax.numpy as jnp
     from flax import nnx
-    from jax import export as jexport
 
     from multimodal_fusion_tpu.models.factory import ModelFactory
     from multimodal_fusion_tpu.train.checkpoint import load_state

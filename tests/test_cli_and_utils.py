@@ -201,6 +201,26 @@ def test_predict_cli_serving(cli_dataset, tmp_path):
             merged2["risk_p"], merged2["risk_h"], atol=1e-6
         )
 
+        # concurrent requests: the scoring lock serializes them, both
+        # succeed with identical ensembles (threaded HTTP layer + one
+        # device queue)
+        results = {}
+
+        def post(tag):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            c.request("POST", "/predict", body=json.dumps({"cases": cases}))
+            r = c.getresponse()
+            results[tag] = (r.status, json.loads(r.read()))
+            c.close()
+
+        t1 = threading.Thread(target=post, args=("a",))
+        t2 = threading.Thread(target=post, args=("b",))
+        t1.start(); t2.start(); t1.join(60); t2.join(60)
+        assert results["a"][0] == 200 and results["b"][0] == 200
+        pa = [c_["prob_1"] for c_ in results["a"][1]["cases"]]
+        pb = [c_["prob_1"] for c_ in results["b"][1]["cases"]]
+        np.testing.assert_allclose(pa, pb, atol=0)
+
         # malformed request -> 400 with an error body, server stays up
         conn.request("POST", "/predict", body=json.dumps({"cases": [{}]}))
         bad = conn.getresponse()

@@ -95,6 +95,7 @@ class ScoringServer:
 
         self._eval_steps: "OrderedDict[tuple, object]" = OrderedDict()
         self._eval_steps_max = 4 * len(self.folds)
+        self.stats = {"requests": 0, "cases_scored": 0, "busy_seconds": 0.0}
 
     def _eval_step(self, fold: int, drop_prob: Optional[float]):
         key = (fold, drop_prob)
@@ -154,6 +155,9 @@ class ScoringServer:
         idx = np.arange(len(dataset))
         per_fold: Dict[int, Dict] = {}
         with self._lock:
+            import time
+
+            t0 = time.perf_counter()
             for fold in self.folds:
                 _, _, params, rest = self._fold_state[fold]
                 res = self.trainer._evaluate(
@@ -165,6 +169,9 @@ class ScoringServer:
                     "probs": res["probs"].tolist(),
                     "risk": res["risk"].tolist(),
                 }
+            self.stats["requests"] += 1
+            self.stats["cases_scored"] += len(idx)
+            self.stats["busy_seconds"] += time.perf_counter() - t0
         out = ensemble_rows(per_fold, self.folds, dataset.case_to_patient)
         return {
             "cases": out,
@@ -197,6 +204,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "status": "ok",
                 "folds": list(scorer.folds),
                 "model_type": scorer.configs.model_config.get("model_type"),
+                **scorer.stats,
             })
         else:
             self._json(404, {"error": f"unknown path {self.path}"})

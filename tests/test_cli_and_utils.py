@@ -227,7 +227,11 @@ def test_predict_cli_serving(cli_dataset, tmp_path):
         err = json.loads(bad.read())
         assert bad.status == 400 and "patient_id" in err["error"]
         conn.request("GET", "/health")
-        assert json.loads(conn.getresponse().read())["status"] == "ok"
+        h2 = json.loads(conn.getresponse().read())
+        assert h2["status"] == "ok"
+        # request metrics accumulated: the parity POST + 2 concurrent POSTs
+        assert h2["requests"] == 3 and h2["cases_scored"] == 3 * n_cases
+        assert h2["busy_seconds"] > 0
         conn.close()
     finally:
         httpd.shutdown()

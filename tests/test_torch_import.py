@@ -257,6 +257,44 @@ def test_import_alignment(tmp_path):
         )
 
 
+def test_import_alignment_then_export_chain(tmp_path):
+    """Migration -> AOT deployment chain: a TRAINED torch reference
+    alignment checkpoint converts to our npz, exports as a StableHLO
+    artifact (--kind alignment), and the artifact's outputs match the torch
+    original — reference weights servable with zero model code."""
+    from alignment.alignment_model import MultiModalAlignmentModel as RefModel
+
+    from multimodal_fusion_tpu.models.alignment import MultiModalAlignmentModel as MyModel
+    from multimodal_fusion_tpu.train.checkpoint import save_model
+    from multimodal_fusion_tpu.utils.export import (
+        export_alignment_fn,
+        load_serving_artifact,
+        write_serving_artifact,
+    )
+
+    torch.manual_seed(11)
+    ref = RefModel(["cd3", "cd8"], 16, num_layers=2)
+    ref.eval()
+    ckpt = tmp_path / "align.pt"
+    torch.save({"model_state_dict": ref.state_dict(), "step": 10}, ckpt)
+
+    mine = MyModel(["cd3", "cd8"], 16, num_layers=2, rngs=nnx.Rngs(0))
+    assert import_alignment_checkpoint(mine, ckpt) == []
+    save_model(tmp_path / "align.npz", mine)
+
+    blob, meta = export_alignment_fn(tmp_path / "align.npz", platforms=["cpu"])
+    write_serving_artifact(tmp_path / "art", blob, meta)
+    art = load_serving_artifact(tmp_path / "art")
+    assert art.meta["markers"] == ["cd3", "cd8"]
+
+    x = np.random.default_rng(9).standard_normal((4, 16)).astype(np.float32)
+    got = art({"cd3": x, "cd8": x})
+    with torch.no_grad():
+        want = ref({"cd3": torch.tensor(x), "cd8": torch.tensor(x)})
+    for m in ("cd3", "cd8"):
+        np.testing.assert_allclose(got[m], want[m].numpy(), rtol=1e-4, atol=1e-5)
+
+
 def test_import_wrong_checkpoint_fails(tmp_path):
     """A checkpoint from a different architecture must raise, not silently
     partial-import."""

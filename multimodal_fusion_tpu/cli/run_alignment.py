@@ -34,6 +34,9 @@ def build_parser():
     p.add_argument("--lambda1", type=float, default=1.0)
     p.add_argument("--lambda2", type=float, default=0.1)
     p.add_argument("--loss2_chunk_size", type=int, default=None)
+    p.add_argument("--svd_impl", type=str, choices=["gram", "svd"], default="gram",
+                   help="rank-1 factor computation: 'gram' (M x M Gram eigh, "
+                        "2x faster on TPU, default) or 'svd' (direct economy SVD)")
     p.add_argument("--mismatch_ratio", type=float, default=1.0)
     # defaults mirror the reference run.py (max_steps 100000, batch 128,
     # val every 500 steps) — a no-flag run must train like the reference's
@@ -105,6 +108,7 @@ def main(argv=None):
         lambda1=args.lambda1,
         lambda2=args.lambda2,
         loss2_chunk_size=args.loss2_chunk_size,
+        svd_impl=args.svd_impl,
         val_max_batches=args.val_max_batches,
         early_stopping_patience=args.early_stopping_patience,
         early_stopping_min_delta=args.early_stopping_min_delta,

@@ -62,12 +62,43 @@ def mse_loss(pred: jax.Array, target: jax.Array, reduction: str = "mean") -> jax
 # Rank-1 SVD alignment loss
 # ---------------------------------------------------------------------------
 
+def _rank1_factors_gram(feats: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(S, U1) of per-sample [D, M] matrices via the Gram trick.
+
+    The loss consumes only the singular values and the dominant left-singular
+    vector, and D >> M (1024 vs 2-8 modalities), so the economy SVD is
+    overkill: eigendecompose G = X^T X [M, M] instead — sigma = sqrt(eigvals),
+    U1 = X v1 / sigma1.  The Gram build is one [B, M, D] x [B, D, M] MXU
+    batched matmul and the eigh runs on [B, M, M] tiles; measured 2x faster
+    than ``jnp.linalg.svd`` fwd+grad on [64, 1024, 8] (v5e, dependency-chained
+    timing).  Precision: sigma via sqrt(eig(Gram)) squares the condition
+    number, so trailing singular values below ~1e-4 (columns are unit-norm)
+    carry absolute error ~1e-6/sigma — negligible for the CE-over-S/tau loss
+    until the spectrum is essentially rank-1, where loss1 has already
+    converged.  U1 uses ONLY the dominant pair (sigma1 >= 1 for unit columns),
+    where the trick is numerically safe.  Eigenvalues are clamped at 1e-12 so
+    sqrt/div gradients stay finite on exactly-degenerate inputs."""
+    G = jnp.einsum("bdm,bdn->bmn", feats, feats, preferred_element_type=jnp.float32)
+    lam, V = jnp.linalg.eigh(G)  # ascending
+    lam = jnp.maximum(lam[:, ::-1], 1e-12)  # descending, clamped
+    S = jnp.sqrt(lam)  # [B, M]
+    U1 = jnp.einsum("bdm,bm->bd", feats, V[:, :, -1]) / S[:, :1]
+    # Per-sample sign canonicalisation (positive coordinate sum): eigh's
+    # eigenvector signs are arbitrary per sample, and loss2's U1 @ U1^T
+    # off-diagonals are NOT invariant under independent per-sample flips.
+    # A deterministic convention keeps the loss reproducible run-to-run;
+    # sign choice itself is arbitrary in the reference too (LAPACK).
+    sign = jnp.where(jnp.sum(U1, axis=1, keepdims=True) >= 0, 1.0, -1.0)
+    return S, U1 * jax.lax.stop_gradient(sign)
+
+
 def rank1_svd_loss(
     features: jax.Array,
     tau1: float,
     tau2: float,
     lambda1: float,
     loss2_chunk_size: Optional[int] = None,
+    impl: str = "svd",
 ) -> Tuple[jax.Array, jax.Array]:
     """Rank-1 spectral alignment loss.
 
@@ -78,20 +109,37 @@ def rank1_svd_loss(
     dominant left-singular directions across the batch (loss2, optionally
     chunked into groups of ``loss2_chunk_size``).
 
+    ``impl``: "svd" (default) is the direct economy-SVD formulation — exact
+    value parity with the reference's torch.linalg.svd math, which the model
+    zoo's transplant-parity tests pin to rtol 1e-3.  "gram" computes (S, U1)
+    from the [M, M] Gram eigendecomposition instead (see
+    ``_rank1_factors_gram`` — 2x faster on TPU); same math, but per-sample U1
+    signs follow a deterministic positive-sum convention rather than LAPACK's
+    arbitrary one, so loss2 differs by ~1% on generic inputs.  Signs are
+    arbitrary in the reference too (alignment/trainer.py:250), so "gram" sits
+    in the same parity class — the alignment trainer defaults to it (golden
+    trained-parity vs the reference's own trainer holds — 
+    tests/test_alignment_trained_parity.py) with a --svd_impl escape.  "gram"
+    requires M <= D and falls back to "svd" otherwise.
+
     Returns (loss1 + lambda1*loss2, mean singular values [M]).
     """
     eps = 1e-8
     norms = jnp.linalg.norm(features, axis=1, keepdims=True)  # [B,1,M]
     feats = features / (norms + eps)
 
-    # Reduced SVD: we only consume S and U[:, :, 0]; identical to the
-    # reference's full_matrices=True for those outputs, at a fraction of cost.
-    U, S, _ = jnp.linalg.svd(feats, full_matrices=False)  # U:[B,D,M] S:[B,M]
+    if impl == "gram" and features.shape[2] <= features.shape[1]:
+        S, U1 = _rank1_factors_gram(feats)  # S:[B,M] U1:[B,D]
+    else:
+        # Reduced SVD: we only consume S and U[:, :, 0]; identical to the
+        # reference's full_matrices=True for those outputs, at a fraction of
+        # cost.
+        U, S, _ = jnp.linalg.svd(feats, full_matrices=False)  # U:[B,D,M]
+        U1 = U[:, :, 0]
     svd_values = jnp.mean(S, axis=0)
 
     loss1 = cross_entropy(S / tau1, jnp.zeros((S.shape[0],), jnp.int32))
 
-    U1 = U[:, :, 0]  # [B, D]
     B = U1.shape[0]
     if loss2_chunk_size is None or loss2_chunk_size >= B:
         logits = jnp.dot(U1, U1.T, preferred_element_type=jnp.float32) / tau2
@@ -124,11 +172,12 @@ def rank1_svd_loss_from_dict(
     tau2: float,
     lambda1: float,
     loss2_chunk_size: Optional[int] = None,
+    impl: str = "svd",
 ) -> Tuple[jax.Array, jax.Array]:
     """Stack a dict of per-modality [B, D] features (sorted keys) and apply
     :func:`rank1_svd_loss`."""
     feats = jnp.stack([aligned[k] for k in sorted(aligned)], axis=-1)  # [B,D,M]
-    return rank1_svd_loss(feats, tau1, tau2, lambda1, loss2_chunk_size)
+    return rank1_svd_loss(feats, tau1, tau2, lambda1, loss2_chunk_size, impl=impl)
 
 
 # ---------------------------------------------------------------------------

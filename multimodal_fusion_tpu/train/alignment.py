@@ -73,11 +73,15 @@ class MultiModalAlignmentTrainer:
         scan_steps: int = 1,
         mesh_shape=None,
         scalar_log_path: Optional[str | Path] = None,
+        svd_impl: str = "gram",
     ):
         if loss_type not in ("rank1", "volume"):
             raise ValueError(f"unsupported loss type {loss_type}")
+        if svd_impl not in ("gram", "svd"):
+            raise ValueError(f"unsupported svd impl {svd_impl}")
         self.model = model
         self.loss_type = loss_type
+        self.svd_impl = svd_impl
         self.tau1, self.tau2 = tau1, tau2
         self.lambda1, self.lambda2 = lambda1, lambda2
         self.loss2_chunk_size = loss2_chunk_size
@@ -160,7 +164,8 @@ class MultiModalAlignmentTrainer:
         aligned = m(pos)
         if self.loss_type == "rank1":
             loss, svd_vals = rank1_svd_loss_from_dict(
-                aligned, self.tau1, self.tau2, self.lambda1, self.loss2_chunk_size
+                aligned, self.tau1, self.tau2, self.lambda1, self.loss2_chunk_size,
+                impl=self.svd_impl,
             )
             if self.lambda2 != 0 and neg is not None:
                 aligned_neg = m(neg)

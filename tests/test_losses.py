@@ -2,6 +2,7 @@
 alignment/trainer.py:157-322, svd_gate_random_clam.py:107-157)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from multimodal_fusion_tpu.ops.losses import (
@@ -101,6 +102,52 @@ def test_rank1_chunk_equals_full_when_chunk_big(rng):
     f = _sign_canonical_features(rng, B=5)
     a, _ = rank1_svd_loss(jnp.asarray(f), 0.1, 0.1, 1.0, loss2_chunk_size=None)
     b, _ = rank1_svd_loss(jnp.asarray(f), 0.1, 0.1, 1.0, loss2_chunk_size=99)
+    assert abs(float(a) - float(b)) < 1e-6
+
+
+def test_rank1_gram_impl_matches_svd_impl(rng):
+    """The Gram-eigh factor computation (default) agrees with the direct SVD
+    path — loss and singular values — on generic and rank-1-dominated
+    fixtures.  U1 signs are sign-canonical fixtures so loss2 is comparable."""
+    for f in (
+        _sign_canonical_features(rng, B=6, D=16, M=3),
+        _sign_canonical_features(rng, B=4, D=64, M=8),
+    ):
+        a, sa = rank1_svd_loss(jnp.asarray(f), 0.1, 0.1, 1.0, impl="svd")
+        b, sb = rank1_svd_loss(jnp.asarray(f), 0.1, 0.1, 1.0, impl="gram")
+        assert abs(float(a) - float(b)) < 2e-3
+        np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), rtol=5e-4, atol=5e-4)
+
+
+def test_rank1_gram_impl_near_degenerate(rng):
+    """Nearly rank-1 input (modality columns within 1e-3 of identical — the
+    late-training alignment regime): the sqrt/div chain must keep loss AND
+    grads finite, and the forward must stay finite even on EXACTLY rank-1
+    input (the eigenvalue clamp in _rank1_factors_gram).  Gradients on an
+    exactly-degenerate spectrum are NaN in every formulation — jax/torch SVD
+    backward has the same 1/(s_i^2 - s_j^2) poles — so exact-degeneracy grad
+    finiteness is out of scope (matches reference behavior class)."""
+    col = np.abs(rng.standard_normal((5, 32, 1))).astype(np.float32) + 0.5
+    near = col + 1e-3 * rng.standard_normal((5, 32, 4)).astype(np.float32)
+
+    loss_fn = lambda x: rank1_svd_loss(x, 0.1, 0.1, 1.0, impl="gram")[0]
+    val, g = jax.value_and_grad(loss_fn)(jnp.asarray(near))
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(g)).all()
+
+    exact = jnp.asarray(np.repeat(col, 4, axis=2))
+    val_exact, svals = rank1_svd_loss(exact, 0.1, 0.1, 1.0, impl="gram")
+    assert np.isfinite(float(val_exact))
+    assert np.isfinite(np.asarray(svals)).all()
+
+
+def test_rank1_gram_impl_falls_back_when_more_modalities_than_dims(rng):
+    """M > D: the Gram trick would change the singular-value count; the
+    implementation must fall back to the SVD path (same loss either way)."""
+    f = np.abs(rng.standard_normal((4, 3, 5))).astype(np.float32) + 0.1
+    a, sa = rank1_svd_loss(jnp.asarray(f), 0.1, 0.1, 1.0, impl="svd")
+    b, sb = rank1_svd_loss(jnp.asarray(f), 0.1, 0.1, 1.0, impl="gram")
+    assert sa.shape == sb.shape
     assert abs(float(a) - float(b)) < 1e-6
 
 

@@ -616,9 +616,15 @@ def run_mfu_report() -> dict:
     # bf16 MXU matmuls — the bf16 reference point); same transform as
     # make_feature_extractor's run_raw
     from multimodal_fusion_tpu.data.tma_extraction import IMAGENET_MEAN, IMAGENET_STD
-    from multimodal_fusion_tpu.models.vit import vit_large_16
+    from multimodal_fusion_tpu.models.vit import set_attention_impl, vit_large_16
 
     vit = vit_large_16(nnx.Rngs(0))
+    # production attention config: shape-dispatched (ops/pallas_attention
+    # .attention).  At ViT-L's 257-token shape this resolves to the XLA
+    # formulation — measured FASTER than the fused Pallas kernel there
+    # (XLA:TPU fuses the softmax at small T); the kernel takes over for
+    # large score tensors (see mfmf_attention_bag4096 below).
+    set_attention_impl(vit, "auto")
     vg, vs = nnx.split(vit)
     vs = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
@@ -670,6 +676,29 @@ def run_mfu_report() -> dict:
     report["vit_forward_only"] = measure_device(
         vit_forward_only, (vs, pre), iters=16, dtype="bfloat16", work_items=32,
     )
+
+    # fused Pallas attention in its winning regime: an MFMF-sized
+    # cross/self-attention over a 4096-patch bag (score tensor 8*4096^2 =
+    # 134M elems — XLA materialises ~268MB to HBM, the kernel keeps each
+    # head-group's scores in VMEM).  The pair quantifies the kernel's
+    # contribution on the driver's own capture.
+    if jax.default_backend() == "tpu":
+        from multimodal_fusion_tpu.ops.pallas_attention import (
+            fused_attention, xla_attention,
+        )
+
+        aq = jax.device_put(
+            jnp.asarray(rng.standard_normal((4096, 8, 64)), jnp.bfloat16)
+        )
+        attn_flops = 2 * 2 * 8 * 4096 * 4096 * 64
+        report["mfmf_attention_bag4096"] = measure_device(
+            lambda q: fused_attention(q, q, q), (aq,), iters=32,
+            dtype="bfloat16", work_items=1, flops_override=attn_flops,
+        )
+        report["mfmf_attention_bag4096_xla"] = measure_device(
+            lambda q: xla_attention(q, q, q), (aq,), iters=32,
+            dtype="bfloat16", work_items=1, flops_override=attn_flops,
+        )
 
     # (e) alignment pretraining step (8 markers x [256, 1024], rank1 SVD
     # loss + frozen-predictor BCE + AdamW — the reference's production

@@ -76,13 +76,19 @@ def is_patch_valid(patch: np.ndarray, white_threshold: float, min_content_ratio:
 
 
 def make_feature_extractor(
-    model: ViT, batch_size: int = 32, compute_dtype: str = "float32", mesh=None
+    model: ViT, batch_size: int = 32, compute_dtype: str = "float32", mesh=None,
+    attn_impl: str = "auto",
 ) -> Callable:
     """Batched jit CLS-feature extractor over preprocessed patches.
 
     ``compute_dtype="bfloat16"`` casts weights and inputs to bf16 so the
     ViT's matmuls run natively on the MXU (features returned as f32;
     CLS cosine agreement vs f32 > 0.999 — test_vit_bf16_extraction).
+
+    ``attn_impl="auto"`` runs the fused Pallas attention kernel on TPU
+    (the [T, T] score matrix stays in VMEM — the forward is memory-bound,
+    see ops/pallas_attention.py) and the XLA einsum oracle elsewhere;
+    extraction is forward-only so the kernel's lack of a VJP is moot.
 
     ``mesh``: a ``jax.sharding.Mesh`` — extraction is embarrassingly
     data-parallel, so each chunk's batch axis shards over every mesh axis
@@ -91,6 +97,14 @@ def make_feature_extractor(
     divide by the mesh size."""
     from flax import nnx
 
+    from multimodal_fusion_tpu.models.vit import set_attention_impl
+
+    if attn_impl == "auto" and mesh is not None:
+        # GSPMD cannot partition a Mosaic call (same constraint as the
+        # Pallas similarity kernel, hypergraph/build.py) — mesh-sharded
+        # extraction keeps the XLA attention unless explicitly overridden
+        attn_impl = "xla"
+    set_attention_impl(model, attn_impl)
     graphdef, state = nnx.split(model)
     cast = jnp.bfloat16 if compute_dtype == "bfloat16" else None
     if cast is not None:

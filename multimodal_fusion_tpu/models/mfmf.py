@@ -59,6 +59,13 @@ class CrossAttentionLayer(nnx.Module):
         self.mlp_fc1 = torch_linear(dim, widening_factor * dim, rngs)
         self.mlp_fc2 = torch_linear(widening_factor * dim, dim, rngs)
         self.dropout_rate = dropout_rate
+        # 'auto' (shape-dispatched fused Pallas kernel where measured
+        # faster — ops/pallas_attention.attention), 'xla', 'pallas', or
+        # 'pallas_interpret'.  The fused kernel is forward-only (no VJP)
+        # and skips attention dropout, so non-'xla' impls apply to the
+        # eval path (train=False) only; training always runs the XLA
+        # formulation.
+        self.attn_impl = "auto"
 
     def __call__(
         self,
@@ -76,12 +83,19 @@ class CrossAttentionLayer(nnx.Module):
         Q = self.q_proj(qn).reshape(-1, H, hd)
         K = self.k_proj(kvn).reshape(-1, H, hd)
         V = self.v_proj(kvn).reshape(-1, H, hd)
-        scores = jnp.einsum("qhd,khd->hqk", Q, K) / math.sqrt(hd)
-        if kv_mask is not None:
-            scores = jnp.where(kv_mask[None, None, :], scores, NEG_INF)
-        attn = jax.nn.softmax(scores, axis=-1)
-        attn = dropout(attn, self.dropout_rate, k1, train)
-        out = jnp.einsum("hqk,khd->qhd", attn, V).reshape(q.shape[0], -1)
+        if self.attn_impl != "xla" and not train:
+            from multimodal_fusion_tpu.ops.pallas_attention import attention
+
+            out = attention(Q, K, V, kv_mask, impl=self.attn_impl).reshape(
+                q.shape[0], -1
+            )
+        else:
+            scores = jnp.einsum("qhd,khd->hqk", Q, K) / math.sqrt(hd)
+            if kv_mask is not None:
+                scores = jnp.where(kv_mask[None, None, :], scores, NEG_INF)
+            attn = jax.nn.softmax(scores, axis=-1)
+            attn = dropout(attn, self.dropout_rate, k1, train)
+            out = jnp.einsum("hqk,khd->qhd", attn, V).reshape(q.shape[0], -1)
         x = q + self.out_proj(out)  # attention residual
         h = self.mlp_fc2(jax.nn.gelu(self.mlp_fc1(self.mlp_norm(x)), approximate=False))
         h = dropout(h, self.dropout_rate, k2, train)
@@ -105,6 +119,18 @@ class MFMF(ClamMLP):
                 for b in self.fusion_blocks_sequence
             }
         )
+        # config 'attention_impl': 'auto' (default — shape-dispatched fused
+        # Pallas kernel on TPU for large bags, XLA otherwise), 'xla'
+        # (required under GSPMD mesh sharding — the survival trainer forces
+        # it when a mesh is configured), 'pallas', 'pallas_interpret'.
+        # Applies to the eval forward only (CrossAttentionLayer.attn_impl).
+        from multimodal_fusion_tpu.ops.pallas_attention import VALID_IMPLS
+
+        impl = config.get("attention_impl", "auto")
+        if impl not in VALID_IMPLS:
+            raise ValueError(f"unknown attention_impl {impl!r}")
+        for blk in self.attention_blocks.values():
+            blk.attn_impl = impl
         # Per-channel transfer layers for EVERY channel (wsi/tma channels get
         # input_dim -> output_dim, tabular per channel_input_dims).
         mfmf_transfer = {}

@@ -14,7 +14,6 @@ batching, NPZ layout) is identical either way.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Optional
 
 import jax
@@ -40,6 +39,12 @@ class ViTBlock(nnx.Module):
         self.fc2 = torch_linear(hidden, dim, rngs)
         self.num_heads = num_heads
         self.head_dim = dim // num_heads
+        # 'auto' (shape-dispatched: fused Pallas kernel on TPU only where
+        # it is measured faster than XLA's attention — ops/pallas_attention
+        # .attention), 'xla', 'pallas', or 'pallas_interpret' (CPU test
+        # mode).  Static python attr: baked into the graphdef at
+        # nnx.split/trace time.
+        self.attn_impl = "auto"
         if init_values is not None:
             self.ls1 = nnx.Param(jnp.full((dim,), init_values))
             self.ls2 = nnx.Param(jnp.full((dim,), init_values))
@@ -50,10 +55,9 @@ class ViTBlock(nnx.Module):
         h = self.norm1(x)
         qkv = self.qkv(h).reshape(x.shape[0], 3, self.num_heads, self.head_dim)
         q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # [T, H, hd]
-        attn = jax.nn.softmax(
-            jnp.einsum("qhd,khd->hqk", q, k) / math.sqrt(self.head_dim), axis=-1
-        )
-        out = jnp.einsum("hqk,khd->qhd", attn, v).reshape(x.shape[0], -1)
+        from multimodal_fusion_tpu.ops.pallas_attention import attention
+
+        out = attention(q, k, v, impl=self.attn_impl).reshape(x.shape[0], -1)
         out = self.proj(out)
         if self.ls1 is not None:
             out = out * self.ls1[...]
@@ -109,6 +113,18 @@ class ViT(nnx.Module):
         for blk in self.blocks:
             tokens = blk(tokens)
         return self.norm(tokens)[0]
+
+
+def set_attention_impl(model: ViT, impl: str) -> None:
+    """Select the attention implementation for every block: 'auto'
+    (shape-dispatched — see ``ops.pallas_attention.attention``), 'xla',
+    'pallas', or 'pallas_interpret'."""
+    from multimodal_fusion_tpu.ops.pallas_attention import VALID_IMPLS
+
+    if impl not in VALID_IMPLS:
+        raise ValueError(f"unknown attention impl {impl!r}")
+    for blk in model.blocks:
+        blk.attn_impl = impl
 
 
 def vit_large_16(rngs: nnx.Rngs, init_values: float = 1e-5) -> ViT:

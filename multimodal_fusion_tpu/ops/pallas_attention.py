@@ -1,0 +1,250 @@
+"""Pallas TPU kernel: fused multi-head attention (self- and cross-).
+
+softmax(q @ k^T * scale) @ v computed per (head, q-tile) entirely in VMEM —
+the [T_q, T_k] score matrix never touches HBM.  The XLA formulation
+(``einsum -> softmax -> einsum``, as in ``models/vit.py:ViTBlock`` and
+``models/mfmf.py:CrossAttentionLayer``, mirroring the reference's
+``timm``/perceiver attention at ``alignment/tma_feature_extraction/
+extract_tma_features_uni.py:38-87`` and ``demo`` perceiver blocks)
+materialises the score matrix twice (logits + softmax output) per layer;
+for the ViT-L extractor that is ~35% of the forward's HBM traffic, and the
+forward is memory-bound on v5e (see BENCH_DETAILS device_resident_mfu).
+
+Design notes (TPU):
+- Grid is ``(H, num_q_tiles)`` — the q-tile index varies fastest, and the
+  k/v block index maps are constant in it, so Mosaic keeps each head's full
+  [T_k, hd] K and V resident in VMEM across that head's q-tiles (one DMA
+  per head, not per tile).  This "full-K flash" shape is right for the
+  sizes this framework meets (T_k <= ~8k: ViT T=257, MFMF bags <= 4096);
+  it needs no online-softmax state machine.
+- Arrays stay UNPADDED in HBM: partial edge blocks are handled by Mosaic.
+  Only the q axis is tiled — K/V blocks always span the full key axis, so
+  the softmax needs no out-of-bounds masking at all (partial q-tile rows
+  compute garbage that the masked block write discards).
+- Scores accumulate in f32 (``preferred_element_type``) and the softmax
+  runs in f32 regardless of input dtype; the probability matrix is cast
+  back to the value dtype for the second MXU pass (standard flash-attention
+  practice; in f32 mode nothing is cast).
+- ``kv_mask`` follows ``ops.masked.NEG_INF`` semantics exactly: user-masked
+  keys get the same finite -1e9 the XLA paths use (so an all-masked row
+  degrades to the same uniform distribution instead of NaN), while
+  structurally out-of-bounds keys get a true -inf.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multimodal_fusion_tpu.ops.masked import NEG_INF
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, bias_ref=None):
+    q = q_ref[...]  # [HB, TQ_blk, hd]
+    k = k_ref[...]  # [HB, TK, hd]
+    v = v_ref[...]  # [HB, TK, hd]
+
+    # batched over the head-group dim: ONE dot_general per program instead
+    # of a grid step per head — program dispatch overhead, not FLOPs, was
+    # the cost of a per-head grid (measured 28% SLOWER than XLA on the
+    # ViT-L forward at grid (H, 1)).
+    #
+    # The K/V blocks span the FULL key axis by construction (only the q
+    # axis is tiled), so there are no out-of-bounds key columns or value
+    # rows to mask — the softmax denominator is exact as-is.  Partial
+    # q-tile rows compute garbage that the masked block write discards.
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [HB, TQ_blk, TK] f32
+    if bias_ref is not None:  # kv_mask bias (0 / NEG_INF), static presence
+        scores = scores + bias_ref[0][None, None, :]
+
+    m = jnp.max(scores, axis=2, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=2, keepdims=True)
+
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [HB, TQ_blk, hd]
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _head_block(H: int, q_tile: int, t_k: int, hd: int, itemsize: int) -> int:
+    """Largest divisor of H whose per-program VMEM footprint fits: f32
+    scores [HB, q_tile, t_k] (the dominant term, ~3 live copies through
+    the softmax) plus double-buffered q/k/v/o blocks, under a ~10MB cap."""
+    budget = 10 * 1024 * 1024
+    for hb in range(H, 0, -1):
+        if H % hb:
+            continue
+        scores = hb * q_tile * t_k * 4 * 3
+        blocks = 2 * hb * (2 * q_tile + 2 * t_k) * hd * itemsize
+        if scores + blocks <= budget:
+            return hb
+    return 1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "q_tile", "interpret")
+)
+def _fused_attention_hxd(
+    q: jax.Array,  # [H, Tq, hd]
+    k: jax.Array,  # [H, Tk, hd]
+    v: jax.Array,  # [H, Tk, hd]
+    bias,  # [1, Tk] additive f32 (0 or NEG_INF), or None
+    scale: float,
+    q_tile: int,
+    interpret: bool,
+) -> jax.Array:
+    H, t_q, hd = q.shape
+    t_k = k.shape[1]
+    hb = _head_block(H, q_tile, t_k, hd, q.dtype.itemsize)
+    grid = (H // hb, pl.cdiv(t_q, q_tile))
+    qkv_specs = [
+        pl.BlockSpec(
+            (hb, q_tile, hd), lambda h, j: (h, j, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (hb, t_k, hd), lambda h, j: (h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (hb, t_k, hd), lambda h, j: (h, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    if bias is None:
+        kernel = functools.partial(_attn_kernel, scale=scale)
+        in_specs, args = qkv_specs, (q, k, v)
+    else:
+        def kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+            _attn_kernel(q_ref, k_ref, v_ref, o_ref, scale=scale, bias_ref=bias_ref)
+
+        in_specs = qkv_specs + [
+            pl.BlockSpec((1, t_k), lambda h, j: (0, 0), memory_space=pltpu.VMEM)
+        ]
+        args = (q, k, v, bias)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H, t_q, hd), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (hb, q_tile, hd), lambda h, j: (h, j, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def fused_attention(
+    q: jax.Array,  # [Tq, H, hd]
+    k: jax.Array,  # [Tk, H, hd]
+    v: jax.Array,  # [Tk, H, hd]
+    kv_mask: Optional[jax.Array] = None,  # [Tk] bool, True = keep
+    *,
+    scale: Optional[float] = None,
+    q_tile: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused softmax(q k^T / sqrt(hd)) v in the models' [T, H, hd] layout.
+
+    Returns [Tq, H, hd] in the input dtype.  Matches
+    ``einsum('qhd,khd->hqk') -> (+NEG_INF mask) -> softmax -> einsum`` to
+    float tolerance.  Batch via ``jax.vmap`` (Pallas prepends a grid dim).
+    """
+    t_q, H, hd = q.shape
+    t_k = k.shape[0]
+    if scale is None:
+        scale = 1.0 / (hd ** 0.5)
+    if q_tile is None:
+        q_tile = _round_up(min(t_q, 512), 16)
+    if kv_mask is None:
+        bias = None
+    else:
+        bias = jnp.where(kv_mask[None, :], 0.0, NEG_INF).astype(jnp.float32)
+    qh = jnp.transpose(q, (1, 0, 2))
+    kh = jnp.transpose(k, (1, 0, 2))
+    vh = jnp.transpose(v, (1, 0, 2))
+    out = _fused_attention_hxd(qh, kh, vh, bias, float(scale), int(q_tile), interpret)
+    return jnp.transpose(out, (1, 0, 2))
+
+
+def xla_attention(
+    q: jax.Array,  # [Tq, H, hd]
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """The einsum->softmax->einsum oracle formulation (exactly what
+    models/vit.py and models/mfmf.py historically inlined)."""
+    hd = q.shape[-1]
+    scores = jnp.einsum("qhd,khd->hqk", q, k) / (hd ** 0.5)
+    if kv_mask is not None:
+        scores = jnp.where(kv_mask[None, None, :], scores, NEG_INF)
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("hqk,khd->qhd", attn, v)
+
+
+# Per-case score-tensor size (Tq*Tk*H elements) above which the fused
+# kernel beats XLA on TPU.  Measured on v5e (B=1, hd=64): at 4096x4096x8
+# (134M) the kernel is 2.4x FASTER (0.47ms vs 1.15ms — XLA spills the
+# 268MB score tensor to HBM); at ViT-L's 257x257x16 (1.1M) XLA is 1.5x
+# faster (XLA:TPU fuses the softmax into the attention matmuls at small T
+# and runs ~66 TF/s — its cost-analysis "bytes accessed" wildly overstates
+# the real traffic there).  The crossover is somewhere in between; 32M is
+# conservative: below it XLA is known-good, above it XLA's materialised
+# scores dominate.
+AUTO_MIN_SCORE_ELEMS = 32 * 1024 * 1024
+
+
+def _auto_uses_pallas(t_q: int, t_k: int, heads: int, backend: str) -> bool:
+    return backend == "tpu" and t_q * t_k * heads >= AUTO_MIN_SCORE_ELEMS
+
+
+def attention(
+    q: jax.Array,  # [Tq, H, hd]
+    k: jax.Array,  # [Tk, H, hd]
+    v: jax.Array,  # [Tk, H, hd]
+    kv_mask: Optional[jax.Array] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Multi-head attention with implementation dispatch.
+
+    impl: 'xla' (oracle), 'pallas' (fused kernel), 'pallas_interpret'
+    (kernel in interpret mode, CPU tests), or 'auto' — the fused kernel on
+    TPU when the score tensor is big enough to win (see
+    AUTO_MIN_SCORE_ELEMS), the XLA formulation otherwise.  Note the fused
+    kernel defines no VJP: training paths that differentiate through
+    attention must use 'xla'/'auto'-resolving-to-xla (model code guards
+    this with its ``train`` flag).
+    """
+    if impl == "auto":
+        try:
+            backend = jax.default_backend()
+        except Exception:  # pragma: no cover - backend init failure
+            backend = "cpu"
+        impl = (
+            "pallas"
+            if _auto_uses_pallas(q.shape[0], k.shape[0], q.shape[1], backend)
+            else "xla"
+        )
+    if impl == "xla":
+        return xla_attention(q, k, v, kv_mask)
+    if impl in ("pallas", "pallas_interpret"):
+        return fused_attention(
+            q, k, v, kv_mask, interpret=impl == "pallas_interpret"
+        )
+    raise ValueError(f"unknown attention impl {impl!r}")
+
+
+VALID_IMPLS = ("auto", "xla", "pallas", "pallas_interpret")

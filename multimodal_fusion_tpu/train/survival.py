@@ -214,6 +214,14 @@ class SurvivalTrainer:
 
     def _build_model(self, fold_idx: int):
         model = ModelFactory.create_model(self.configs.model_config, seed=self.exp.seed + fold_idx)
+        if self.mesh is not None and hasattr(model, "attention_blocks"):
+            # GSPMD cannot partition a Mosaic (Pallas) call, so mesh runs
+            # must keep the XLA attention formulation (same constraint as
+            # the Pallas similarity kernel — hypergraph/build.py).  The
+            # shape-dispatched 'auto' impl could otherwise pick the fused
+            # kernel for large bags inside the sharded eval step.
+            for blk in model.attention_blocks.values():
+                blk.attn_impl = "xla"
         graphdef, params, rest = nnx.split(model, nnx.Param, ...)
         self._supports_drop_prob = getattr(model, "supports_drop_prob", False)
         return model, graphdef, params, rest

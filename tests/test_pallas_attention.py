@@ -1,0 +1,196 @@
+"""Fused Pallas attention kernel vs the XLA einsum oracle.
+
+The kernel (ops/pallas_attention.py) keeps each head's [Tq, Tk] score
+matrix in VMEM; these tests pin it (interpret mode on CPU) against the
+exact formulation used by models/vit.py and models/mfmf.py, including
+partial-edge-block handling (T not a multiple of any tile), kv masking
+with ops.masked.NEG_INF semantics, bf16, vmap batching, and the two
+production call sites (ViT forward, MFMF cross-attention eval path).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from multimodal_fusion_tpu.ops.masked import NEG_INF
+from multimodal_fusion_tpu.ops.pallas_attention import fused_attention
+
+
+def xla_attention(q, k, v, kv_mask=None):
+    hd = q.shape[-1]
+    scores = jnp.einsum("qhd,khd->hqk", q, k) / math.sqrt(hd)
+    if kv_mask is not None:
+        scores = jnp.where(kv_mask[None, None, :], scores, NEG_INF)
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("hqk,khd->qhd", attn, v)
+
+
+@pytest.mark.parametrize(
+    "tq,tk,heads,hd",
+    [
+        (257, 257, 4, 64),  # ViT-L token count: partial edge blocks both axes
+        (8, 100, 4, 32),  # cross-attention, tiny q
+        (16, 16, 2, 16),  # aligned small
+    ],
+)
+def test_fused_attention_matches_xla(tq, tk, heads, hd):
+    rng = np.random.default_rng(tq + tk)
+    q = jnp.asarray(rng.standard_normal((tq, heads, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((tk, heads, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((tk, heads, hd)), jnp.float32)
+    want = xla_attention(q, k, v)
+    got = fused_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_attention_kv_mask_matches_xla():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((12, 2, 32)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((40, 2, 32)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((40, 2, 32)), jnp.float32)
+    mask = jnp.asarray(rng.random(40) > 0.4)
+    want = xla_attention(q, k, v, mask)
+    got = fused_attention(q, k, v, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    # masked keys must be equivalent to physically removing them
+    idx = np.flatnonzero(np.asarray(mask))
+    want_removed = xla_attention(q, k[idx], v[idx])
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want_removed), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_fused_attention_all_masked_row_matches_xla():
+    # NEG_INF is finite, so an all-masked bag degrades to a uniform
+    # average in the XLA path — the kernel must reproduce that, not NaN
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((4, 2, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((24, 2, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((24, 2, 16)), jnp.float32)
+    mask = jnp.zeros(24, bool)
+    want = xla_attention(q, k, v, mask)
+    got = fused_attention(q, k, v, mask, interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_attention_bf16():
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((257, 4, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((257, 4, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((257, 4, 64)), jnp.bfloat16)
+    want = np.asarray(xla_attention(q, k, v), np.float32)
+    got = fused_attention(q, k, v, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), want, rtol=0.05, atol=0.05)
+
+
+def test_fused_attention_vmap():
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((3, 65, 4, 32)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 70, 4, 32)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((3, 70, 4, 32)), jnp.float32)
+    want = jax.vmap(lambda a, b, c: xla_attention(a, b, c))(q, k, v)
+    got = jax.vmap(lambda a, b, c: fused_attention(a, b, c, interpret=True))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_vit_forward_pallas_attention_matches_xla():
+    from multimodal_fusion_tpu.models.vit import ViT, set_attention_impl
+
+    model = ViT(img_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=4,
+                rngs=nnx.Rngs(0))
+    img = jnp.asarray(
+        np.random.default_rng(4).standard_normal((32, 32, 3)), jnp.float32
+    )
+    want = np.asarray(model(img))
+    set_attention_impl(model, "pallas_interpret")
+    got = np.asarray(model(img))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    set_attention_impl(model, "xla")
+    np.testing.assert_allclose(np.asarray(model(img)), want)
+    with pytest.raises(ValueError):
+        set_attention_impl(model, "mosaic")
+
+
+def test_extractor_attn_impl_plumbs_through():
+    from multimodal_fusion_tpu.data.tma_extraction import make_feature_extractor
+    from multimodal_fusion_tpu.models.vit import ViT
+
+    model = ViT(img_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=4,
+                rngs=nnx.Rngs(0))
+    patches = [
+        np.random.default_rng(i).integers(0, 255, (32, 32, 3), np.uint8)
+        for i in range(5)
+    ]
+    feats_xla = make_feature_extractor(model, batch_size=4, attn_impl="xla")(patches)
+    feats_pl = make_feature_extractor(
+        model, batch_size=4, attn_impl="pallas_interpret"
+    )(patches)
+    np.testing.assert_allclose(feats_pl, feats_xla, rtol=2e-5, atol=2e-5)
+    assert model.blocks[0].attn_impl == "pallas_interpret"
+    # 'auto' stays stored (shape-dispatched per call)...
+    make_feature_extractor(model, batch_size=4, attn_impl="auto")
+    assert model.blocks[0].attn_impl == "auto"
+    # ...except under a mesh, where GSPMD requires the XLA formulation
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    make_feature_extractor(model, batch_size=4, attn_impl="auto", mesh=mesh)
+    assert model.blocks[0].attn_impl == "xla"
+
+
+def test_auto_dispatch_rule():
+    from multimodal_fusion_tpu.ops.pallas_attention import (
+        AUTO_MIN_SCORE_ELEMS, _auto_uses_pallas,
+    )
+
+    # ViT-L self-attention: XLA wins (measured on v5e)
+    assert not _auto_uses_pallas(257, 257, 16, "tpu")
+    # MFMF 4096-patch bag: the fused kernel wins 2.4x (measured on v5e)
+    assert _auto_uses_pallas(4096, 4096, 8, "tpu")
+    # never on CPU
+    assert not _auto_uses_pallas(4096, 4096, 8, "cpu")
+    assert 257 * 257 * 16 < AUTO_MIN_SCORE_ELEMS <= 4096 * 4096 * 8
+
+
+def test_attention_entrypoint_impls_agree():
+    from multimodal_fusion_tpu.ops.pallas_attention import attention
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((33, 4, 32)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((50, 4, 32)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((50, 4, 32)), jnp.float32)
+    mask = jnp.asarray(rng.random(50) > 0.2)
+    want = np.asarray(xla_attention(q, k, v, mask))
+    np.testing.assert_allclose(
+        np.asarray(attention(q, k, v, mask, impl="auto")), want
+    )  # auto == xla on CPU, bit-identical
+    np.testing.assert_allclose(
+        np.asarray(attention(q, k, v, mask, impl="pallas_interpret")),
+        want, rtol=2e-5, atol=2e-5,
+    )
+    with pytest.raises(ValueError):
+        attention(q, k, v, impl="mosaic")
+
+
+def test_mfmf_cross_attention_pallas_eval_matches_xla():
+    from multimodal_fusion_tpu.models.mfmf import CrossAttentionLayer
+
+    layer = CrossAttentionLayer(32, 4, 2, 0.0, nnx.Rngs(0))
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((5, 32)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((19, 32)), jnp.float32)
+    mask = jnp.asarray(rng.random(19) > 0.3)
+    want = np.asarray(layer(q, kv, mask, train=False))
+    layer.attn_impl = "pallas_interpret"
+    got = np.asarray(layer(q, kv, mask, train=False))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # training forward keeps the differentiable XLA path (kernel has no VJP)
+    out_train = layer(q, kv, mask, key=jax.random.key(0), train=True)
+    assert np.isfinite(np.asarray(out_train)).all()

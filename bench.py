@@ -504,6 +504,35 @@ def run_mfu_report() -> dict:
         work_items=N_PATCHES, flops_override=0,
     )
 
+    # (a1) the large-N production path on-chip: EXACT blockwise [N,N]
+    # statistics at N=65536 (2x past FULL_STATS_MAX_N — the regime where
+    # the [N,N] f32 object would be 17 GB and the build streams O(B*N)
+    # stripes instead; hypergraph/build.py:_blockwise_similarity_stats).
+    # Analytic flops: two distance matmuls per stripe (features D + the
+    # 2-d positions) + the fused exp/mask elementwise work; bytes: the
+    # column tables re-read once per row block (the algorithmic cost of
+    # streaming) + the stripe itself.
+    from multimodal_fusion_tpu.hypergraph.build import _blockwise_similarity_stats
+
+    LN, LBLK = 65536, 1024
+    lfeats = jax.device_put(
+        jnp.asarray(rng.standard_normal((LN, DIM)) / 32.0, jnp.float32)
+    )
+    lpos = jax.device_put(jnp.asarray(rng.uniform(0, 4, (LN, 2)), jnp.float32))
+    llab = jax.device_put(
+        jnp.asarray(rng.integers(0, NUM_GROUPS, LN), jnp.int32)
+    )
+    ln_flops = 2.0 * LN * LN * (DIM + 2) + 14.0 * LN * LN
+    ln_bytes = 4.0 * ((LN // LBLK) * LN * (DIM + 2) + LN * LN / LBLK * 2)
+    report["blockwise_stats_65k"] = measure_device(
+        lambda f, p, l: _blockwise_similarity_stats(
+            f, p, 1.0, 1.0, l, NUM_GROUPS, jnp.int32(LN), False, block=LBLK
+        ),
+        (lfeats, lpos, llab), iters=4, dtype="float32", work_items=LN,
+        flops_override=ln_flops, bytes_override=ln_bytes,
+    )
+    del lfeats, lpos, llab
+
     # the kmeans super-patch stage on its own (timing-only, like the
     # composite): the dominant non-similarity stage of the build — while_loop
     # Lloyd + kmeans++ init x 10 vmapped restarts at bench shapes

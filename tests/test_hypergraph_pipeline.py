@@ -755,78 +755,73 @@ def test_blockwise_median_exact_beyond_subsample(tmp_path, monkeypatch):
     assert np.float32(bp["median"]) == np.float32(fs["median"])
 
 
-def test_exact_median_host_branches():
-    """All three branches of _exact_median_host against np.median oracles:
-    split ranks across two bins (no refine), a single-valued bin (no
-    refine), and the common refine path — exercised end-to-end through
-    _median_refine_pass on real value arrays."""
+def test_exact_median_host_bisection():
+    """_exact_median_host (scatter-free multi-level bit-pattern bisection)
+    against np.median oracles: the dense common case, all-identical values,
+    split middle ranks (even count with the two middles in far-apart
+    ranges, so the two rank chains descend different subtrees), and the
+    level-pass device kernel against a numpy counting oracle for every
+    (shift, nbins) signature the descent uses."""
     import jax.numpy as jnp
 
     from multimodal_fusion_tpu.hypergraph.build import (
-        _MEDIAN_BINS,
-        _MEDIAN_W0,
-        _hist_fold,
+        _MED_FANOUT,
+        _MED_L1_SHIFT,
         _exact_median_host,
-        _median_refine_pass,
+        _median_level_pass,
     )
-    import jax
+
+    def np_counts(keys, lo_key, shift, nbins):
+        rel = keys - lo_key
+        idx = rel >> shift
+        ok = (rel >= 0) & (idx < nbins)
+        return np.bincount(idx[ok], minlength=nbins).astype(np.int64)
 
     def run_case(values):
-        """values: 1-D f32 in [0,1]; build the histogram the way the stats
-        scan does and select the median of the n x n outer 'matrix' whose
-        rows are identical copies (median == median of values)."""
+        """values: 1-D f32 in [0,1]; median of the n x n outer 'matrix'
+        whose rows are identical copies (median == median of values)."""
         n = values.shape[0]
-        K = jnp.broadcast_to(jnp.asarray(values), (n, n))  # each row = values
-        hist = (
-            jnp.zeros((_MEDIAN_BINS,), jnp.int32),
-            jnp.zeros((_MEDIAN_BINS,), jnp.int32),
-            jnp.full((_MEDIAN_BINS,), 2**31 - 1, jnp.int32),
-            jnp.full((_MEDIAN_BINS,), -1, jnp.int32),
+        keys = np.repeat(
+            np.asarray(values, np.float32).view(np.int32).astype(np.int64), n
         )
-        hist = _hist_fold(*hist, K, jnp.ones((n, n), bool))
+        l1 = np_counts(keys, 0, _MED_L1_SHIFT, _MED_FANOUT)
         host = {
-            "med_cnt_hi": np.asarray(hist[0]),
-            "med_cnt_lo": np.asarray(hist[1]),
-            "med_bmin": np.asarray(hist[2]),
-            "med_bmax": np.asarray(hist[3]),
+            "med_cnt_hi": (l1 >> 15).astype(np.int32),
+            "med_cnt_lo": (l1 & ((1 << 15) - 1)).astype(np.int32),
         }
         refine_calls = []
 
-        def refine(lo_key):
-            refine_calls.append(lo_key)
-            # counts over the same K values in-range, width-1 bins
-            keys = np.asarray(K, np.float32).reshape(-1).view(np.int32).astype(np.int64)
-            sel = keys[(keys >= lo_key) & (keys < lo_key + _MEDIAN_W0)] - lo_key
-            cnt = np.bincount(sel, minlength=_MEDIAN_W0).astype(np.int64)
-            return (cnt // (1 << 15)).astype(np.int32), (cnt % (1 << 15)).astype(np.int32)
+        def refine(lo_key, shift, nbins):
+            refine_calls.append((lo_key, shift, nbins))
+            return np_counts(keys, lo_key, shift, nbins)
 
         got = _exact_median_host(host, n, refine)
-        want = float(np.median(np.asarray(K, np.float32).reshape(-1)))
-        assert np.float32(got) == np.float32(want), (got, want, len(refine_calls))
+        want = float(np.median(np.tile(np.asarray(values, np.float32), n)))
+        assert np.float32(got) == np.float32(want), (got, want, refine_calls)
         return refine_calls
 
     rng = np.random.default_rng(0)
-    # common case: values dense enough that the median's pass-1 bin holds
-    # many distinct floats (bin width ~1.9e-3 at 0.5) -> refine required
+    # dense common case: 5 sweeps resolve the single shared chain (the
+    # second middle rank reuses every cached level)
     calls = run_case(
         np.sort((0.5 + rng.uniform(-4e-4, 4e-4, 101)).astype(np.float32))
     )
-    assert len(calls) == 1  # refine ran
-    # single-valued bin: every value identical at the median
-    vals = np.full(51, 0.5, np.float32)
-    vals[:10] = 0.1
-    vals[-10:] = 0.9
-    calls = run_case(vals)
-    assert len(calls) == 0
-    # split ranks: even count with the two middles in different bins
-    # (0.25 and 0.75 are far more than one bin apart)
-    vals = np.asarray([0.25] * 25 + [0.75] * 25, np.float32)
-    calls = run_case(vals)
-    # n=50 rows of 50 -> M=2500 odd count... M = 2500 even; k1=1250 in the
-    # 0.25 block (25*50=1250 copies), k2=1251 in the 0.75 block -> split
-    assert len(calls) == 0
+    assert 1 <= len(calls) <= 5
+    # all-identical values: descent still lands on the exact pattern
+    calls = run_case(np.full(51, 0.5, np.float32))
+    assert len(calls) <= 5
+    # split middle ranks: even count, two middles in far-apart ranges ->
+    # two chains, each bounded by the 5-sweep descent
+    calls = run_case(np.asarray([0.25] * 25 + [0.75] * 25, np.float32))
+    assert len(calls) <= 10
+    # denormal/zero-heavy values (exp underflow regime)
+    tiny = (rng.uniform(0, 1, 64).astype(np.float32) * np.float32(1e-41))
+    tiny[:20] = 0.0
+    run_case(np.sort(tiny))
 
-    # and the real refine pass agrees with the numpy refine used above
+    # and the real device level pass agrees with the numpy counting oracle
+    # on every (shift, nbins) the descent uses (width 2^25 -> shifts
+    # 20/15/10/5/0 at 32 bins), over real similarity values
     feats = (rng.standard_normal((64, 4)) * 0.3).astype(np.float32)
     pos = rng.uniform(0, 2, (64, 2)).astype(np.float32)
     from multimodal_fusion_tpu.ops.similarity import combined_similarity
@@ -834,15 +829,39 @@ def test_exact_median_host_branches():
     K = np.asarray(combined_similarity(jnp.asarray(feats), jnp.asarray(pos), 1.0, 1.0))
     keys = K.reshape(-1).view(np.int32).astype(np.int64)
     med_key = int(np.sort(keys)[len(keys) // 2])
-    lo = (med_key // _MEDIAN_W0) * _MEDIAN_W0
-    chi, clo = _median_refine_pass(
-        jnp.asarray(feats), jnp.asarray(pos), 1.0, 1.0,
-        jnp.int32(64), jnp.int32(lo), False, block=16,
+    for shift, nbins in [(20, 32), (15, 32), (10, 32), (5, 32), (0, 32)]:
+        lo = (med_key >> (shift + 5)) << (shift + 5)  # enclosing range
+        chi, clo = _median_level_pass(
+            jnp.asarray(feats), jnp.asarray(pos), 1.0, 1.0,
+            jnp.int32(64), jnp.int32(lo), jnp.int32(shift), nbins, False,
+            block=16,
+        )
+        cnt_dev = np.asarray(chi).astype(np.int64) * (1 << 15) + np.asarray(clo)
+        np.testing.assert_array_equal(cnt_dev, np_counts(keys, lo, shift, nbins))
+
+
+def test_exact_median_refine_mismatch_raises():
+    """A refine pass whose totals disagree with the parent bin count must
+    fail loudly (silent disagreement would select a wrong median)."""
+    from multimodal_fusion_tpu.hypergraph.build import (
+        _MED_FANOUT,
+        _MED_L1_SHIFT,
+        _exact_median_host,
     )
-    cnt_dev = np.asarray(chi).astype(np.int64) * (1 << 15) + np.asarray(clo)
-    sel = keys[(keys >= lo) & (keys < lo + _MEDIAN_W0)] - lo
-    cnt_np = np.bincount(sel, minlength=_MEDIAN_W0).astype(np.int64)
-    np.testing.assert_array_equal(cnt_dev, cnt_np)
+
+    keys = np.full(9, np.float32(0.5).view(np.int32), np.int64)  # 3x3 matrix
+    idx = (keys >> _MED_L1_SHIFT).astype(np.int64)
+    l1 = np.bincount(idx, minlength=_MED_FANOUT).astype(np.int64)
+    host = {
+        "med_cnt_hi": (l1 >> 15).astype(np.int32),
+        "med_cnt_lo": (l1 & ((1 << 15) - 1)).astype(np.int32),
+    }
+
+    def bad_refine(lo_key, shift, nbins):
+        return np.zeros(nbins, np.int64)  # drops every value
+
+    with pytest.raises(RuntimeError, match="disagrees"):
+        _exact_median_host(host, 3, bad_refine)
 
 
 def test_bitpattern_median_matches_sort(rng):

@@ -194,3 +194,39 @@ def test_mfmf_cross_attention_pallas_eval_matches_xla():
     # training forward keeps the differentiable XLA path (kernel has no VJP)
     out_train = layer(q, kv, mask, key=jax.random.key(0), train=True)
     assert np.isfinite(np.asarray(out_train)).all()
+
+
+def test_mfmf_attention_impl_config():
+    """MFMF reads 'attention_impl' from its model config: 'auto' default,
+    explicit override plumbs to every block, invalid value raises, and the
+    survival trainer's mesh guard can force 'xla' post-construction."""
+    from multimodal_fusion_tpu.config import ModelConfig
+    from multimodal_fusion_tpu.models.factory import ModelFactory
+
+    def cfg(**extra):
+        c = ModelConfig(
+            model_type="mfmf", n_classes=2, input_dim=16, model_size="8*4",
+            dropout=0.0, output_dim=16,
+            channels_used_in_model=["wsi=features", "tma=cd3=features"],
+            channel_input_dims={},
+            fusion_blocks_sequence=[
+                {"q": "tma", "kv": "wsi"},
+                {"q": "result", "kv": "wsi"},
+            ],
+        )
+        for k, v in extra.items():
+            setattr(c, k, v)
+        return c
+
+    m = ModelFactory.create_model(cfg(), seed=0)
+    assert all(b.attn_impl == "auto" for b in m.attention_blocks.values())
+    m = ModelFactory.create_model(cfg(attention_impl="xla"), seed=0)
+    assert all(b.attn_impl == "xla" for b in m.attention_blocks.values())
+    with pytest.raises(ValueError, match="attention_impl"):
+        ModelFactory.create_model(cfg(attention_impl="mosaic"), seed=0)
+
+    # the guard the survival trainer applies under a mesh (_build_model)
+    m = ModelFactory.create_model(cfg(), seed=0)
+    for blk in m.attention_blocks.values():
+        blk.attn_impl = "xla"
+    assert all(b.attn_impl == "xla" for b in m.attention_blocks.values())

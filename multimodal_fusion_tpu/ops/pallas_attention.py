@@ -66,7 +66,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, bias_ref=None):
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale  # [HB, TQ_blk, TK] f32
     if bias_ref is not None:  # kv_mask bias (0 / NEG_INF), static presence
-        scores = scores + bias_ref[0][None, None, :]
+        # REPLACE (not add) to mirror the XLA path's jnp.where(mask, s,
+        # NEG_INF) exactly: with an additive bias, an all-masked bag only
+        # degrades to the same uniform average while |scaled scores| < 32
+        # (half-ulp of 1e9) — beyond that the add preserves score order
+        # and the kernel would silently return unmasked attention
+        scores = jnp.where(
+            bias_ref[0][None, None, :] < 0.0, jnp.float32(NEG_INF), scores
+        )
 
     m = jnp.max(scores, axis=2, keepdims=True)
     p = jnp.exp(scores - m)
@@ -167,7 +174,9 @@ def fused_attention(
     if scale is None:
         scale = 1.0 / (hd ** 0.5)
     if q_tile is None:
-        q_tile = _round_up(min(t_q, 512), 16)
+        # cap the per-program f32 score block (q_tile x t_k) at ~8MB so
+        # large key counts shrink the q tile instead of blowing VMEM
+        q_tile = _round_up(max(16, min(t_q, 512, (2 << 20) // max(t_k, 1))), 16)
     if kv_mask is None:
         bias = None
     else:
@@ -207,8 +216,18 @@ def xla_attention(
 AUTO_MIN_SCORE_ELEMS = 32 * 1024 * 1024
 
 
+# Above this key count 'auto' stays on XLA: the full-K-resident design
+# needs each head's [t_k, hd] K and V in VMEM (the module comment's <= ~8k
+# regime); explicit impl='pallas' is still honoured for larger shapes.
+AUTO_MAX_TK = 8192
+
+
 def _auto_uses_pallas(t_q: int, t_k: int, heads: int, backend: str) -> bool:
-    return backend == "tpu" and t_q * t_k * heads >= AUTO_MIN_SCORE_ELEMS
+    return (
+        backend == "tpu"
+        and t_q * t_k * heads >= AUTO_MIN_SCORE_ELEMS
+        and t_k <= AUTO_MAX_TK
+    )
 
 
 def attention(

@@ -83,6 +83,13 @@ def export_serving_fn(
     mc = configs.model_config
 
     model = ModelFactory.create_model(mc, seed=configs.experiment_config.seed)
+    if hasattr(model, "attention_blocks"):
+        # a multi-platform StableHLO artifact cannot contain a Mosaic
+        # (Pallas) call — the shape-dispatched 'auto' attention could pick
+        # the fused kernel at trace time for large bags, so exports force
+        # the XLA formulation (same guard as mesh runs, train/survival.py)
+        for blk in model.attention_blocks.values():
+            blk.attn_impl = "xla"
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
     path = Path(checkpoint_path or results_dir / f"s_{fold}_checkpoint.npz")
     restored, _ = load_state(path, {"params": params, "rest": rest})

@@ -78,6 +78,20 @@ def test_fused_attention_all_masked_row_matches_xla():
     assert np.isfinite(np.asarray(got)).all()
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
+    # large-magnitude scores (|scaled| >= 32 = half-ulp of 1e9): an
+    # ADDITIVE NEG_INF bias would preserve score order here and silently
+    # return unmasked attention — the kernel must REPLACE like jnp.where
+    # does (review finding r3)
+    q40, k40 = q * 40.0, k * 40.0
+    want = xla_attention(q40, k40, v, mask)
+    got = fused_attention(q40, k40, v, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+    # and with a partial mask at the same magnitudes
+    pmask = jnp.asarray(rng.random(24) > 0.4)
+    want = xla_attention(q40, k40, v, pmask)
+    got = fused_attention(q40, k40, v, pmask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
 
 def test_fused_attention_bf16():
     rng = np.random.default_rng(2)
@@ -157,6 +171,12 @@ def test_auto_dispatch_rule():
     # never on CPU
     assert not _auto_uses_pallas(4096, 4096, 8, "cpu")
     assert 257 * 257 * 16 < AUTO_MIN_SCORE_ELEMS <= 4096 * 4096 * 8
+    # past the full-K-resident VMEM budget 'auto' stays on XLA (the
+    # per-head K/V must fit in VMEM; explicit 'pallas' is still honoured)
+    assert not _auto_uses_pallas(4096, 32768, 8, "tpu")
+    # huge key counts shrink the default q tile instead of blowing VMEM
+    from multimodal_fusion_tpu.ops.pallas_attention import _round_up
+    assert _round_up(max(16, min(4096, 512, (2 << 20) // 32768)), 16) == 64
 
 
 def test_attention_entrypoint_impls_agree():

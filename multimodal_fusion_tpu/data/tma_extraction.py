@@ -85,10 +85,10 @@ def make_feature_extractor(
     ViT's matmuls run natively on the MXU (features returned as f32;
     CLS cosine agreement vs f32 > 0.999 — test_vit_bf16_extraction).
 
-    ``attn_impl="auto"`` runs the fused Pallas attention kernel on TPU
-    (the [T, T] score matrix stays in VMEM — the forward is memory-bound,
-    see ops/pallas_attention.py) and the XLA einsum oracle elsewhere;
-    extraction is forward-only so the kernel's lack of a VJP is moot.
+    ``attn_impl="auto"`` shape-dispatches attention per backend
+    (ops/pallas_attention.attention): the fused Pallas kernel exactly
+    where it measures faster than XLA's attention, the XLA einsum oracle
+    elsewhere (which is what ViT-L's 257-token forward resolves to).
 
     ``mesh``: a ``jax.sharding.Mesh`` — extraction is embarrassingly
     data-parallel, so each chunk's batch axis shards over every mesh axis

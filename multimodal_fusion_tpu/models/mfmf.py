@@ -61,10 +61,11 @@ class CrossAttentionLayer(nnx.Module):
         self.dropout_rate = dropout_rate
         # 'auto' (shape-dispatched fused Pallas kernel where measured
         # faster — ops/pallas_attention.attention), 'xla', 'pallas', or
-        # 'pallas_interpret'.  The fused kernel is forward-only (no VJP)
-        # and skips attention dropout, so non-'xla' impls apply to the
-        # eval path (train=False) only; training always runs the XLA
-        # formulation.
+        # 'pallas_interpret'.  The fused kernel is differentiable (custom
+        # VJP, fused recompute backward) but implements no attention
+        # dropout, so non-'xla' impls cover eval always and training only
+        # when dropout_rate == 0 (the default config); a nonzero rate
+        # keeps the XLA formulation for the train forward.
         self.attn_impl = "auto"
 
     def __call__(
@@ -83,7 +84,7 @@ class CrossAttentionLayer(nnx.Module):
         Q = self.q_proj(qn).reshape(-1, H, hd)
         K = self.k_proj(kvn).reshape(-1, H, hd)
         V = self.v_proj(kvn).reshape(-1, H, hd)
-        if self.attn_impl != "xla" and not train:
+        if self.attn_impl != "xla" and (not train or self.dropout_rate == 0.0):
             from multimodal_fusion_tpu.ops.pallas_attention import attention
 
             out = attention(Q, K, V, kv_mask, impl=self.attn_impl).reshape(
@@ -123,7 +124,8 @@ class MFMF(ClamMLP):
         # Pallas kernel on TPU for large bags, XLA otherwise), 'xla'
         # (required under GSPMD mesh sharding — the survival trainer forces
         # it when a mesh is configured), 'pallas', 'pallas_interpret'.
-        # Applies to the eval forward only (CrossAttentionLayer.attn_impl).
+        # Covers eval, and training when attention dropout is 0 (the
+        # kernel's custom VJP — CrossAttentionLayer.attn_impl).
         from multimodal_fusion_tpu.ops.pallas_attention import VALID_IMPLS
 
         impl = config.get("attention_impl", "auto")

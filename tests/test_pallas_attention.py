@@ -250,3 +250,94 @@ def test_mfmf_attention_impl_config():
     for blk in m.attention_blocks.values():
         blk.attn_impl = "xla"
     assert all(b.attn_impl == "xla" for b in m.attention_blocks.values())
+
+
+def test_fused_attention_grads_match_xla():
+    """The custom-VJP backward (fused recompute kernel) against jax.grad of
+    the XLA formulation: self-attention with partial edge tiles, cross
+    attention with a kv mask (masked keys: dv nonzero, dq/dk mask-aware),
+    an all-masked bag (zero dq/dk, uniform-p dv), and vmap batching."""
+    rng = np.random.default_rng(11)
+
+    def loss_pl(q, k, v, m=None):
+        return jnp.sum(fused_attention(q, k, v, m, interpret=True) ** 2)
+
+    def loss_xla(q, k, v, m=None):
+        return jnp.sum(xla_attention(q, k, v, m) ** 2)
+
+    def check(tq, tk, heads, hd, mask=None, atol=2e-4):
+        q = jnp.asarray(rng.standard_normal((tq, heads, hd)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((tk, heads, hd)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((tk, heads, hd)), jnp.float32)
+        args = (q, k, v) if mask is None else (q, k, v, mask)
+        g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(*args)
+        g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(*args)
+        for a, b, name in zip(g_pl, g_x, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=atol,
+                err_msg=f"d{name} tq={tq} tk={tk}",
+            )
+        return g_pl
+
+    check(257, 257, 4, 64)  # partial edge q tiles: garbage rows must not poison dk/dv
+    check(33, 50, 2, 32, mask=jnp.asarray(rng.random(50) > 0.3))
+    # all-masked bag: dq and dk must be exactly zero (the forward's where
+    # makes every score a constant), dv still flows through the uniform p
+    g = check(8, 24, 2, 16, mask=jnp.zeros(24, bool))
+    assert float(jnp.abs(g[0]).max()) == 0.0
+    assert float(jnp.abs(g[1]).max()) == 0.0
+    assert float(jnp.abs(g[2]).max()) > 0.0
+
+    # vmap: batched grads agree too
+    qB = jnp.asarray(rng.standard_normal((3, 40, 2, 32)), jnp.float32)
+    kB = jnp.asarray(rng.standard_normal((3, 48, 2, 32)), jnp.float32)
+    vB = jnp.asarray(rng.standard_normal((3, 48, 2, 32)), jnp.float32)
+
+    def bl_pl(q, k, v):
+        return jnp.sum(jax.vmap(lambda a, b, c: fused_attention(a, b, c, interpret=True))(q, k, v) ** 2)
+
+    def bl_x(q, k, v):
+        return jnp.sum(jax.vmap(lambda a, b, c: xla_attention(a, b, c))(q, k, v) ** 2)
+
+    g_pl = jax.grad(bl_pl, argnums=(0, 1, 2))(qB, kB, vB)
+    g_x = jax.grad(bl_x, argnums=(0, 1, 2))(qB, kB, vB)
+    for a, b in zip(g_pl, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_mfmf_cross_attention_pallas_train_grads():
+    """With attention dropout 0 the MFMF train forward may use the fused
+    kernel: forward AND parameter gradients must match the XLA layer."""
+    from multimodal_fusion_tpu.models.mfmf import CrossAttentionLayer
+
+    layer = CrossAttentionLayer(32, 4, 2, 0.0, nnx.Rngs(0))
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.standard_normal((6, 32)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((40, 32)), jnp.float32)
+    mask = jnp.asarray(rng.random(40) > 0.25)
+    key = jax.random.key(0)
+
+    def loss(model):
+        return jnp.sum(model(q, kv, mask, key=key, train=True) ** 2)
+
+    layer.attn_impl = "xla"
+    want_l, want_g = nnx.value_and_grad(loss)(layer)
+    layer.attn_impl = "pallas_interpret"
+    got_l, got_g = nnx.value_and_grad(loss)(layer)
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        ),
+        got_g, want_g,
+    )
+
+    # nonzero attention dropout keeps the XLA train path (the kernel
+    # implements no dropout) — the forward must keep consuming the SAME
+    # rng stream, i.e. behave exactly like the xla impl
+    drop = CrossAttentionLayer(32, 4, 2, 0.3, nnx.Rngs(0))
+    drop.attn_impl = "pallas_interpret"
+    out_p = np.asarray(drop(q, kv, mask, key=key, train=True))
+    drop.attn_impl = "xla"
+    out_x = np.asarray(drop(q, kv, mask, key=key, train=True))
+    np.testing.assert_array_equal(out_p, out_x)

@@ -31,6 +31,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_tile(x: int, base: int = 256, big: int = 512) -> int:
+    """Largest tile that costs no extra padding over ``base``.
+
+    The bf16_exact kernel at 256-wide tiles is HBM-bound: its dominant
+    stream (the column feature tile, re-fetched per grid step) gives an
+    arithmetic intensity of ~2*TM*D/(2*D+4*TM) ≈ 183 FLOP/B at TM=256 —
+    under the v5e bf16 ridge (~240).  TM=512 lifts it past the ridge
+    (~284 FLOP/B → compute-bound; measured r3w5).  Only upgrade when the
+    512-padding equals the 256-padding so small/ragged shapes never pay
+    extra MXU work for the wider tile."""
+    return big if _round_up(x, big) == _round_up(x, base) else base
+
+
 def _sim_kernel(
     fi_ref, pi_ref, fj_ref, pj_ref, o_ref, *, lambda_h, lambda_g, bf16_exact
 ):
@@ -46,13 +59,18 @@ def _sim_kernel(
     # spatial dot stays HIGHEST regardless.
     hi = jax.lax.Precision.HIGHEST
     feat_prec = jax.lax.Precision.DEFAULT if bf16_exact else hi
-    fi = fi_ref[:]  # [TM, D]
+    fi = fi_ref[:]  # [TM, D] (bf16 under bf16_exact — see rect wrapper)
     fj = fj_ref[:]  # [TN, D]
     pi = pi_ref[:]  # [TM, 128]
     pj = pj_ref[:]  # [TN, 128]
 
-    fi_sq = jnp.sum(fi * fi, axis=1, keepdims=True)  # [TM, 1]
-    fj_sq = jnp.sum(fj * fj, axis=1, keepdims=True)  # [TN, 1]
+    # Norms accumulate in f32 regardless of the stored tile dtype; under
+    # bf16_exact the stored values ARE the exact feature values, so the f32
+    # squares match the f32-tile path bit for bit.
+    fi32 = fi.astype(jnp.float32)
+    fj32 = fj.astype(jnp.float32)
+    fi_sq = jnp.sum(fi32 * fi32, axis=1, keepdims=True)  # [TM, 1]
+    fj_sq = jnp.sum(fj32 * fj32, axis=1, keepdims=True)  # [TN, 1]
     d_h = fi_sq + fj_sq.T - 2.0 * jnp.dot(
         fi, fj.T, preferred_element_type=jnp.float32, precision=feat_prec
     )
@@ -81,8 +99,8 @@ def pallas_combined_similarity_rect(
     col_positions: jax.Array,
     lambda_h: float = 1.0,
     lambda_g: float = 1.0,
-    tile_m: int = 256,
-    tile_n: int = 256,
+    tile_m: int | None = None,
+    tile_n: int | None = None,
     interpret: bool = False,
     bf16_exact: bool = False,
 ) -> jax.Array:
@@ -91,15 +109,32 @@ def pallas_combined_similarity_rect(
     Rectangular generalisation of the square kernel: rows come from one
     point set, columns from another.  This is the per-device workload of the
     shard_map mesh build (each device owns a row shard and sees gathered
-    columns — ``sharded_combined_similarity``)."""
+    columns — ``sharded_combined_similarity``).
+
+    ``tile_m``/``tile_n`` default to an auto pick: 256, upgraded to 512
+    under ``bf16_exact`` when the wider tile costs no extra padding — the
+    bf16 kernel is HBM-bound at 256 (see ``_pick_tile``).  Under
+    ``bf16_exact`` the feature tiles are also STAGED in bf16 (the values
+    are exactly bf16-representable by precondition, so the cast is
+    lossless), halving the dominant HBM stream; norms and the distance
+    assembly still run f32, so the output is bit-identical to f32 staging."""
     m, d = row_features.shape
     n = col_features.shape[0]
+    if tile_m is None:
+        tile_m = _pick_tile(m) if bf16_exact else 256
+    if tile_n is None:
+        tile_n = _pick_tile(n) if bf16_exact else 256
     m_pad = _round_up(m, tile_m)
     n_pad = _round_up(n, tile_n)
     d_pad = _round_up(d, 128)
-    fi = jnp.zeros((m_pad, d_pad), jnp.float32).at[:m, :d].set(row_features)
+    feat_dtype = jnp.bfloat16 if bf16_exact else jnp.float32
+    fi = jnp.zeros((m_pad, d_pad), feat_dtype).at[:m, :d].set(
+        row_features.astype(feat_dtype)
+    )
     pi = jnp.zeros((m_pad, 128), jnp.float32).at[:m, : row_positions.shape[1]].set(row_positions)
-    fj = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(col_features)
+    fj = jnp.zeros((n_pad, d_pad), feat_dtype).at[:n, :d].set(
+        col_features.astype(feat_dtype)
+    )
     pj = jnp.zeros((n_pad, 128), jnp.float32).at[:n, : col_positions.shape[1]].set(col_positions)
 
     grid = (m_pad // tile_m, n_pad // tile_n)
@@ -123,7 +158,10 @@ def pallas_combined_similarity_rect(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n_pad * (d_pad + 128) + 6 * m_pad * n_pad,
-            bytes_accessed=4 * ((m_pad + n_pad) * d_pad + m_pad * n_pad),
+            bytes_accessed=(
+                fi.dtype.itemsize * (m_pad + n_pad) * d_pad
+                + 4 * m_pad * n_pad
+            ),
             transcendentals=m_pad * n_pad,
         ),
         interpret=interpret,
@@ -136,8 +174,8 @@ def pallas_combined_similarity(
     positions: jax.Array,
     lambda_h: float = 1.0,
     lambda_g: float = 1.0,
-    tile_m: int = 256,
-    tile_n: int = 256,
+    tile_m: int | None = None,
+    tile_n: int | None = None,
     interpret: bool = False,
     bf16_exact: bool = False,
 ) -> jax.Array:

@@ -132,3 +132,30 @@ def test_pallas_similarity_bf16_exact_flag(rng):
     K_hi = pallas_combined_similarity(f, p, 1.0, 1.0, interpret=True)
     K_lo = pallas_combined_similarity(f, p, 1.0, 1.0, interpret=True, bf16_exact=True)
     np.testing.assert_allclose(np.asarray(K_hi), np.asarray(K_lo), rtol=1e-6, atol=1e-7)
+
+
+def test_pallas_similarity_bf16_wide_tile_auto(rng):
+    """bf16_exact auto-tiling: 512-aligned shapes upgrade to 512-wide tiles
+    (the 256-tile bf16 kernel is HBM-bound — see _pick_tile), and the wide
+    tile + bf16 feature staging must be EXACTLY the 256-tile result (tile
+    size and staging dtype may never change values: norms/assembly are f32
+    either way and the staged values are bf16-representable)."""
+    from multimodal_fusion_tpu.ops.pallas_similarity import _pick_tile
+
+    assert _pick_tile(512) == 512
+    assert _pick_tile(4096) == 512
+    assert _pick_tile(300) == 512  # pads to 512 either way: wide tile free
+    assert _pick_tile(600) == 256  # 512-padding (1024) exceeds 256's (768)
+    assert _pick_tile(130) == 256
+
+    f = jnp.asarray(
+        rng.standard_normal((512, 48)).astype(np.float32) * 0.1, jnp.bfloat16
+    ).astype(jnp.float32)
+    p = jnp.asarray(rng.uniform(0, 3, (512, 2)), jnp.float32)
+    K_wide = pallas_combined_similarity(
+        f, p, 1.0, 1.0, interpret=True, bf16_exact=True
+    )  # auto -> tile 512
+    K_base = pallas_combined_similarity(
+        f, p, 1.0, 1.0, tile_m=256, tile_n=256, interpret=True, bf16_exact=True
+    )
+    np.testing.assert_array_equal(np.asarray(K_wide), np.asarray(K_base))

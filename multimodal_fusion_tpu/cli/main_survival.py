@@ -102,6 +102,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--fusion_blocks_sequence", type=str,
         default='[{"q": "other", "kv": "tma"}, {"q": "result", "kv": "wsi"}, {"q": "reconstruct", "kv": "result"}]',
     )
+    # the reference reads 'attention_dropout' from its model config but
+    # exposes no flag (mfmf.py:35); we expose it.  attention_impl is a
+    # TPU-native knob: 'auto' shape-dispatches the fused Pallas kernel
+    # (ops/pallas_attention.py), explicit values force a formulation.
+    p.add_argument("--attention_dropout", type=float, default=0.0)
+    p.add_argument(
+        "--attention_impl", type=str, default="auto",
+        choices=["auto", "xla", "pallas", "pallas_interpret"],
+    )
     # pooling
     p.add_argument("--pooling_strategy", type=str, choices=["mean", "max", "sum"], default="mean")
     # TPU-native execution knobs (not in the reference CLI): JSON dict merged
@@ -165,6 +174,8 @@ def args_to_configs(args, channel_input_dims: Dict[str, int]) -> Configs:
         auc_loss_weight=args.auc_loss_weight,
         pooling_strategy=args.pooling_strategy,
         attention_num_heads=args.attention_num_heads,
+        attention_dropout=args.attention_dropout,
+        attention_impl=args.attention_impl,
         return_features=args.return_features,
         attention_only=args.attention_only,
     )

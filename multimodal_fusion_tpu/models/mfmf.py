@@ -14,7 +14,6 @@ with key-side validity masks for padded bags (the reference has no padding).
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Optional
 
 import jax
@@ -25,7 +24,6 @@ from multimodal_fusion_tpu.config import ModelConfig
 from multimodal_fusion_tpu.models.base import Case, Result
 from multimodal_fusion_tpu.models.clam_mlp import ClamMLP
 from multimodal_fusion_tpu.models.common import dropout, split_keys, torch_linear
-from multimodal_fusion_tpu.ops.masked import NEG_INF
 
 DEFAULT_FUSION_SEQUENCE = [
     {"q": "other", "kv": "tma"},
@@ -62,10 +60,10 @@ class CrossAttentionLayer(nnx.Module):
         # 'auto' (shape-dispatched fused Pallas kernel where measured
         # faster — ops/pallas_attention.attention), 'xla', 'pallas', or
         # 'pallas_interpret'.  The fused kernel is differentiable (custom
-        # VJP, fused recompute backward) but implements no attention
-        # dropout, so non-'xla' impls cover eval always and training only
-        # when dropout_rate == 0 (the default config); a nonzero rate
-        # keeps the XLA formulation for the train forward.
+        # VJP, fused recompute backward) INCLUDING attention dropout (the
+        # stateless hash mask — ops/pallas_attention module note), so every
+        # impl covers both eval and training; the Pallas draw differs from
+        # the XLA bernoulli stream (both valid dropout).
         self.attn_impl = "auto"
 
     def __call__(
@@ -84,19 +82,15 @@ class CrossAttentionLayer(nnx.Module):
         Q = self.q_proj(qn).reshape(-1, H, hd)
         K = self.k_proj(kvn).reshape(-1, H, hd)
         V = self.v_proj(kvn).reshape(-1, H, hd)
-        if self.attn_impl != "xla" and (not train or self.dropout_rate == 0.0):
-            from multimodal_fusion_tpu.ops.pallas_attention import attention
+        # every impl (incl. 'xla', which reproduces the historical inline
+        # einsum->softmax->bernoulli-dropout->einsum bit-exactly) supports
+        # train-time attention dropout — ops/pallas_attention.attention
+        from multimodal_fusion_tpu.ops.pallas_attention import attention
 
-            out = attention(Q, K, V, kv_mask, impl=self.attn_impl).reshape(
-                q.shape[0], -1
-            )
-        else:
-            scores = jnp.einsum("qhd,khd->hqk", Q, K) / math.sqrt(hd)
-            if kv_mask is not None:
-                scores = jnp.where(kv_mask[None, None, :], scores, NEG_INF)
-            attn = jax.nn.softmax(scores, axis=-1)
-            attn = dropout(attn, self.dropout_rate, k1, train)
-            out = jnp.einsum("hqk,khd->qhd", attn, V).reshape(q.shape[0], -1)
+        out = attention(
+            Q, K, V, kv_mask, impl=self.attn_impl,
+            dropout_rate=self.dropout_rate, dropout_key=k1, train=train,
+        ).reshape(q.shape[0], -1)
         x = q + self.out_proj(out)  # attention residual
         h = self.mlp_fc2(jax.nn.gelu(self.mlp_fc1(self.mlp_norm(x)), approximate=False))
         h = dropout(h, self.dropout_rate, k2, train)
@@ -121,11 +115,12 @@ class MFMF(ClamMLP):
             }
         )
         # config 'attention_impl': 'auto' (default — shape-dispatched fused
-        # Pallas kernel on TPU for large bags, XLA otherwise), 'xla'
-        # (required under GSPMD mesh sharding — the survival trainer forces
-        # it when a mesh is configured), 'pallas', 'pallas_interpret'.
-        # Covers eval, and training when attention dropout is 0 (the
-        # kernel's custom VJP — CrossAttentionLayer.attn_impl).
+        # Pallas kernel on TPU for large bags, XLA otherwise), 'xla',
+        # 'pallas', 'pallas_interpret'.  Mesh runs dispatch the kernel too:
+        # the survival trainer runs the per-case vmap inside shard_map
+        # (Trainer._vmap_cases), so each device calls it on its local case
+        # shard; only leftover windows that don't divide the mesh fall back
+        # to the XLA formulation (ops.pallas_attention.force_xla).
         from multimodal_fusion_tpu.ops.pallas_attention import VALID_IMPLS
 
         impl = config.get("attention_impl", "auto")

@@ -33,11 +33,14 @@ Design notes (TPU):
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -48,7 +51,73 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, bias_ref=None):
+# ---------------------------------------------------------------------------
+# Attention dropout: a TILING-INDEPENDENT keep mask.
+#
+# The forward and backward kernels run with DIFFERENT tile plans (the
+# backward holds ~5 live f32 score copies, so _plan_tiles lands on smaller
+# q tiles / head groups), yet the flash-style recompute backward must apply
+# the EXACT mask the forward drew.  A hardware-PRNG stream seeded per
+# program would differ between the two plans, so the mask is instead a
+# stateless murmur3-style finalizer over the absolute (head, q, k)
+# coordinate — any tile computes any element's mask bit locally, and tests
+# reproduce it bit-exactly in pure jnp (``dropout_keep_reference``).
+# (Same idea as CUDA flash-attention's Philox-offset-by-position dropout,
+# rebuilt as a pure VPU hash so it also runs under interpret mode.)
+# ---------------------------------------------------------------------------
+
+
+def _drop_threshold(rate: float) -> int:
+    """uint32 threshold: keep iff hash >= threshold, P(keep) = 1 - rate."""
+    if not 0.0 <= rate < 1.0:
+        raise ValueError(f"dropout rate must be in [0, 1), got {rate}")
+    return min(int(round(rate * 2.0 ** 32)), 2 ** 32 - 1)
+
+
+def _hash_keep(z: jax.Array, threshold: int) -> jax.Array:
+    """murmur3 fmix32 avalanche over uint32 lanes -> keep mask."""
+    z = z ^ (z >> 16)
+    z = z * jnp.uint32(0x85EBCA6B)
+    z = z ^ (z >> 13)
+    z = z * jnp.uint32(0xC2B2AE35)
+    z = z ^ (z >> 16)
+    return z >= jnp.uint32(threshold)
+
+
+def _keep_mask(seed_u32, h0, q0, shape, t_q: int, t_k: int, rate: float):
+    """Keep mask for an [HB, QT, TK] score block at absolute offsets
+    (h0, q0, 0).  uint32 arithmetic wraps by design (hash input)."""
+    h_idx = h0 + jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    q_idx = q0 + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    k_idx = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    lin = (h_idx * jnp.uint32(t_q) + q_idx) * jnp.uint32(t_k) + k_idx
+    return _hash_keep(lin * jnp.uint32(0x9E3779B9) + seed_u32, _drop_threshold(rate))
+
+
+def dropout_keep_reference(seed: int, heads: int, t_q: int, t_k: int, rate: float):
+    """Pure-jnp oracle of the kernels' dropout mask: the full [H, Tq, Tk]
+    keep mask for a given uint32 seed.  Tests pin the fused kernels' dropout
+    forward AND backward against XLA attention with this explicit mask."""
+    return _keep_mask(
+        jnp.uint32(np.uint32(seed)), jnp.uint32(0), jnp.uint32(0),
+        (heads, t_q, t_k), t_q, t_k, rate,
+    )
+
+
+def _apply_dropout(p, seed_ref, dropout_rate, t_q, t_k, q_blk):
+    """Inverted dropout on the probability block (f32), mask from the
+    stateless hash at this program's absolute coordinates."""
+    seed = seed_ref[0, 0].astype(jnp.uint32)
+    h0 = (pl.program_id(0) * p.shape[0]).astype(jnp.uint32)
+    q0 = (pl.program_id(1) * q_blk).astype(jnp.uint32)
+    keep = _keep_mask(seed, h0, q0, p.shape, t_q, t_k, dropout_rate)
+    return jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0), keep
+
+
+def _attn_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, scale, bias_ref=None, seed_ref=None,
+    dropout_rate=0.0, t_q=0,
+):
     q = q_ref[...]  # [HB, TQ_blk, hd]
     k = k_ref[...]  # [HB, TK, hd]
     v = v_ref[...]  # [HB, TK, hd]
@@ -78,6 +147,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, bias_ref=None):
     m = jnp.max(scores, axis=2, keepdims=True)
     p = jnp.exp(scores - m)
     p = p / jnp.sum(p, axis=2, keepdims=True)
+    if dropout_rate > 0.0:
+        p, _ = _apply_dropout(
+            p, seed_ref, dropout_rate, t_q, k.shape[1], q.shape[1]
+        )
 
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
@@ -131,22 +204,24 @@ def _plan_tiles(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "q_tile", "interpret")
+    jax.jit, static_argnames=("scale", "q_tile", "dropout_rate", "interpret")
 )
 def _fused_attention_hxd(
     q: jax.Array,  # [H, Tq, hd]
     k: jax.Array,  # [H, Tk, hd]
     v: jax.Array,  # [H, Tk, hd]
     bias,  # [1, Tk] additive f32 (0 or NEG_INF), or None
+    seed,  # [1] int32 dropout seed, or None (iff dropout_rate == 0)
     scale: float,
     q_tile: int,
+    dropout_rate: float,
     interpret: bool,
 ) -> jax.Array:
     H, t_q, hd = q.shape
     t_k = k.shape[1]
     q_tile, hb = _plan_tiles(H, q_tile, t_k, hd, q.dtype.itemsize)
     grid = (H // hb, pl.cdiv(t_q, q_tile))
-    qkv_specs = [
+    in_specs = [
         pl.BlockSpec(
             (hb, q_tile, hd), lambda h, j: (h, j, 0), memory_space=pltpu.VMEM
         ),
@@ -157,17 +232,34 @@ def _fused_attention_hxd(
             (hb, t_k, hd), lambda h, j: (h, 0, 0), memory_space=pltpu.VMEM
         ),
     ]
-    if bias is None:
-        kernel = functools.partial(_attn_kernel, scale=scale)
-        in_specs, args = qkv_specs, (q, k, v)
-    else:
-        def kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
-            _attn_kernel(q_ref, k_ref, v_ref, o_ref, scale=scale, bias_ref=bias_ref)
-
-        in_specs = qkv_specs + [
+    args = [q, k, v]
+    if bias is not None:
+        in_specs.append(
             pl.BlockSpec((1, t_k), lambda h, j: (0, 0), memory_space=pltpu.VMEM)
-        ]
-        args = (q, k, v, bias)
+        )
+        args.append(bias)
+    if seed is not None:
+        # (1, 1) 2D block: under vmap Mosaic requires the last two block
+        # dims to equal the array dims (a 1-D (1,) spec batches to
+        # (Squeezed, 1) over a (B, 1) array and is rejected on real TPU;
+        # interpret mode accepts both)
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda h, j: (0, 0), memory_space=pltpu.SMEM)
+        )
+        args.append(seed)
+    has_bias, has_seed = bias is not None, seed is not None
+
+    def kernel(*refs):
+        i = 3
+        bias_ref = refs[i] if has_bias else None
+        i += int(has_bias)
+        seed_ref = refs[i] if has_seed else None
+        _attn_kernel(
+            refs[0], refs[1], refs[2], refs[-1], scale=scale,
+            bias_ref=bias_ref, seed_ref=seed_ref,
+            dropout_rate=dropout_rate, t_q=t_q,
+        )
+
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((H, t_q, hd), q.dtype),
@@ -187,7 +279,7 @@ def _fused_attention_hxd(
 
 def _attn_bwd_kernel(
     q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-    scale, q_tile, t_q, bias_ref=None,
+    scale, q_tile, t_q, bias_ref=None, seed_ref=None, dropout_rate=0.0,
 ):
     """Flash-style recompute backward for one (head-group, q-tile) program.
 
@@ -198,6 +290,12 @@ def _attn_bwd_kernel(
     accumulating matmuls: unlike the forward (where garbage rows are simply
     discarded by the masked dq write), garbage contributions here would
     poison dk/dv for every valid key.
+
+    With dropout the forward computed o = drop(p) @ v; the mask is the
+    stateless coordinate hash (see module note), so this kernel recomputes
+    the IDENTICAL mask despite its different tile plan: dv contracts the
+    dropped probabilities, dL/dp = mask-scaled dL/d(drop(p)), and the
+    softmax transpose then proceeds on the pre-dropout p.
     """
     j = pl.program_id(1)
     q = q_ref[...]  # [HB, TQ_blk, hd]
@@ -217,7 +315,15 @@ def _attn_bwd_kernel(
 
     dp = jax.lax.dot_general(
         do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # [HB, TQ_blk, TK]
+    )  # [HB, TQ_blk, TK] = dL/d(drop(p))
+    if dropout_rate > 0.0:
+        pd, keep = _apply_dropout(
+            p, seed_ref, dropout_rate, t_q, k.shape[1], q.shape[1]
+        )
+        inv = 1.0 / (1.0 - dropout_rate)
+        dp = jnp.where(keep, dp * inv, 0.0)  # dL/dp through the mask
+    else:
+        pd = p
     dsum = jnp.sum(dp * p, axis=2, keepdims=True)
     ds = p * (dp - dsum) * scale
     if bias_ref is not None:
@@ -237,7 +343,7 @@ def _attn_bwd_kernel(
         ) < t_q
 
     ds = jnp.where(rows_valid(ds.shape), ds, 0.0)
-    p_z = jnp.where(rows_valid(p.shape), p, 0.0)
+    p_z = jnp.where(rows_valid(pd.shape), pd, 0.0)
     do_z = jnp.where(rows_valid(do.shape), do, 0)
     q_z = jnp.where(rows_valid(q.shape), q, 0)
 
@@ -262,16 +368,18 @@ def _attn_bwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "q_tile", "interpret")
+    jax.jit, static_argnames=("scale", "q_tile", "dropout_rate", "interpret")
 )
 def _fused_attention_bwd_hxd(
     q: jax.Array,  # [H, Tq, hd]
     k: jax.Array,  # [H, Tk, hd]
     v: jax.Array,  # [H, Tk, hd]
     bias,  # [1, Tk] f32 or None
+    seed,  # [1] int32 or None
     do: jax.Array,  # [H, Tq, hd]
     scale: float,
     q_tile: int,
+    dropout_rate: float,
     interpret: bool,
 ):
     H, t_q, hd = q.shape
@@ -287,22 +395,30 @@ def _fused_attention_bwd_hxd(
         (hb, t_k, hd), lambda h, j: (h, 0, 0), memory_space=pltpu.VMEM
     )
     in_specs = [q_spec, kv_spec, kv_spec, q_spec]
-    if bias is None:
-        kernel = functools.partial(
-            _attn_bwd_kernel, scale=scale, q_tile=q_tile, t_q=t_q
-        )
-        args = (q, k, v, do)
-    else:
-        def kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, dq_ref, dk_ref, dv_ref):
-            _attn_bwd_kernel(
-                q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                scale=scale, q_tile=q_tile, t_q=t_q, bias_ref=bias_ref,
-            )
-
-        in_specs = in_specs + [
+    args = [q, k, v, do]
+    if bias is not None:
+        in_specs.append(
             pl.BlockSpec((1, t_k), lambda h, j: (0, 0), memory_space=pltpu.VMEM)
-        ]
-        args = (q, k, v, do, bias)
+        )
+        args.append(bias)
+    if seed is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda h, j: (0, 0), memory_space=pltpu.SMEM)
+        )
+        args.append(seed)
+    has_bias, has_seed = bias is not None, seed is not None
+
+    def kernel(*refs):
+        i = 4
+        bias_ref = refs[i] if has_bias else None
+        i += int(has_bias)
+        seed_ref = refs[i] if has_seed else None
+        _attn_bwd_kernel(
+            refs[0], refs[1], refs[2], refs[3], refs[-3], refs[-2], refs[-1],
+            scale=scale, q_tile=q_tile, t_q=t_q, bias_ref=bias_ref,
+            seed_ref=seed_ref, dropout_rate=dropout_rate,
+        )
+
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -326,23 +442,30 @@ def _fused_attention_bwd_hxd(
     )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _attention_hxd(q, k, v, bias, scale, q_tile, interpret):
-    return _fused_attention_hxd(q, k, v, bias, scale, q_tile, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _attention_hxd(q, k, v, bias, seed, scale, q_tile, dropout_rate, interpret):
+    return _fused_attention_hxd(
+        q, k, v, bias, seed, scale, q_tile, dropout_rate, interpret
+    )
 
 
-def _attention_hxd_fwd(q, k, v, bias, scale, q_tile, interpret):
-    out = _fused_attention_hxd(q, k, v, bias, scale, q_tile, interpret)
-    return out, (q, k, v, bias)
+def _attention_hxd_fwd(q, k, v, bias, seed, scale, q_tile, dropout_rate, interpret):
+    out = _fused_attention_hxd(
+        q, k, v, bias, seed, scale, q_tile, dropout_rate, interpret
+    )
+    return out, (q, k, v, bias, seed)
 
 
-def _attention_hxd_bwd(scale, q_tile, interpret, res, g):
-    q, k, v, bias = res
+def _attention_hxd_bwd(scale, q_tile, dropout_rate, interpret, res, g):
+    q, k, v, bias, seed = res
     dq, dk, dv = _fused_attention_bwd_hxd(
-        q, k, v, bias, g.astype(q.dtype), scale, q_tile, interpret
+        q, k, v, bias, seed, g.astype(q.dtype), scale, q_tile,
+        dropout_rate, interpret,
     )
     dbias = None if bias is None else jnp.zeros_like(bias)
-    return dq, dk, dv, dbias
+    # integer seed: float0 cotangent (no gradient flows into the RNG)
+    dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
+    return dq, dk, dv, dbias, dseed
 
 
 _attention_hxd.defvjp(_attention_hxd_fwd, _attention_hxd_bwd)
@@ -356,6 +479,8 @@ def fused_attention(
     *,
     scale: Optional[float] = None,
     q_tile: Optional[int] = None,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused softmax(q k^T / sqrt(hd)) v in the models' [T, H, hd] layout.
@@ -366,6 +491,14 @@ def fused_attention(
     DIFFERENTIABLE in q/k/v via a custom VJP whose backward is a second
     fused kernel (flash-style recompute — no saved probability matrix);
     kv_mask carries no gradient.
+
+    ``dropout_rate`` > 0 (requires ``dropout_key``) applies inverted
+    dropout to the attention probabilities INSIDE the kernel via the
+    stateless coordinate-hash mask (see module note) — the backward kernel
+    recomputes the identical mask.  The draw comes from the hash, not from
+    ``jax.random.bernoulli``, so it differs from the XLA formulation's
+    stream (both are valid dropout; ``dropout_keep_reference`` reproduces
+    the kernel's mask exactly for tests).
     """
     t_q, H, hd = q.shape
     t_k = k.shape[0]
@@ -379,10 +512,23 @@ def fused_attention(
         bias = None
     else:
         bias = jnp.where(kv_mask[None, :], 0.0, NEG_INF).astype(jnp.float32)
+    dropout_rate = float(dropout_rate)
+    _drop_threshold(dropout_rate)  # validate range
+    if dropout_rate > 0.0:
+        if dropout_key is None:
+            raise ValueError("dropout_rate > 0 requires dropout_key")
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.bits(dropout_key, (1, 1), jnp.uint32), jnp.int32
+        )
+    else:
+        seed = None
     qh = jnp.transpose(q, (1, 0, 2))
     kh = jnp.transpose(k, (1, 0, 2))
     vh = jnp.transpose(v, (1, 0, 2))
-    out = _attention_hxd(qh, kh, vh, bias, float(scale), int(q_tile), interpret)
+    out = _attention_hxd(
+        qh, kh, vh, bias, seed, float(scale), int(q_tile), dropout_rate,
+        interpret,
+    )
     return jnp.transpose(out, (1, 0, 2))
 
 
@@ -391,15 +537,44 @@ def xla_attention(
     k: jax.Array,
     v: jax.Array,
     kv_mask: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
 ) -> jax.Array:
     """The einsum->softmax->einsum oracle formulation (exactly what
-    models/vit.py and models/mfmf.py historically inlined)."""
+    models/vit.py and models/mfmf.py historically inlined), with the same
+    inverted bernoulli dropout on the probabilities that
+    ``models.common.dropout`` applies (bit-identical given the same key)."""
     hd = q.shape[-1]
     scores = jnp.einsum("qhd,khd->hqk", q, k) / (hd ** 0.5)
     if kv_mask is not None:
         scores = jnp.where(kv_mask[None, None, :], scores, NEG_INF)
     attn = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and dropout_key is not None:
+        keep = 1.0 - dropout_rate
+        mask = jax.random.bernoulli(dropout_key, keep, attn.shape)
+        attn = jnp.where(mask, attn / keep, 0.0)
     return jnp.einsum("hqk,khd->qhd", attn, v)
+
+
+# Trace-time escape hatch: GSPMD cannot partition a Mosaic custom call, so
+# computations traced for a mesh WITHOUT shard_map manual partitioning
+# (e.g. leftover windows whose size doesn't divide the mesh, replicated
+# placements) must keep the XLA formulation even when a model's attn_impl
+# says 'auto'/'pallas'.  The survival trainer wraps those traces in
+# ``force_xla()``; inside shard_map each device is single-device and the
+# kernel dispatches normally.
+_FORCE_XLA: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "mmf_attention_force_xla", default=False
+)
+
+
+@contextlib.contextmanager
+def force_xla():
+    tok = _FORCE_XLA.set(True)
+    try:
+        yield
+    finally:
+        _FORCE_XLA.reset(tok)
 
 
 # Per-case score-tensor size (Tq*Tk*H elements) above which the fused
@@ -434,18 +609,27 @@ def attention(
     v: jax.Array,  # [Tk, H, hd]
     kv_mask: Optional[jax.Array] = None,
     impl: str = "auto",
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
+    train: bool = False,
 ) -> jax.Array:
     """Multi-head attention with implementation dispatch.
 
     impl: 'xla' (oracle), 'pallas' (fused kernel), 'pallas_interpret'
     (kernel in interpret mode, CPU tests), or 'auto' — the fused kernel on
     TPU when the score tensor is big enough to win (see
-    AUTO_MIN_SCORE_ELEMS), the XLA formulation otherwise.  The fused
-    kernel is differentiable (custom VJP, fused recompute backward) but
-    implements no attention dropout — training paths with a nonzero
-    attention-dropout rate must use the XLA formulation (model code guards
-    this with its ``train`` flag and dropout rate).
+    AUTO_MIN_SCORE_ELEMS), the XLA formulation otherwise.
+
+    Attention dropout (``dropout_rate`` > 0, ``train=True``, key given) is
+    supported by EVERY impl: the XLA path draws a bernoulli mask from the
+    key (bit-identical to the historical inline formulation), the fused
+    kernel draws the stateless coordinate-hash mask seeded from the key
+    (different stream, equally valid dropout — its backward recomputes the
+    identical mask).  Under ``force_xla()`` (GSPMD mesh traces without
+    shard_map) every impl resolves to 'xla'.
     """
+    if _FORCE_XLA.get():
+        impl = "xla"
     if impl == "auto":
         try:
             backend = jax.default_backend()
@@ -456,11 +640,13 @@ def attention(
             if _auto_uses_pallas(q.shape[0], k.shape[0], q.shape[1], backend)
             else "xla"
         )
+    rate = float(dropout_rate) if (train and dropout_key is not None) else 0.0
     if impl == "xla":
-        return xla_attention(q, k, v, kv_mask)
+        return xla_attention(q, k, v, kv_mask, rate, dropout_key)
     if impl in ("pallas", "pallas_interpret"):
         return fused_attention(
-            q, k, v, kv_mask, interpret=impl == "pallas_interpret"
+            q, k, v, kv_mask, dropout_rate=rate, dropout_key=dropout_key,
+            interpret=impl == "pallas_interpret",
         )
     raise ValueError(f"unknown attention impl {impl!r}")
 

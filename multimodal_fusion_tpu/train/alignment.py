@@ -200,9 +200,13 @@ class MultiModalAlignmentTrainer:
             state = optax.apply_updates(state, updates)
             return state, opt_state, loss, svd_vals
 
-        step = partial(jax.jit, static_argnames=("train", "has_neg"))(update)
+        step = partial(
+            jax.jit, static_argnames=("train", "has_neg"), donate_argnums=(0, 1)
+        )(update)
 
-        @partial(jax.jit, static_argnames=("train", "has_neg"))
+        @partial(
+            jax.jit, static_argnames=("train", "has_neg"), donate_argnums=(0, 1)
+        )
         def steps_scanned(state, opt_state, pos_s, neg_s, keys, lrs, train: bool, has_neg: bool):
             """S sequential updates in ONE dispatch; per-step (loss, svd_vals)
             come back stacked, so the step-indexed history is preserved."""
@@ -240,13 +244,19 @@ class MultiModalAlignmentTrainer:
                 neg = pos
             return pos, neg
 
-        @partial(jax.jit, static_argnames=("train", "has_neg", "need"))
+        @partial(
+            jax.jit, static_argnames=("train", "has_neg", "need"),
+            donate_argnums=(0, 1),
+        )
         def step_dev(state, opt_state, feats, neg_idx, bp, start, key, lr,
                      train: bool, has_neg: bool, need: int):
             pos, neg = gather(feats, neg_idx, bp, start, need, has_neg)
             return update(state, opt_state, pos, neg, key, lr, train, has_neg)
 
-        @partial(jax.jit, static_argnames=("train", "has_neg", "need"))
+        @partial(
+            jax.jit, static_argnames=("train", "has_neg", "need"),
+            donate_argnums=(0, 1),
+        )
         def steps_dev_scanned(state, opt_state, feats, neg_idx, bps, starts,
                               keys, lrs, train: bool, has_neg: bool, need: int):
             def body(carry, xs):

@@ -214,17 +214,55 @@ class SurvivalTrainer:
 
     def _build_model(self, fold_idx: int):
         model = ModelFactory.create_model(self.configs.model_config, seed=self.exp.seed + fold_idx)
-        if self.mesh is not None and hasattr(model, "attention_blocks"):
-            # GSPMD cannot partition a Mosaic (Pallas) call, so mesh runs
-            # must keep the XLA attention formulation (same constraint as
-            # the Pallas similarity kernel — hypergraph/build.py).  The
-            # shape-dispatched 'auto' impl could otherwise pick the fused
-            # kernel for large bags inside the sharded eval step.
-            for blk in model.attention_blocks.values():
-                blk.attn_impl = "xla"
         graphdef, params, rest = nnx.split(model, nnx.Param, ...)
         self._supports_drop_prob = getattr(model, "supports_drop_prob", False)
         return model, graphdef, params, rest
+
+    def _vmap_cases(self, one, params, rest, batched_args, G: int):
+        """vmap ``one(params, rest, *case_args)`` over the case axis.
+
+        Under a mesh whose size divides G the vmap runs INSIDE ``shard_map``
+        (manual partitioning, params/rest replicated, cases sharded over
+        every mesh axis): each device computes its local case shard, so
+        Pallas kernels — the fused attention of MFMF bags — dispatch
+        per-device.  GSPMD cannot partition a Mosaic custom call, which
+        used to force the XLA attention formulation on meshes exactly
+        where the kernel matters most (VERDICT r3 #1).  shard_map(vmap)
+        is mathematically identical to vmap (cases are independent), and
+        reverse-mode AD through it psums the replicated params' cotangent
+        (verified: mesh training == unmeshed training bit-for-bit on the
+        parity tests).  Windows that don't divide the mesh (leftovers,
+        replicated placements) fall back to GSPMD vmap with every Pallas
+        attention dispatch forced to the XLA formulation at trace time
+        (``ops.pallas_attention.force_xla``)."""
+
+        def vm(p, r, *b):
+            return jax.vmap(lambda *case: one(p, r, *case))(*b)
+
+        if self.mesh is None:
+            return vm(params, rest, *batched_args)
+        n_dev = int(self.mesh.devices.size)
+        if G % n_dev:
+            from multimodal_fusion_tpu.ops.pallas_attention import force_xla
+
+            with force_xla():
+                return vm(params, rest, *batched_args)
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+
+        axes = tuple(self.mesh.axis_names)
+        smapped = shard_map(
+            vm,
+            mesh=self.mesh,
+            in_specs=(P(), P()) + (P(axes),) * len(batched_args),
+            out_specs=P(axes),
+            check_vma=False,
+        )
+        return smapped(params, rest, *batched_args)
 
     def _window_update_fn(self, model, graphdef, tx):
         """The pure per-window update (fwd+bwd+group loss+optimizer step) —
@@ -237,7 +275,7 @@ class SurvivalTrainer:
             G = labels.shape[0]
 
             def loss_fn(params):
-                def one(channels, masks, label, key):
+                def one(params, rest, channels, masks, label, key):
                     m = nnx.merge(graphdef, params, rest)
                     case = {"channels": channels, "masks": masks}
                     res = m(case, label, key=key, train=True)
@@ -252,8 +290,9 @@ class SurvivalTrainer:
                     # bag sizes scale (jax.checkpoint; SURVEY §7 design note)
                     one = jax.checkpoint(one)
 
-                losses, results, new_rests = jax.vmap(one)(
-                    window["channels"], window["masks"], labels, keys
+                losses, results, new_rests = self._vmap_cases(
+                    one, params, rest,
+                    (window["channels"], window["masks"], labels, keys), G,
                 )
                 total = jnp.sum(losses)
                 if has_group:
@@ -276,7 +315,13 @@ class SurvivalTrainer:
         return train_step
 
     def _make_train_step(self, model, graphdef, tx):
-        return jax.jit(self._window_update_fn(model, graphdef, tx))
+        # donate (params, rest, opt_state): Adam reads AND rewrites params +
+        # both moments every step — donation lets XLA update them in place
+        # instead of materialising fresh output buffers (the step is
+        # memory-bound; callers always rebind the returned triple)
+        return jax.jit(
+            self._window_update_fn(model, graphdef, tx), donate_argnums=(0, 1, 2)
+        )
 
     def _make_scanned_train_step(self, model, graphdef, tx):
         """W gradient-accumulation windows fused into ONE device dispatch:
@@ -287,7 +332,7 @@ class SurvivalTrainer:
         Enabled by ``experiment_config.scan_windows = W``."""
         update = self._window_update_fn(model, graphdef, tx)
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_steps(params, rest, opt_state, windows, keys, lr):
             def body(carry, xs):
                 params, rest, opt_state = carry
@@ -310,13 +355,13 @@ class SurvivalTrainer:
         the jit — the only per-step host->device payload is the indices."""
         update = self._window_update_fn(model, graphdef, tx)
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
         def step_dev(params, rest, opt_state, tables, idx, keys, lr):
             window = self._gather_window(tables, idx)
             window, keys = self._constrain_window(window, keys)
             return update(params, rest, opt_state, window, keys, lr)
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
         def steps_dev_scanned(params, rest, opt_state, tables, idxs, keys, lr):
             def body(carry, xs):
                 params, rest, opt_state = carry
@@ -364,7 +409,7 @@ class SurvivalTrainer:
             )
 
         def eval_window(params, rest, window, keys):
-            def one(channels, masks, label, key):
+            def one(params, rest, channels, masks, label, key):
                 m = nnx.merge(graphdef, params, rest)
                 case = {"channels": channels, "masks": masks}
                 if use_drop:
@@ -382,8 +427,10 @@ class SurvivalTrainer:
                     out,
                 )
 
-            return jax.vmap(one)(
-                window["channels"], window["masks"], window["label"], keys
+            return self._vmap_cases(
+                one, params, rest,
+                (window["channels"], window["masks"], window["label"], keys),
+                int(window["label"].shape[0]),
             )
 
         @jax.jit
@@ -435,12 +482,18 @@ class SurvivalTrainer:
         # AUCM-family models accumulate group logits across the WHOLE
         # validation set and add ONE group loss (reference trainer.py:906-912
         # — the hasattr(model, 'group_logits') guard selects exactly these;
-        # SVD/CLIP models do NOT add theirs in validation)
-        eval_step.group_eval = (
-            model.group_loss_fn
-            if getattr(model, "stashes_group_logits", False)
-            else None
-        )
+        # SVD/CLIP models do NOT add theirs in validation).  Bind the closure
+        # to a COPY of the model state: the live model's arrays alias the
+        # split params/rest, which the train steps DONATE — the initial
+        # a/b/alpha values (the reference never steps them, see aucm_loss)
+        # must survive the donation.
+        eval_step.group_eval = None
+        if getattr(model, "stashes_group_logits", False):
+            gd_all, st_all = nnx.split(model)
+            gmodel = nnx.merge(
+                gd_all, jax.tree.map(lambda x: jnp.array(x, copy=True), st_all)
+            )
+            eval_step.group_eval = gmodel.group_loss_fn
         return eval_step
 
     # ------------------------------------------------------------------

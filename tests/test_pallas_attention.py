@@ -332,12 +332,216 @@ def test_mfmf_cross_attention_pallas_train_grads():
         got_g, want_g,
     )
 
-    # nonzero attention dropout keeps the XLA train path (the kernel
-    # implements no dropout) — the forward must keep consuming the SAME
-    # rng stream, i.e. behave exactly like the xla impl
+    # nonzero attention dropout: the kernel path applies its own hash-mask
+    # dropout (valid but a DIFFERENT draw than the XLA bernoulli stream);
+    # eval forwards of the two impls still agree, train forwards are both
+    # finite and both actually drop
     drop = CrossAttentionLayer(32, 4, 2, 0.3, nnx.Rngs(0))
     drop.attn_impl = "pallas_interpret"
+    out_pe = np.asarray(drop(q, kv, mask, train=False))
     out_p = np.asarray(drop(q, kv, mask, key=key, train=True))
     drop.attn_impl = "xla"
+    out_xe = np.asarray(drop(q, kv, mask, train=False))
     out_x = np.asarray(drop(q, kv, mask, key=key, train=True))
-    np.testing.assert_array_equal(out_p, out_x)
+    np.testing.assert_allclose(out_pe, out_xe, rtol=2e-5, atol=2e-5)
+    assert np.isfinite(out_p).all() and np.isfinite(out_x).all()
+    assert not np.allclose(out_p, out_pe)  # dropout really happened
+    assert not np.allclose(out_x, out_xe)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel attention dropout (VERDICT r3 #1): the stateless hash mask
+# ---------------------------------------------------------------------------
+
+
+def xla_attention_with_mask(q, k, v, keep, rate, kv_mask=None):
+    """Oracle: the exact function the kernel computes — softmax probs,
+    explicit keep mask (the kernel's own hash draw), inverted scaling."""
+    hd = q.shape[-1]
+    scores = jnp.einsum("qhd,khd->hqk", q, k) / math.sqrt(hd)
+    if kv_mask is not None:
+        scores = jnp.where(kv_mask[None, None, :], scores, NEG_INF)
+    attn = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.where(keep, attn / (1.0 - rate), 0.0)
+    return jnp.einsum("hqk,khd->qhd", attn, v)
+
+
+def _seed_of(key):
+    from multimodal_fusion_tpu.ops.pallas_attention import dropout_keep_reference
+
+    bits = jax.random.bits(key, (1, 1), jnp.uint32)
+    return int(np.asarray(bits)[0, 0]), dropout_keep_reference
+
+
+@pytest.mark.parametrize("tq,tk,heads,hd", [(65, 80, 4, 32), (257, 100, 2, 16)])
+def test_fused_attention_dropout_matches_hash_oracle(tq, tk, heads, hd):
+    """Forward with dropout == XLA attention with the kernel's EXACT mask
+    (dropout_keep_reference reproduces the in-kernel hash bit-for-bit),
+    including partial edge q tiles and a kv mask."""
+    rng = np.random.default_rng(tq)
+    rate = 0.3
+    q = jnp.asarray(rng.standard_normal((tq, heads, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((tk, heads, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((tk, heads, hd)), jnp.float32)
+    key = jax.random.key(42)
+    seed, ref = _seed_of(key)
+    keep = ref(seed, heads, tq, tk, rate)
+    # sanity: the hash draw is close to the keep probability
+    frac = float(jnp.mean(keep.astype(jnp.float32)))
+    assert abs(frac - (1 - rate)) < 0.02
+
+    got = fused_attention(q, k, v, dropout_rate=rate, dropout_key=key, interpret=True)
+    want = xla_attention_with_mask(q, k, v, keep, rate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    mask = jnp.asarray(rng.random(tk) > 0.3)
+    got = fused_attention(
+        q, k, v, mask, dropout_rate=rate, dropout_key=key, interpret=True
+    )
+    want = xla_attention_with_mask(q, k, v, keep, rate, kv_mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    # rate 0 (no key): bit-identical to the no-dropout kernel
+    np.testing.assert_array_equal(
+        np.asarray(fused_attention(q, k, v, interpret=True)),
+        np.asarray(fused_attention(q, k, v, dropout_rate=0.0, interpret=True)),
+    )
+
+
+def test_fused_attention_dropout_grads_match_oracle():
+    """Custom-VJP backward recomputes the IDENTICAL mask despite its
+    different tile plan — grads must match jax.grad of the explicit-mask
+    oracle (partial edge tiles + kv mask)."""
+    rng = np.random.default_rng(21)
+    rate, heads, hd, tq, tk = 0.25, 2, 32, 70, 90
+    q = jnp.asarray(rng.standard_normal((tq, heads, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((tk, heads, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((tk, heads, hd)), jnp.float32)
+    mask = jnp.asarray(rng.random(tk) > 0.25)
+    key = jax.random.key(7)
+    seed, ref = _seed_of(key)
+    keep = ref(seed, heads, tq, tk, rate)
+
+    def loss_pl(q, k, v):
+        return jnp.sum(
+            fused_attention(
+                q, k, v, mask, dropout_rate=rate, dropout_key=key, interpret=True
+            ) ** 2
+        )
+
+    def loss_or(q, k, v):
+        return jnp.sum(xla_attention_with_mask(q, k, v, keep, rate, kv_mask=mask) ** 2)
+
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    g_or = jax.grad(loss_or, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_pl, g_or, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_fused_attention_dropout_vmap_distinct_masks():
+    """vmapped calls with per-case keys draw DIFFERENT masks per case and
+    each case matches its own oracle."""
+    rng = np.random.default_rng(31)
+    rate, heads, hd, tq, tk = 0.4, 2, 16, 33, 40
+    qB = jnp.asarray(rng.standard_normal((3, tq, heads, hd)), jnp.float32)
+    kB = jnp.asarray(rng.standard_normal((3, tk, heads, hd)), jnp.float32)
+    vB = jnp.asarray(rng.standard_normal((3, tk, heads, hd)), jnp.float32)
+    keys = jax.random.split(jax.random.key(5), 3)
+
+    got = jax.vmap(
+        lambda a, b, c, kk: fused_attention(
+            a, b, c, dropout_rate=rate, dropout_key=kk, interpret=True
+        )
+    )(qB, kB, vB, keys)
+    from multimodal_fusion_tpu.ops.pallas_attention import dropout_keep_reference
+
+    outs = []
+    keeps = []
+    for i in range(3):
+        seed = int(np.asarray(jax.random.bits(keys[i], (1, 1), jnp.uint32))[0, 0])
+        keep = dropout_keep_reference(seed, heads, tq, tk, rate)
+        keeps.append(np.asarray(keep))
+        outs.append(xla_attention_with_mask(qB[i], kB[i], vB[i], keep, rate))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(jnp.stack(outs)), rtol=2e-5, atol=2e-5
+    )
+    assert not (keeps[0] == keeps[1]).all()  # different seeds, different draws
+
+
+def test_attention_entrypoint_dropout_dispatch():
+    """attention(): xla impl reproduces the bernoulli stream (bit-identical
+    to the historical inline path / models.common.dropout), pallas impl the
+    hash mask; train=False or missing key disables dropout on both."""
+    from multimodal_fusion_tpu.models.common import dropout as common_dropout
+    from multimodal_fusion_tpu.ops.pallas_attention import attention
+
+    rng = np.random.default_rng(41)
+    rate, heads, hd, tq, tk = 0.3, 2, 16, 12, 20
+    q = jnp.asarray(rng.standard_normal((tq, heads, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((tk, heads, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((tk, heads, hd)), jnp.float32)
+    key = jax.random.key(9)
+
+    scores = jnp.einsum("qhd,khd->hqk", q, k) / math.sqrt(hd)
+    attn = jax.nn.softmax(scores, axis=-1)
+    attn = common_dropout(attn, rate, key, True)
+    want_inline = jnp.einsum("hqk,khd->qhd", attn, v)
+    got = attention(q, k, v, impl="xla", dropout_rate=rate, dropout_key=key, train=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want_inline))
+
+    # train=False: no dropout on either impl
+    np.testing.assert_array_equal(
+        np.asarray(attention(q, k, v, impl="xla", dropout_rate=rate,
+                             dropout_key=key, train=False)),
+        np.asarray(attention(q, k, v, impl="xla")),
+    )
+    got_pl = attention(
+        q, k, v, impl="pallas_interpret", dropout_rate=rate, dropout_key=key,
+        train=True,
+    )
+    seed, ref = _seed_of(key)
+    keep = ref(seed, heads, tq, tk, rate)
+    want_pl = xla_attention_with_mask(q, k, v, keep, rate)
+    np.testing.assert_allclose(
+        np.asarray(got_pl), np.asarray(want_pl), rtol=2e-5, atol=2e-5
+    )
+
+    with pytest.raises(ValueError, match="dropout"):
+        fused_attention(q, k, v, dropout_rate=0.3, interpret=True)
+    with pytest.raises(ValueError, match="rate"):
+        fused_attention(q, k, v, dropout_rate=1.5, dropout_key=key, interpret=True)
+
+
+def test_force_xla_context():
+    """force_xla(): trace-time override for GSPMD mesh traces — every impl
+    resolves to the XLA formulation inside the context, normal dispatch
+    outside."""
+    from multimodal_fusion_tpu.ops import pallas_attention as pa
+
+    rng = np.random.default_rng(51)
+    q = jnp.asarray(rng.standard_normal((8, 2, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((10, 2, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((10, 2, 16)), jnp.float32)
+
+    calls = []
+    orig = pa.fused_attention
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    pa.fused_attention = spy
+    try:
+        with pa.force_xla():
+            out = pa.attention(q, k, v, impl="pallas_interpret")
+        assert not calls  # kernel never dispatched inside the context
+        pa.attention(q, k, v, impl="pallas_interpret")
+        assert calls  # normal dispatch restored outside
+    finally:
+        pa.fused_attention = orig
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(xla_attention(q, k, v)), rtol=1e-6, atol=1e-6
+    )

@@ -828,3 +828,67 @@ def test_place_batch_unit():
     assert out2["x"].sharding == x.sharding
     # no mesh -> identity
     assert place_batch(None, {"x": x})["x"] is x
+
+
+def test_trainer_mesh_mfmf_dispatches_pallas_attention(tmp_path, monkeypatch):
+    """VERDICT r3 #1: under a mesh the per-case vmap runs inside shard_map
+    (Trainer._vmap_cases), so MFMF's fused Pallas attention dispatches per
+    device — INCLUDING training with attention dropout > 0 (the in-kernel
+    hash mask).  Numerics must equal the unmeshed run: shard_map(vmap) is
+    vmap, the hash dropout is deterministic per case key, and reverse-mode
+    AD through shard_map psums the replicated params' cotangent."""
+    import multimodal_fusion_tpu.ops.pallas_attention as pa
+    from multimodal_fusion_tpu.config import Configs, ExperimentConfig
+    from multimodal_fusion_tpu.data.multimodal import MultimodalDataset
+    from multimodal_fusion_tpu.data.splits import create_k_fold_splits
+    from multimodal_fusion_tpu.io.fixtures import make_synthetic_dataset
+    from multimodal_fusion_tpu.train.survival import SurvivalTrainer
+
+    root = tmp_path / "d"
+    csv_path = make_synthetic_dataset(
+        root, n_patients=12, seed=13, min_wsi_patches=16, max_wsi_patches=24,
+        feature_dim=D, n_tma_patches=3,
+    )
+    ds = MultimodalDataset(csv_path, root, channels=["wsi=features", "tma=cd3=features"])
+
+    def run(mesh_shape, d, impl):
+        mc = ModelConfig(
+            model_type="mfmf", n_classes=2, input_dim=D, model_size="32*16",
+            dropout=0.0, output_dim=D,
+            channels_used_in_model=["wsi=features", "tma=cd3=features"],
+            channel_input_dims={},
+        )
+        mc.fusion_blocks_sequence = [
+            {"q": "tma", "kv": "wsi"},
+            {"q": "result", "kv": "wsi"},
+        ]
+        mc.attention_impl = impl
+        mc.attention_dropout = 0.25
+        ec = ExperimentConfig(
+            exp_name="mfmf_mesh", seed=0, k_folds=3, max_epochs=2, batch_size=4,
+            lr=1e-3, patience=5, min_epochs=0, mesh_shape=mesh_shape,
+        )
+        ec.extra["verbose"] = False
+        tr = SurvivalTrainer(Configs(experiment_config=ec, model_config=mc), tmp_path / d)
+        splits = create_k_fold_splits(ds.labels, 3, seed=0)
+        return tr.train_fold(ds, splits[0], 0)
+
+    base = run(None, "mf_base", "pallas_interpret")
+
+    calls = []
+    orig = pa.fused_attention
+
+    def spy(*a, **kw):
+        calls.append(kw.get("dropout_rate", 0.0))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pa, "fused_attention", spy)
+    mesh = run({"data": 2}, "mf_mesh", "pallas_interpret")
+    assert calls, "mesh training never dispatched the fused attention kernel"
+    assert any(r > 0 for r in calls), "train-time dropout never reached the kernel"
+    monkeypatch.setattr(pa, "fused_attention", orig)
+
+    for h0, h1 in zip(base["history"], mesh["history"]):
+        np.testing.assert_allclose(h0["train_loss"], h1["train_loss"], rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(h0["val_loss"], h1["val_loss"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(base["test_auc"], mesh["test_auc"], rtol=1e-4, atol=1e-6)

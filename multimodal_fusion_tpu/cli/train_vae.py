@@ -43,6 +43,10 @@ def build_parser():
     p.add_argument("--scalar_log", type=str, default=None,
                    help="live per-epoch scalar CSV (default: "
                         "<checkpoint_dir>/scalars.csv; 'none' disables)")
+    p.add_argument("--log_dir", type=str, default=None,
+                   help="TensorBoard event-file dir (reference vae/train.py "
+                        "log_dir; default: <checkpoint_dir>/tb; 'none' "
+                        "disables)")
     return p
 
 
@@ -73,6 +77,11 @@ def main(argv=None):
         scalar_log = f"{args.checkpoint_dir}/scalars.csv"
     elif scalar_log.lower() == "none":
         scalar_log = None
+    tb_dir = args.log_dir
+    if tb_dir is None:
+        tb_dir = f"{args.checkpoint_dir}/tb"
+    elif tb_dir.lower() == "none":
+        tb_dir = None
     trainer = VAETrainer(
         model,
         learning_rate=args.lr,
@@ -82,6 +91,7 @@ def main(argv=None):
         scan_steps=args.scan_steps,
         mesh_shape=mesh_shape,
         scalar_log_path=scalar_log,
+        tb_log_dir=tb_dir,
     )
     if args.resume:
         trainer.resume("latest")

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -46,6 +47,7 @@ class VAETrainer:
         early_stop_min_delta: float = 1e-4,
         mesh_shape=None,
         scalar_log_path: Optional[str | Path] = None,
+        tb_log_dir: Optional[str | Path] = None,
     ):
         self.model = model
         self.graphdef, self.state = nnx.split(model)
@@ -88,6 +90,14 @@ class VAETrainer:
             from multimodal_fusion_tpu.utils.scalars import ScalarWriter
 
             self.scalars = ScalarWriter(scalar_log_path)
+        # drop-in TensorBoard event files with the reference's exact tag
+        # names (vae/train.py:84,162-165,227-231) — existing TB dashboards
+        # keep working; pure-Python emitter, no torch/tensorflow import
+        self.tb = None
+        if tb_log_dir is not None:
+            from multimodal_fusion_tpu.utils.tbevents import TBEventWriter
+
+            self.tb = TBEventWriter(tb_log_dir)
         self._build_steps()
         if self.mesh is not None:
             from multimodal_fusion_tpu.parallel.mesh import replicate
@@ -109,7 +119,7 @@ class VAETrainer:
             state = optax.apply_updates(state, updates)
             return state, opt_state, loss, recon, kld
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def train_steps_scanned(state, opt_state, xs, keys, lr):
             def body(carry, inp):
                 state, opt_state = carry
@@ -132,11 +142,11 @@ class VAETrainer:
         # device memory (uploaded once per resample, train/vae.py:fit) and a
         # batch is a row gather — per-step host->device payload drops from
         # [B, D] features to a [B] index vector.
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def train_step_dev(state, opt_state, table, rows, key, lr):
             return update(state, opt_state, table[rows], key, lr)
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def train_steps_dev_scanned(state, opt_state, table, rowss, keys, lr):
             def body(carry, inp):
                 state, opt_state = carry
@@ -158,7 +168,7 @@ class VAETrainer:
             x_hat, mean, log_var = m(x, key=key, train=False)
             return vae_loss(x, x_hat, mean, log_var)
 
-        self._train_step = jax.jit(update)
+        self._train_step = partial(jax.jit, donate_argnums=(0, 1))(update)
         self._train_steps_scanned = train_steps_scanned
         self._eval_step = eval_step
         self._train_step_dev = train_step_dev
@@ -419,7 +429,17 @@ class VAETrainer:
                 train_ds, batch_size, k_train, shuffle_rng, table=table_train
             )
             val_loss = self.validate(val_ds, batch_size, k_val, table=table_val)
+            reduces_before = self.lr_reduce_count
             self.plateau_step(val_loss)
+            if self.tb is not None:  # reference tags, vae/train.py:162-165,227-243
+                self.tb.add_scalar("Train/Loss", tr["loss"], epoch)
+                self.tb.add_scalar("Train/ReconLoss", tr["recon"], epoch)
+                self.tb.add_scalar("Train/KLDLoss", tr["kld"], epoch)
+                self.tb.add_scalar("Train/LearningRate", self.lr, epoch)
+                self.tb.add_scalar("Val/Loss", val_loss, epoch)
+                if self.lr_reduce_count > reduces_before:
+                    self.tb.add_scalar("Train/LRReduceCount", self.lr_reduce_count, epoch)
+                self.tb.flush()
             self.history["train_loss"].append(tr["loss"])
             self.history["recon_loss"].append(tr["recon"])
             self.history["kld_loss"].append(tr["kld"])

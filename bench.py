@@ -553,8 +553,8 @@ def run_mfu_report() -> dict:
     from multimodal_fusion_tpu.ops.pallas_similarity import pallas_combined_similarity
 
     n_pad, d_pad = N_PATCHES, 1024  # already tile-aligned at bench shapes
-    sim_flops = 2 * n_pad * n_pad * (d_pad + 128) + 6 * n_pad * n_pad
-    sim_bytes = 4 * (2 * n_pad * (d_pad + 128) + n_pad * n_pad)
+    sim_flops = 2 * n_pad * n_pad * d_pad + 9 * n_pad * n_pad
+    sim_bytes = 4 * (2 * n_pad * d_pad + n_pad * n_pad)
     report["similarity_kernel"] = measure_device(
         lambda f, p: pallas_combined_similarity(f, p, 1.0, 1.0),
         (feats, pos), iters=512, dtype="float32", work_items=N_PATCHES,
@@ -564,10 +564,13 @@ def run_mfu_report() -> dict:
     # so the 1-pass MXU dot is bit-identical (asserted live on TPU, r3) at
     # ~3.4x the HIGHEST rate; positions stay f32/HIGHEST (128-dim side term)
     feats_b = jax.device_put(feats.astype(jnp.bfloat16).astype(jnp.float32))
+    sim_bytes_bf16 = (  # features staged bf16, positions f32, output f32
+        2 * (2 * n_pad * d_pad) + 4 * (2 * n_pad * 128) + 4 * n_pad * n_pad
+    )
     report["similarity_kernel_bf16_exact"] = measure_device(
         lambda f, p: pallas_combined_similarity(f, p, 1.0, 1.0, bf16_exact=True),
         (feats_b, pos), iters=2048, dtype="bfloat16", work_items=N_PATCHES,
-        flops_override=sim_flops, bytes_override=sim_bytes,
+        flops_override=sim_flops, bytes_override=sim_bytes_bf16,
     )
 
     # (b) flagship training window step (fwd+bwd+SVD group loss+Adam, f32)
@@ -625,7 +628,7 @@ def run_mfu_report() -> dict:
 
     report["train_window_step"] = measure_device(
         train_step, (params, rest, opt_state, window, keys), iters=256,
-        dtype="float32", work_items=G,
+        dtype="float32", work_items=G, mxu_dtype="bfloat16",
     )
 
     # (c) flagship eval forward (the inference path, f32)
@@ -639,7 +642,7 @@ def run_mfu_report() -> dict:
 
     report["eval_window_step"] = measure_device(
         eval_step, (params, rest, window), iters=512, dtype="float32",
-        work_items=G,
+        work_items=G, mxu_dtype="bfloat16",
     )
 
     # (d) UNI ViT-L/16 extraction forward (raw-uint8 in-jit preprocess,
@@ -744,13 +747,15 @@ def run_mfu_report() -> dict:
         def attn_grad_xla(q):
             return jax.grad(lambda a: jnp.sum(xla_attention(a, a, a) ** 2))(q)
 
+        # f32 inputs, but the kernel's dot_generals (and XLA's default
+        # einsums) run single bf16 MXU passes -> bf16 peak (advisor r3)
         report["mfmf_attention_bag4096_grad"] = measure_device(
             attn_grad_pl, (aqf,), iters=16, dtype="float32", work_items=1,
-            flops_override=grad_flops,
+            flops_override=grad_flops, mxu_dtype="bfloat16",
         )
         report["mfmf_attention_bag4096_grad_xla"] = measure_device(
             attn_grad_xla, (aqf,), iters=16, dtype="float32", work_items=1,
-            flops_override=grad_flops,
+            flops_override=grad_flops, mxu_dtype="bfloat16",
         )
 
     # (e) alignment pretraining step (8 markers x [256, 1024], rank1 SVD
@@ -779,7 +784,7 @@ def run_mfu_report() -> dict:
 
     report["alignment_train_step"] = measure_device(
         align_step, (astate, aopt, pos, neg, akey), iters=64,
-        dtype="float32", work_items=B,
+        dtype="float32", work_items=B, mxu_dtype="bfloat16",
     )
 
     # (f) VAE training step ([256, 1024] -> 512/256/128 VAE + Adam,
@@ -801,7 +806,7 @@ def run_mfu_report() -> dict:
 
     report["vae_train_step"] = measure_device(
         vae_step, (vstate, vopt, xv, akey), iters=64,
-        dtype="float32", work_items=B,
+        dtype="float32", work_items=B, mxu_dtype="bfloat16",
     )
     return report
 

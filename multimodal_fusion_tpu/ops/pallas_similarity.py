@@ -7,8 +7,8 @@ single fused exp on the VPU — one transcendental per element instead of the
 reference's two (exp(kh)*exp(kg)), and no intermediate [N,N] distance
 matrices in HBM.
 
-Positions are padded to 128 lanes on entry (TPU lane width); zero-padding
-does not change squared distances.
+The spatial term is computed as direct per-coordinate VPU differences
+(positions are 2-D); the feature term keeps the norm-expansion MXU dot.
 
 The XLA formulation in ``ops.similarity`` remains the oracle; this kernel is
 the TPU fast path for large N (``combined_similarity_auto`` picks per
@@ -45,7 +45,8 @@ def _pick_tile(x: int, base: int = 256, big: int = 512) -> int:
 
 
 def _sim_kernel(
-    fi_ref, pi_ref, fj_ref, pj_ref, o_ref, *, lambda_h, lambda_g, bf16_exact
+    fi_ref, pi_ref, fj_ref, pjT_ref, o_ref, *, lambda_h, lambda_g, bf16_exact,
+    n_pos,
 ):
     # HIGHEST matmul precision by default: bf16 passes make the norm
     # expansion cancel catastrophically for large-magnitude inputs (see
@@ -55,14 +56,11 @@ def _sim_kernel(
     # 1-pass MXU dot is LOSSLESS, and HIGHEST's passes 2-6 would multiply
     # exact-zero residuals — so DEFAULT precision is numerically identical
     # there at ~6x the matmul rate (the kernel is compute-bound at ~95% of
-    # the 6-pass ceiling; measured r3).  Positions are always f32, so the
-    # spatial dot stays HIGHEST regardless.
+    # the 6-pass ceiling; measured r3).
     hi = jax.lax.Precision.HIGHEST
     feat_prec = jax.lax.Precision.DEFAULT if bf16_exact else hi
     fi = fi_ref[:]  # [TM, D] (bf16 under bf16_exact — see rect wrapper)
     fj = fj_ref[:]  # [TN, D]
-    pi = pi_ref[:]  # [TM, 128]
-    pj = pj_ref[:]  # [TN, 128]
 
     # Norms accumulate in f32 regardless of the stored tile dtype; under
     # bf16_exact the stored values ARE the exact feature values, so the f32
@@ -75,15 +73,22 @@ def _sim_kernel(
         fi, fj.T, preferred_element_type=jnp.float32, precision=feat_prec
     )
 
-    pi_sq = jnp.sum(pi * pi, axis=1, keepdims=True)
-    pj_sq = jnp.sum(pj * pj, axis=1, keepdims=True)
-    d_g = pi_sq + pj_sq.T - 2.0 * jnp.dot(
-        pi, pj.T, preferred_element_type=jnp.float32, precision=hi
-    )
+    # Spatial distances on the VPU as DIRECT coordinate differences: the
+    # positions are 2-D (x, y) — the old formulation padded them to 128
+    # lanes and ran a 6-pass HIGHEST MXU dot, which cost ~75% as much MXU
+    # time as the bf16 feature dot itself and held the bf16-exact kernel
+    # at 52% of peak (VERDICT r3 #2).  The difference form needs ~6 VPU
+    # ops/element, loses no accuracy (no cancellation — it needs no
+    # max(d, 0) clamp at all), and frees the MXU for the feature dot.
+    # Column coordinates arrive TRANSPOSED ([P_pad, TN] tile) so the [1, TN]
+    # row broadcasts come straight from sublane slices (no in-kernel
+    # transpose).
+    d_g = jnp.zeros((), jnp.float32)
+    for p in range(n_pos):
+        diff = pi_ref[:, p : p + 1] - pjT_ref[p : p + 1, :]  # [TM, TN]
+        d_g = d_g + diff * diff
 
-    o_ref[:] = jnp.exp(
-        -(lambda_h * jnp.maximum(d_h, 0.0) + lambda_g * jnp.maximum(d_g, 0.0))
-    )
+    o_ref[:] = jnp.exp(-(lambda_h * jnp.maximum(d_h, 0.0) + lambda_g * d_g))
 
 
 @functools.partial(
@@ -120,6 +125,13 @@ def pallas_combined_similarity_rect(
     assembly still run f32, so the output is bit-identical to f32 staging."""
     m, d = row_features.shape
     n = col_features.shape[0]
+    n_pos = row_positions.shape[1]
+    if col_positions.shape[1] != n_pos:
+        raise ValueError("row/col position dims differ")
+    # spatial term is a per-coordinate VPU difference (see _sim_kernel);
+    # positions are 2-D everywhere in this framework, pad the coordinate
+    # axis to the 8-sublane minimum
+    p_pad = max(8, _round_up(n_pos, 8))
     if tile_m is None:
         tile_m = _pick_tile(m) if bf16_exact else 256
     if tile_n is None:
@@ -131,15 +143,20 @@ def pallas_combined_similarity_rect(
     fi = jnp.zeros((m_pad, d_pad), feat_dtype).at[:m, :d].set(
         row_features.astype(feat_dtype)
     )
-    pi = jnp.zeros((m_pad, 128), jnp.float32).at[:m, : row_positions.shape[1]].set(row_positions)
+    pi = jnp.zeros((m_pad, p_pad), jnp.float32).at[:m, :n_pos].set(row_positions)
     fj = jnp.zeros((n_pad, d_pad), feat_dtype).at[:n, :d].set(
         col_features.astype(feat_dtype)
     )
-    pj = jnp.zeros((n_pad, 128), jnp.float32).at[:n, : col_positions.shape[1]].set(col_positions)
+    # column coordinates staged TRANSPOSED: the kernel broadcasts [1, TN]
+    # sublane rows against [TM, 1] lane slices — no in-kernel transpose
+    pjT = jnp.zeros((p_pad, n_pad), jnp.float32).at[:n_pos, :n].set(
+        col_positions.T
+    )
 
     grid = (m_pad // tile_m, n_pad // tile_n)
     kernel = functools.partial(
-        _sim_kernel, lambda_h=lambda_h, lambda_g=lambda_g, bf16_exact=bf16_exact
+        _sim_kernel, lambda_h=lambda_h, lambda_g=lambda_g,
+        bf16_exact=bf16_exact, n_pos=n_pos,
     )
     out = pl.pallas_call(
         kernel,
@@ -148,16 +165,21 @@ def pallas_combined_similarity_rect(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((tile_m, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile_m, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_m, p_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_n, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile_n, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((p_pad, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
                 (tile_m, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
             ),
         ),
+        # bytes_accessed is DELIBERATELY the unique-bytes lower bound (each
+        # feature matrix counted once + the output once); the column tile is
+        # actually re-fetched per grid row (~(m_pad/tile_m)*n_pad*d_pad), but
+        # the estimate only feeds Mosaic's scheduling heuristics and the
+        # lower bound matches the roofline convention bench.py reports with.
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * n_pad * (d_pad + 128) + 6 * m_pad * n_pad,
+            flops=2 * m_pad * n_pad * d_pad + (3 * n_pos + 3) * m_pad * n_pad,
             bytes_accessed=(
                 fi.dtype.itemsize * (m_pad + n_pad) * d_pad
                 + 4 * m_pad * n_pad
@@ -165,7 +187,7 @@ def pallas_combined_similarity_rect(
             transcendentals=m_pad * n_pad,
         ),
         interpret=interpret,
-    )(fi, pi, fj, pj)
+    )(fi, pi, fj, pjT)
     return out[:m, :n]
 
 

@@ -142,6 +142,7 @@ def measure_device(
     work_items: Optional[float] = None,
     flops_override: Optional[float] = None,
     bytes_override: Optional[float] = None,
+    mxu_dtype: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Time ``fn(*args)`` device-resident and report MFU/roofline.
 
@@ -197,10 +198,19 @@ def measure_device(
         bytes_override if bytes_override is not None else cost["bytes"]
     )
     kind, peak_bf16, peak_f32, peak_bw = chip_peaks()
-    peak = peak_bf16 if dtype == "bfloat16" else peak_f32
+    # ``dtype`` is the INPUT dtype; ``mxu_dtype`` the EFFECTIVE precision of
+    # the dominant matmul passes, which sets the honest peak.  f32 inputs
+    # through DEFAULT-precision dots (every model trunk / the attention
+    # kernel's dot_generals) run single bf16 MXU passes — measuring those
+    # against the 6-pass HIGHEST f32 column published physically impossible
+    # roofline fractions (2.1x, advisor r3).  HIGHEST-precision f32 kernels
+    # (the similarity kernel's f32 path) keep mxu_dtype unset.
+    eff = mxu_dtype or dtype
+    peak = peak_bf16 if eff == "bfloat16" else peak_f32
     rep = {
         "device_kind": kind,
         "compute_dtype": dtype,
+        "mxu_dtype": eff,
         "sec_per_call": best,
         "timing_iters": iters,
         "fetch_overhead_sec": overhead,
@@ -233,4 +243,9 @@ def measure_device(
             "fraction_of_roofline": achieved / bound if bound else 0.0,
         }
     )
+    if rep["fraction_of_roofline"] > 1.05:
+        # physically impossible: the peak/bytes model for this entry is
+        # wrong (mis-set mxu_dtype, stale bytes_override, or an XLA
+        # cost-analysis artifact) — flag loudly instead of publishing it
+        rep["suspect_roofline"] = True
     return rep

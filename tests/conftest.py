@@ -58,9 +58,42 @@ _HEAVY_COMPILE_FILES = [
 ]
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: trainer-scale compiles (auto-applied to the heavy-compile "
+        "files); deselect with -m 'not slow' for the fast tier",
+    )
+
+
 def pytest_collection_modifyitems(config, items):
     rank = {name: i for i, name in enumerate(_HEAVY_COMPILE_FILES)}
     items.sort(key=lambda it: rank.get(Path(it.fspath).name, len(rank)))
+    # fast tier: `python -m pytest tests/ -m "not slow" -q` runs every
+    # kernel/op/model/io/schema test in well under 10 minutes; the slow
+    # marker lands exactly on the trainer-scale compile files above
+    slow = pytest.mark.slow
+    heavy = set(_HEAVY_COMPILE_FILES)
+    for it in items:
+        if Path(it.fspath).name in heavy:
+            it.add_marker(slow)
+
+
+# Periodic executable cleanup between heavy files: the XLA:CPU segfaults
+# (CLAUDE.md round-3 notes) all hit compiles/deserializations deep inside an
+# AGED process holding many live trainer-sized executables; dropping them at
+# file boundaries keeps the process young.  Only fires between the heavy
+# files — clearing between every file would recompile shared small kernels
+# hundreds of times.
+_last_file = [None]
+
+
+def pytest_runtest_setup(item):
+    f = Path(item.fspath).name
+    prev = _last_file[0]
+    if prev is not None and f != prev and prev in set(_HEAVY_COMPILE_FILES):
+        jax.clear_caches()
+    _last_file[0] = f
 
 
 @pytest.fixture(scope="session")

@@ -889,7 +889,26 @@ def run_vit_extraction_ours(n_patches: int = 96) -> float:
         t0 = time.time()
         ex(patches)
         best = max(best, n_patches / (time.time() - t0))
-    return best
+
+    # Link ceiling for the SAME payload: end-to-end extraction ships one
+    # [32, 256, 256, 3] uint8 chunk per batch, so pure-upload throughput of
+    # that chunk bounds any shipped-extraction number through this tunnel
+    # (uint8 crops are already the minimal lossless payload — 4x under f32,
+    # 1.3x under pre-resized 224 crops which would change numerics).  The
+    # measured link-bound fraction tells whether the pipeline, or the wire,
+    # is the remaining gap (VERDICT r3 #3).
+    import jax
+
+    chunk = np.stack(patches[:32])
+    up = jax.device_put(chunk)
+    jax.block_until_ready(up)
+    link_best = 0.0
+    for _trial in range(3):
+        t0 = time.time()
+        for _ in range(3):
+            jax.block_until_ready(jax.device_put(chunk))
+        link_best = max(link_best, (3 * 32) / (time.time() - t0))
+    return best, link_best
 
 
 def run_vit_extraction_reference(n_patches: int = 3) -> float:
@@ -1013,7 +1032,7 @@ def main():
     inf_ours_bf16, _ = run_inference_ours(bf16=True)
     inf_ref = run_inference_reference()
     train_ours, train_ours_scan = run_training_ours()
-    vit_ours = run_vit_extraction_ours()
+    vit_ours, vit_link = run_vit_extraction_ours()
     try:
         vit_ref = run_vit_extraction_reference()
     except Exception:
@@ -1063,6 +1082,8 @@ def main():
         },
         "vit_extraction_patches_per_sec": {
             "ours_bf16_raw_uint8": round(vit_ours, 1),
+            "h2d_link_ceiling_patches_per_sec": round(vit_link, 1),
+            "link_bound_fraction": round(vit_ours / vit_link, 3) if vit_link else None,
             "reference_torch_cpu": round(vit_ref, 2) if vit_ref else None,
             "speedup": round(vit_ours / vit_ref, 1) if vit_ref else None,
             "note": "UNI ViT-L/16 CLS extraction on 256x256 crops; ours "

@@ -43,9 +43,14 @@ class KMeansResult(NamedTuple):
 
 
 def _sq_dists_to_centers(x: jax.Array, centers: jax.Array) -> jax.Array:
-    x_sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    # x may be stored bf16 (--upload_dtype bfloat16: values are bf16-exact,
+    # so squares computed in f32 are exact and the MXU sees the SAME bf16
+    # operands DEFAULT precision would truncate f32 inputs to — identical
+    # assignments on TPU at half the x HBM traffic).  centers stay f32.
+    x32 = x.astype(jnp.float32)
+    x_sq = jnp.sum(x32 * x32, axis=-1, keepdims=True)
     c_sq = jnp.sum(centers * centers, axis=-1)
-    xc = jnp.dot(x, centers.T, preferred_element_type=jnp.float32)
+    xc = jnp.dot(x, centers.astype(x.dtype).T, preferred_element_type=jnp.float32)
     return jnp.maximum(x_sq - 2.0 * xc + c_sq[None, :], 0.0)
 
 
@@ -65,12 +70,16 @@ def kmeans_plus_plus_init(
     n = x.shape[0]
     n_local_trials = 2 + int(math.log(max(k, 2)))
     valid = mask if mask is not None else jnp.ones((n,), bool)
-    x_sq = jnp.sum(x * x, axis=-1)  # [N], hoisted out of the scan
+    # norms/centers in f32 regardless of the storage dtype (bf16 x values
+    # are exact, so their f32 squares and 0/1-weighted sums are exact too)
+    x_sq = jnp.sum(x.astype(jnp.float32) * x.astype(jnp.float32), axis=-1)
 
     key, sub = jax.random.split(key)
     probs0 = valid.astype(jnp.float32)
     first = jax.random.choice(sub, n, p=probs0 / jnp.sum(probs0))
-    centers0 = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(x[first])
+    centers0 = jnp.zeros((k, x.shape[1]), jnp.float32).at[0].set(
+        x[first].astype(jnp.float32)
+    )
     d0 = jnp.maximum(
         x_sq - 2.0 * jnp.dot(x, x[first], preferred_element_type=jnp.float32)
         + x_sq[first],
@@ -94,7 +103,7 @@ def kmeans_plus_plus_init(
         best = jnp.argmin(pots)
         new_center = cand[best]
         new_closest = d_cand[best]
-        centers = centers.at[i].set(new_center)
+        centers = centers.at[i].set(new_center.astype(jnp.float32))
         return (centers, new_closest), None
 
     keys = jax.random.split(key, k - 1) if k > 1 else jnp.zeros((0, 2), jnp.uint32)
@@ -146,7 +155,7 @@ def _relocate_empty(
     # never relocate onto padding: by rank, and belt-and-braces by checking
     # the chosen donor's own contribution
     can = empty & (rank < n_valid) & (contrib[target] > -1.5)
-    centers = jnp.where(can[:, None], x[target], centers)
+    centers = jnp.where(can[:, None], x[target].astype(centers.dtype), centers)
     upd = jnp.where(can, target, n)  # out-of-bounds rows dropped by scatter
     labels = labels.at[upd].set(jnp.arange(k), mode="drop")
     return centers, labels
@@ -179,8 +188,8 @@ def _lloyd(
         def run(centers):
             d = _sq_dists_to_centers(x, centers)
             labels = jnp.argmin(d, axis=-1)
-            onehot = jax.nn.one_hot(labels, k, dtype=x.dtype) * weights[:, None]
-            counts = jnp.sum(onehot, axis=0)  # [K]
+            onehot = jax.nn.one_hot(labels, k, dtype=x.dtype) * weights.astype(x.dtype)[:, None]
+            counts = jnp.sum(onehot.astype(jnp.float32), axis=0)  # [K] (bf16 cannot count)
             sums = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)
             new_centers = jnp.where(
                 counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centers
@@ -205,12 +214,12 @@ def _lloyd(
     for _ in range(2):
         d = _sq_dists_to_centers(x, centers)
         labels = jnp.argmin(d, axis=-1)
-        counts = jnp.zeros((k,), x.dtype).at[labels].add(weights)
+        counts = jnp.zeros((k,), jnp.float32).at[labels].add(weights)
         centers, labels = _relocate_empty(
             x, centers, labels, jnp.min(d, axis=-1), counts, weights
         )
-        onehot = jax.nn.one_hot(labels, k, dtype=x.dtype) * weights[:, None]
-        counts = jnp.sum(onehot, axis=0)
+        onehot = jax.nn.one_hot(labels, k, dtype=x.dtype) * weights.astype(x.dtype)[:, None]
+        counts = jnp.sum(onehot.astype(jnp.float32), axis=0)
         sums = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)
         centers = jnp.where(
             counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centers
@@ -219,7 +228,7 @@ def _lloyd(
     d = _sq_dists_to_centers(x, centers)
     labels = jnp.argmin(d, axis=-1)
     d_min = jnp.min(d, axis=-1)
-    counts = jnp.zeros((k,), x.dtype).at[labels].add(weights)
+    counts = jnp.zeros((k,), jnp.float32).at[labels].add(weights)
     centers, labels = _relocate_empty(x, centers, labels, d_min, counts, weights)
 
     # Cascade guard: draining a 1-2 point donor cluster in the pass above can
@@ -228,7 +237,7 @@ def _lloyd(
     # one empty cluster, so <= k bounded passes restore the no-empty-cluster
     # invariant; in the common case the loop body never executes (one cheap
     # counts scatter decides).
-    counts = jnp.zeros((k,), x.dtype).at[labels].add(weights)
+    counts = jnp.zeros((k,), jnp.float32).at[labels].add(weights)
 
     def fix_cond(state):
         it, _, _, counts = state
@@ -246,7 +255,7 @@ def _lloyd(
         centers, labels = _relocate_empty(
             x, centers, labels, d_assigned, counts, weights
         )
-        counts = jnp.zeros((k,), x.dtype).at[labels].add(weights)
+        counts = jnp.zeros((k,), jnp.float32).at[labels].add(weights)
         return it + 1, centers, labels, counts
 
     _, centers, labels, _ = jax.lax.while_loop(
@@ -272,7 +281,11 @@ def kmeans(
 
     ``mask`` marks valid rows of a padded ``x``; masked rows carry zero weight.
     """
-    weights = (mask.astype(x.dtype) if mask is not None else jnp.ones((x.shape[0],), x.dtype))
+    weights = (
+        mask.astype(jnp.float32)
+        if mask is not None
+        else jnp.ones((x.shape[0],), jnp.float32)
+    )
 
     def one_run(subkey):
         init = kmeans_plus_plus_init(subkey, x, k, mask)

@@ -226,3 +226,48 @@ def test_kmeans_no_empty_clusters_after_cascade(rng):
             res = kmeans(jax.random.key(seed), x, k=k, n_init=4)
             counts = np.bincount(np.asarray(res.labels), minlength=k)
             assert counts.min() > 0, (k, seed, counts)
+
+
+def test_kmeans_bf16_input_structure():
+    """kmeans accepts bf16-STORED x (the --upload_dtype bfloat16 regime:
+    values are bf16-exact): all bookkeeping (norms, counts, centers) runs
+    f32, so clustering structure matches the f32 run on separated blobs.
+    Exact label identity holds on TPU (DEFAULT-precision f32 dots truncate
+    to the same bf16 operands); CPU computes true-f32 dots, so this test
+    pins structure (ARI 1.0) rather than bitwise labels."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_fusion_tpu.ops.kmeans import kmeans
+
+    rng = np.random.default_rng(7)
+    D, K = 32, 4
+    centers = rng.standard_normal((K, D)) * 2.0
+    assign = rng.integers(0, K, 256)
+    x = (centers[assign] + rng.standard_normal((256, D)) * 0.1).astype(np.float32)
+    # bf16-exact values
+    x = np.asarray(jnp.asarray(x, jnp.bfloat16).astype(jnp.float32))
+    key = jax.random.key(3)
+
+    r32 = kmeans(key, jnp.asarray(x), k=K, n_init=4)
+    rb16 = kmeans(key, jnp.asarray(x, jnp.bfloat16), k=K, n_init=4)
+    assert rb16.centers.dtype == jnp.float32
+    l32, lb = np.asarray(r32.labels), np.asarray(rb16.labels)
+
+    def ari(a, b):
+        from itertools import product
+        n = len(a)
+        cm = np.zeros((K, K), np.int64)
+        for i, j in product(range(K), range(K)):
+            cm[i, j] = np.sum((a == i) & (b == j))
+        comb = lambda v: v * (v - 1) // 2
+        s_ij = comb(cm).sum()
+        s_a, s_b = comb(cm.sum(1)).sum(), comb(cm.sum(0)).sum()
+        exp = s_a * s_b / comb(n)
+        return (s_ij - exp) / ((s_a + s_b) / 2 - exp)
+
+    assert ari(l32, lb) == 1.0
+    # masked/padded rows still behave
+    mask = jnp.arange(256) < 200
+    rm = kmeans(key, jnp.asarray(x, jnp.bfloat16), k=K, n_init=4, mask=mask)
+    assert np.isfinite(float(rm.inertia))

@@ -254,8 +254,14 @@ from functools import partial
 # as int32 (hi, lo) base-2^15 digit pairs — every intermediate stays
 # < 2^31 — and the host reassembles int64.
 _KEY_ONE = 0x3F800000  # int32 bit pattern of 1.0f
-_MED_FANOUT = 64  # level-1 bins (inside the stats scan)
-_MED_L1_SHIFT = 25  # 64 bins x 2^25 cover every non-negative pattern
+# 32 level-1 bins x 2^25 cover [0, 2^30) — a SUPERSET of every bit pattern
+# of a value in [0, 1] (1.0f = 0x3F800000 < 2^30), which similarities are by
+# construction (exp of a non-positive argument).  Halving the bins from 64
+# halves the always-paid compare+sum counting in the stats scan; any
+# out-of-range pattern (NaN/garbage) lands in NO bin and the refine
+# total-vs-parent cross-check fails loudly rather than mis-selecting.
+_MED_FANOUT = 32  # level-1 bins (inside the stats scan)
+_MED_L1_SHIFT = 25  # bin width 2^25
 _MED_REFINE_BINS = 32  # bins per refine sweep (_median_level_pass)
 
 

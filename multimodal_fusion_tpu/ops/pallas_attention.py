@@ -145,17 +145,24 @@ def _attn_kernel(
         )
 
     m = jnp.max(scores, axis=2, keepdims=True)
-    p = jnp.exp(scores - m)
-    p = p / jnp.sum(p, axis=2, keepdims=True)
+    pe = jnp.exp(scores - m)
+    # DEFERRED normalisation: the softmax division is a per-row scalar, so
+    # it commutes with the value contraction — applying recip(sum) to the
+    # [HB, TQ, hd] OUTPUT instead of the [HB, TQ, TK] probability tensor
+    # removes a full VPU pass over the score block (TK/hd = 64x fewer
+    # elements at MFMF shapes; measured on the bag4096 fwd, r4).  Dropout
+    # composes: the keep mask scales unnormalised pe, the row sum stays the
+    # pre-dropout one.
+    r = 1.0 / jnp.sum(pe, axis=2, keepdims=True)  # [HB, TQ_blk, 1] f32
     if dropout_rate > 0.0:
-        p, _ = _apply_dropout(
-            p, seed_ref, dropout_rate, t_q, k.shape[1], q.shape[1]
+        pe, _ = _apply_dropout(
+            pe, seed_ref, dropout_rate, t_q, k.shape[1], q.shape[1]
         )
 
     o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        pe.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # [HB, TQ_blk, hd]
+    ) * r  # [HB, TQ_blk, hd]
     o_ref[...] = o.astype(o_ref.dtype)
 
 
@@ -311,7 +318,9 @@ def _attn_bwd_kernel(
         scores = jnp.where(masked_col, jnp.float32(NEG_INF), scores)
     m = jnp.max(scores, axis=2, keepdims=True)
     p = jnp.exp(scores - m)
-    p = p / jnp.sum(p, axis=2, keepdims=True)  # [HB, TQ_blk, TK] f32
+    # reciprocal on the [HB, TQ, 1] row sums + one broadcast multiply: a
+    # full divide pass over the score block costs ~10x the multiply on VPU
+    p = p * (1.0 / jnp.sum(p, axis=2, keepdims=True))  # [HB, TQ_blk, TK] f32
 
     dp = jax.lax.dot_general(
         do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32

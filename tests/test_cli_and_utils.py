@@ -899,6 +899,36 @@ def test_mfu_measure_device_smoke():
         )
 
 
+def test_mfu_analytic_step_bytes_model():
+    """analytic_step_bytes: documented term weights (train = inputs + 2x
+    weights + 6x trainable Adam traffic + 2x HBM activations; eval = inputs
+    + 1x weights + 2x activations) and tree_bytes counting — the model the
+    r4 suspect_roofline entries (alignment/VAE/eval steps) were replaced
+    with after XLA cost-analysis bytes implied >1 HBM bandwidth."""
+    import jax.numpy as jnp
+
+    from multimodal_fusion_tpu.utils.mfu import analytic_step_bytes, tree_bytes
+
+    tree = {"a": jnp.ones((4, 8), jnp.float32), "b": jnp.ones((2,), jnp.bfloat16)}
+    assert tree_bytes(tree) == 4 * 8 * 4 + 2 * 2
+    # None subtrees (masked-out leaves) are skipped
+    assert tree_bytes({"a": jnp.ones((3,), jnp.float32), "b": None}) == 12.0
+
+    train = analytic_step_bytes(
+        input_bytes=10.0,
+        weight_bytes=100.0,
+        trainable_bytes=40.0,
+        hbm_activation_bytes=5.0,
+        mode="train",
+    )
+    assert train == 10 + 2 * 100 + 6 * 40 + 2 * 5
+    ev = analytic_step_bytes(
+        input_bytes=10.0, weight_bytes=100.0, hbm_activation_bytes=5.0,
+        mode="eval",
+    )
+    assert ev == 10 + 100 + 2 * 5
+
+
 def test_mfu_chained_loop_not_hoisted_when_first_arg_unused():
     """The chained timing loop must stay live even when the FIRST float
     leaf is unused by the measured function (a train-only parameter in an

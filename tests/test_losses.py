@@ -322,3 +322,47 @@ def test_jacobi_eigh_matches_lapack():
     assert np.isfinite(np.asarray(g)).all()
     lam, _ = _jacobi_eigh_desc(G)
     np.testing.assert_array_equal(np.asarray(lam), 2.0)
+
+
+def test_jacobi_eigh_custom_vjp_matches_unrolled_backprop():
+    """_jacobi_eigh_desc's closed-form eigh adjoint (3 batched matmuls)
+    against autodiff THROUGH the unrolled rotations (_jacobi_eigh_impl):
+    same forward, so gradients must agree to the Jacobi convergence
+    tolerance on well-separated spectra.  The closed form replaced the
+    unrolled backprop because the latter cost 0.23 ms of the 0.89 ms
+    alignment train step at [256, 8, 8] (r4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_fusion_tpu.ops.losses import (
+        _jacobi_eigh_desc,
+        _jacobi_eigh_impl,
+    )
+
+    rng = np.random.default_rng(7)
+    B, M = 8, 8
+    X = rng.standard_normal((B, M, M)).astype(np.float32)
+    G = jnp.asarray(X @ np.transpose(X, (0, 2, 1)) + np.eye(M, dtype=np.float32))
+    wl = jnp.asarray(rng.standard_normal((B, M)).astype(np.float32))
+    wv = jnp.asarray(rng.standard_normal((B, M, M)).astype(np.float32))
+
+    def scalar(eigh_fn):
+        def f(g):
+            lam, V = eigh_fn(g)
+            return jnp.sum(lam * wl) + jnp.sum(V * wv)
+
+        return f
+
+    g_closed = np.asarray(jax.grad(scalar(_jacobi_eigh_desc))(G))
+    g_unrolled = np.asarray(jax.grad(scalar(_jacobi_eigh_impl))(G))
+    # the unrolled impl reads theta only from the upper triangle, so ITS
+    # adjoint splits the symmetric gradient unevenly across the triangles;
+    # both are correct for symmetric perturbations — compare symmetrised
+    # (the closed form also matches jnp.linalg.eigh's LAPACK adjoint to
+    # ~1.5e-6 at these shapes, checked while writing this test)
+    g_unrolled = (g_unrolled + np.transpose(g_unrolled, (0, 2, 1))) / 2
+    scale = np.abs(g_unrolled).max()
+    np.testing.assert_allclose(g_closed, g_unrolled, atol=2e-4 * scale, rtol=2e-3)
+
+    # the adjoint of a symmetric-matrix function must be symmetric
+    np.testing.assert_allclose(g_closed, np.transpose(g_closed, (0, 2, 1)), rtol=0, atol=0)

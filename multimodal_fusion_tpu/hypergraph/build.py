@@ -291,7 +291,12 @@ def _fold_digits(hi, lo, h):
     return hi + (h >> 15), lo + (h & ((1 << 15) - 1))
 
 
-@partial(jax.jit, static_argnames=("lambda_h", "lambda_g", "nbins", "padded", "block"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "lambda_h", "lambda_g", "nbins", "padded", "block", "bf16_exact"
+    ),
+)
 def _median_level_pass(
     feats: jax.Array,
     pos: jax.Array,
@@ -299,10 +304,13 @@ def _median_level_pass(
     lambda_g: float,
     n_valid: jax.Array,
     lo_key: jax.Array,  # [] int32: first bit pattern of the refined range
-    shift: jax.Array,  # [] int32: log2 bin width (traced — one compile)
+    shift: jax.Array,  # [] int32: log2 bin width (traced — one compile;
+    # measured r5: a STATIC shift is NOT faster — 375.7 ms/sweep either
+    # way at N=65k bf16, the cost is _count_bins' compare+sum itself)
     nbins: int,
     padded: bool,
     block: int = 1024,
+    bf16_exact: bool = False,
 ):
     """One bisection level: an ``nbins``-bin histogram of similarity bit
     patterns within ``[lo_key, lo_key + nbins*2^shift)`` — one more
@@ -322,7 +330,10 @@ def _median_level_pass(
         r0 = j * blk
         fb = jax.lax.dynamic_slice_in_dim(fp, r0, blk)
         pb = jax.lax.dynamic_slice_in_dim(pp, r0, blk)
-        d_h = pairwise_sq_dists(fb, fp)
+        # MUST match _blockwise_similarity_stats.body bit-for-bit (incl. the
+        # bf16_exact dot dtype): _select_key cross-checks refine bin totals
+        # against the stats pass and raises on any divergence
+        d_h = pairwise_sq_dists(fb, fp, bf16_exact=bf16_exact)
         d_g = pairwise_sq_dists(pb, pp)
         K_blk = jnp.exp(-(lambda_h * d_h + lambda_g * d_g))
         row_valid = (r0 + jnp.arange(blk)) < n_eff
@@ -396,9 +407,14 @@ def _exact_median_host(host: Dict, n_eff: int, refine) -> float:
     return float((np.float32(v1) + np.float32(v2)) / np.float32(2))
 
 
-def _attach_exact_median(host, n_eff, feats_j, pos_j, lambda_h, lambda_g, padded):
+def _attach_exact_median(
+    host, n_eff, feats_j, pos_j, lambda_h, lambda_g, padded,
+    bf16_exact: bool = False,
+):
     """Compute the exact blockwise median and stash it in the host dict for
-    ``_finalize_host`` (no-op when the build did not run block_stats)."""
+    ``_finalize_host`` (no-op when the build did not run block_stats).
+    ``bf16_exact`` must mirror the flag the stats pass ran with — the refine
+    sweeps recompute the similarities and their bit patterns must match."""
     if "med_cnt_hi" not in host:
         return
 
@@ -407,6 +423,7 @@ def _attach_exact_median(host, n_eff, feats_j, pos_j, lambda_h, lambda_g, padded
             feats_j, pos_j, lambda_h, lambda_g,
             jnp.asarray(n_eff, jnp.int32), jnp.asarray(lo_key, jnp.int32),
             jnp.asarray(shift, jnp.int32), nbins, padded,
+            bf16_exact=bf16_exact,
         )
         return np.asarray(chi).astype(np.int64) * (1 << 15) + np.asarray(clo)
 
@@ -423,6 +440,7 @@ def _blockwise_similarity_stats(
     n_valid: jax.Array,
     padded: bool,
     block: int = 1024,
+    bf16_exact: bool = False,
 ):
     """EXACT [N,N]-similarity statistics without materialising [N,N].
 
@@ -483,7 +501,11 @@ def _blockwise_similarity_stats(
         fb = jax.lax.dynamic_slice_in_dim(fp, r0, block)
         pb = jax.lax.dynamic_slice_in_dim(pp, r0, block)
         lb = jax.lax.dynamic_slice_in_dim(lab, r0, block)
-        d_h = pairwise_sq_dists(fb, fp)
+        # bf16_exact: the feature dot runs as a single bf16 MXU pass (6x the
+        # HIGHEST rate) — lossless for bf16-shipped inputs; the median
+        # refine sweeps (_median_level_pass) use the SAME flag so their
+        # recomputed bit patterns match this histogram exactly
+        d_h = pairwise_sq_dists(fb, fp, bf16_exact=bf16_exact)
         d_g = pairwise_sq_dists(pb, pp)
         K_blk = jnp.exp(-(lambda_h * d_h + lambda_g * d_g))  # [B, n_pad]
         row_valid = (r0 + jnp.arange(block)) < n_eff
@@ -663,7 +685,8 @@ def _fused_build(
             jnp.where(mask, km.labels, -1) if padded else km.labels
         )
         block_carry = _blockwise_similarity_stats(
-            feats, pos, lambda_h, lambda_g, labels_eff, num_super, n_valid, padded
+            feats, pos, lambda_h, lambda_g, labels_eff, num_super, n_valid,
+            padded, bf16_exact=bf16_exact,
         )
         s_cc, diag_c = block_carry[4], block_carry[5]
         stat_counts = counts
@@ -1129,7 +1152,10 @@ def process_single_file(
         bf16_exact=upload_dtype == "bfloat16",
     )
     host = jax.device_get(out)  # one bulk transfer
-    _attach_exact_median(host, n, feats_j, pos_j, lambda_h, lambda_g, padded)
+    _attach_exact_median(
+        host, n, feats_j, pos_j, lambda_h, lambda_g, padded,
+        bf16_exact=upload_dtype == "bfloat16",
+    )
     # single-file path delegates to the SAME finalize as the dataset
     # pipeline (schema cannot drift); errors RAISE here instead of being
     # isolated per file
@@ -1443,7 +1469,8 @@ def process_dataset(
         try:
             host = jax.device_get(out)  # serial: transfers share the link
             _attach_exact_median(
-                host, n_patches, feats_j, pos_j, lambda_h, lambda_g, was_padded
+                host, n_patches, feats_j, pos_j, lambda_h, lambda_g,
+                was_padded, bf16_exact=upload_dtype == "bfloat16",
             )
         except Exception as e:
             finalize_futures.append((case_id, None, {"case_id": case_id, "error": str(e)}))
@@ -1604,6 +1631,7 @@ def _process_dataset_batched(
                     host_i, n_true,
                     np.asarray(feats).astype(_upload_dt(upload_dtype)),
                     pos, lambda_h, lambda_g, was_padded,
+                    bf16_exact=upload_dtype == "bfloat16",
                 )
             futures.append((
                 order,

@@ -24,22 +24,42 @@ import jax
 import jax.numpy as jnp
 
 
-def pairwise_sq_dists(a: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
+def pairwise_sq_dists(
+    a: jax.Array, b: Optional[jax.Array] = None, *, bf16_exact: bool = False
+) -> jax.Array:
     """Pairwise squared L2 distances between rows of ``a`` [N,D] and ``b`` [M,D].
 
     The dot product runs at HIGHEST precision: TPU's default bf16 matmul
     makes the norm-expansion cancel catastrophically for large-magnitude
     inputs (e.g. slide coordinates up to 5e4 -> negative "distances" ->
     exp(+huge) = inf in the similarity kernels).  Distances clamp at 0.
+
+    ``bf16_exact=True`` marks inputs whose values are EXACTLY
+    bf16-representable (the ``--upload_dtype bfloat16`` regime: features
+    shipped as bf16, cast to f32 on device): truncating the dot operands
+    back to bf16 is lossless there, and a 1-pass DEFAULT-precision MXU dot
+    replaces HIGHEST's 6 passes at ~6x the rate.  On TPU this is
+    bit-identical to the HIGHEST dot (passes 2-6 would multiply exact-zero
+    residuals — the same argument as ``ops.pallas_similarity``'s bf16_exact
+    kernel, asserted live on v5e r3); on CPU the bf16 gemm's accumulation
+    order differs, so values drift by f32 ulps — callers that promise
+    bitwise self-consistency (the blockwise median machinery) must use the
+    SAME flag in every pass.  Norms always accumulate from the f32 values.
     """
     if b is None:
         b = a
     a_sq = jnp.sum(a * a, axis=-1, keepdims=True)  # [N,1]
     b_sq = jnp.sum(b * b, axis=-1, keepdims=True)  # [M,1]
-    ab = jnp.dot(
-        a, b.T, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [N,M] on MXU
+    if bf16_exact:
+        ab = jnp.dot(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )  # single bf16 MXU pass; exact for bf16-representable values
+    else:
+        ab = jnp.dot(
+            a, b.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [N,M] on MXU
     return jnp.maximum(a_sq + b_sq.T - 2.0 * ab, 0.0)
 
 

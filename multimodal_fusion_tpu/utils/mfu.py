@@ -291,6 +291,13 @@ def measure_device(
         {
             "flops_per_call": flops,
             "bytes_per_call": bytes_accessed,
+            # provenance of the bytes number (advisor r4): an explicit
+            # override is always an analytic model supplied by the caller;
+            # otherwise the bytes came from XLA's cost analysis, whose
+            # per-consumer accounting overstates fused-step traffic
+            "bytes_model": (
+                "analytic" if bytes_override is not None else "xla_cost_analysis"
+            ),
             "achieved_tflops": achieved / 1e12,
             "peak_tflops": peak / 1e12,
             "mfu": achieved / peak if peak else 0.0,

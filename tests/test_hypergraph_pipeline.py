@@ -755,6 +755,78 @@ def test_blockwise_median_exact_beyond_subsample(tmp_path, monkeypatch):
     assert np.float32(bp["median"]) == np.float32(fs["median"])
 
 
+def test_blockwise_bf16_exact_stripes(tmp_path, monkeypatch):
+    """Under --upload_dtype bfloat16 the blockwise stats/median stripes run
+    the feature dot as a single bf16 MXU pass (VERDICT r4 #2: 6x the
+    HIGHEST rate on the dominant distance matmuls).  The stats scan and
+    every median refine sweep share the flag, so the internal bitwise
+    contract (refine bin totals == stats histogram) holds on every backend
+    — _select_key raises loudly on any divergence, which this build
+    exercises at n=2500 (past subsample coverage, real bisection descent).
+    Against the full-stats path the statistics agree to f32 rounding: on
+    TPU the 1-pass bf16 dot is bit-identical to HIGHEST for bf16-shipped
+    values; on CPU the bf16 gemm's accumulation order drifts by ulps (see
+    pairwise_sq_dists docstring)."""
+    import h5py
+    import jax.numpy as jnp
+
+    import multimodal_fusion_tpu.hypergraph.build as build_mod
+    from multimodal_fusion_tpu.ops.similarity import pairwise_sq_dists
+
+    rng = np.random.default_rng(7)
+    n = 2500
+    # bf16-representable features: exactly what arrives on device under
+    # --upload_dtype bfloat16
+    feats = (
+        (rng.standard_normal((n, 8)) * 0.3)
+        .astype(np.float32)
+        .astype(jnp.bfloat16)
+        .astype(np.float32)
+    )
+    pos = rng.uniform(0, 3, (n, 2)).astype(np.float32)
+    tma = (rng.standard_normal((6, 8)) * 0.3).astype(np.float32)
+    for name in ("full.h5", "block.h5"):
+        with h5py.File(tmp_path / name, "w") as f:
+            f["wsi/features"] = feats
+            f["wsi/positions"] = pos
+            f["tma/features"] = tma
+
+    full = build_mod.process_single_file(
+        tmp_path / "full.h5", 6, 2, 2, 3, save_similarity=False,
+        upload_dtype="bfloat16",
+    )
+    monkeypatch.setattr(build_mod, "FULL_STATS_MAX_N", 100)
+    block = build_mod.process_single_file(
+        tmp_path / "block.h5", 6, 2, 2, 3, save_similarity=False,
+        upload_dtype="bfloat16",
+    )
+    fs = full["wsi_aggregation"]["wsi_similarity_matrix_stats"]
+    bs = block["wsi_aggregation"]["wsi_similarity_matrix_stats"]
+    for k in ("mean", "std", "min", "max", "median"):
+        np.testing.assert_allclose(bs[k], fs[k], rtol=2e-5, atol=2e-7, err_msg=k)
+
+    # direct oracle: the bf16_exact stripe statistics against a full-matrix
+    # K built with the SAME bf16-operand expansion
+    from multimodal_fusion_tpu.hypergraph.build import _blockwise_similarity_stats
+
+    fj = jnp.asarray(feats[:300])
+    pj = jnp.asarray(pos[:300])
+    labels = jnp.asarray(rng.integers(0, 4, 300), jnp.int32)
+    K = jnp.exp(
+        -(pairwise_sq_dists(fj, bf16_exact=True) + pairwise_sq_dists(pj))
+    )
+    out = _blockwise_similarity_stats(
+        fj, pj, 1.0, 1.0, labels, 4, jnp.int32(300), False, block=64,
+        bf16_exact=True,
+    )
+    np.testing.assert_allclose(float(out[0]), float(K.sum()), rtol=1e-6)
+    np.testing.assert_allclose(float(out[1]), float((K * K).sum()), rtol=1e-6)
+    # extrema sit at large |arg| where exp() turns the CPU bf16 gemm's ulp
+    # drift in the distance into ~|Δarg| RELATIVE drift of the value
+    np.testing.assert_allclose(float(out[2]), float(K.min()), rtol=1e-5)
+    np.testing.assert_allclose(float(out[3]), float(K.max()), rtol=1e-5)
+
+
 def test_exact_median_host_bisection():
     """_exact_median_host (scatter-free multi-level bit-pattern bisection)
     against np.median oracles: the dense common case, all-identical values,

@@ -44,6 +44,15 @@ def _pick_tile(x: int, base: int = 256, big: int = 512) -> int:
     return big if _round_up(x, big) == _round_up(x, base) else base
 
 
+# In-body column sub-chunk width: the [TM, TN] tile is processed in TN/128
+# slices so the MXU dot of slice c+1 can issue against slice c's exp/fma
+# VPU epilogue (unrolled Python loop = one dataflow region for Mosaic's
+# scheduler — the same interleave that took the attention kernel from 0.68
+# to 0.86 of its ceiling, r5).  At 512-tiles the dot and the epilogue cost
+# ~2.7 vs ~3 us serial — near-halving the tile time when overlapped.
+_COL_CHUNK = 128
+
+
 def _sim_kernel(
     fi_ref, pi_ref, fj_ref, pjT_ref, o_ref, *, lambda_h, bf16_exact, n_pos
 ):
@@ -59,7 +68,6 @@ def _sim_kernel(
     hi = jax.lax.Precision.HIGHEST
     feat_prec = jax.lax.Precision.DEFAULT if bf16_exact else hi
     fi = fi_ref[:]  # [TM, D] (bf16 under bf16_exact — see rect wrapper)
-    fj = fj_ref[:]  # [TN, D]
 
     # Norms accumulate in f32 regardless of the stored tile dtype; under
     # bf16_exact the stored values ARE the exact feature values, so the f32
@@ -69,33 +77,39 @@ def _sim_kernel(
     # scaling all three expansion terms by the same constant leaves the
     # cancellation behavior unchanged.
     fi32 = fi.astype(jnp.float32)
-    fj32 = fj.astype(jnp.float32)
     fa = lambda_h * jnp.sum(fi32 * fi32, axis=1, keepdims=True)  # [TM, 1]
-    fb = lambda_h * jnp.sum(fj32 * fj32, axis=1, keepdims=True)  # [TN, 1]
-    arg_h = jnp.maximum(
-        (fa + fb.T) + (-2.0 * lambda_h) * jnp.dot(
-            fi, fj.T, preferred_element_type=jnp.float32, precision=feat_prec
-        ),
-        0.0,
-    )
 
-    # Spatial distances on the VPU as DIRECT coordinate differences: the
-    # positions are 2-D (x, y) — the old formulation padded them to 128
-    # lanes and ran a 6-pass HIGHEST MXU dot, which cost ~75% as much MXU
-    # time as the bf16 feature dot itself and held the bf16-exact kernel
-    # at 52% of peak (VERDICT r3 #2).  The difference form needs ~5 VPU
-    # ops/element, loses no accuracy (no cancellation — it needs no
-    # max(d, 0) clamp at all), and frees the MXU for the feature dot.
-    # Coordinates arrive PRE-SCALED by sqrt(lambda_g) (staging), so the
-    # squared differences are already the lambda_g-weighted distances;
-    # column coordinates arrive TRANSPOSED ([P_pad, TN] tile) so the
-    # [1, TN] row broadcasts come straight from sublane slices.
-    arg = arg_h
-    for p in range(n_pos):
-        diff = pi_ref[:, p : p + 1] - pjT_ref[p : p + 1, :]  # [TM, TN]
-        arg = arg + diff * diff
+    t_n = fj_ref.shape[0]
+    for c0 in range(0, t_n, _COL_CHUNK):
+        tc = min(_COL_CHUNK, t_n - c0)
+        fj = fj_ref[c0:c0 + tc, :]  # [TC, D]
+        fj32 = fj.astype(jnp.float32)
+        fb = lambda_h * jnp.sum(fj32 * fj32, axis=1, keepdims=True)  # [TC, 1]
+        arg = jnp.maximum(
+            (fa + fb.T) + (-2.0 * lambda_h) * jnp.dot(
+                fi, fj.T, preferred_element_type=jnp.float32,
+                precision=feat_prec,
+            ),
+            0.0,
+        )
 
-    o_ref[:] = jnp.exp(-arg)
+        # Spatial distances on the VPU as DIRECT coordinate differences:
+        # the positions are 2-D (x, y) — the old formulation padded them to
+        # 128 lanes and ran a 6-pass HIGHEST MXU dot, which cost ~75% as
+        # much MXU time as the bf16 feature dot itself and held the
+        # bf16-exact kernel at 52% of peak (VERDICT r3 #2).  The difference
+        # form needs ~5 VPU ops/element, loses no accuracy (no cancellation
+        # — it needs no max(d, 0) clamp at all), and frees the MXU for the
+        # feature dot.  Coordinates arrive PRE-SCALED by sqrt(lambda_g)
+        # (staging), so the squared differences are already the
+        # lambda_g-weighted distances; column coordinates arrive TRANSPOSED
+        # ([P_pad, TN] tile) so the [1, TC] row broadcasts come straight
+        # from sublane slices.
+        for p in range(n_pos):
+            diff = pi_ref[:, p : p + 1] - pjT_ref[p : p + 1, c0:c0 + tc]
+            arg = arg + diff * diff
+
+        o_ref[:, c0:c0 + tc] = jnp.exp(-arg)
 
 
 @functools.partial(

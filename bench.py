@@ -532,13 +532,20 @@ def run_mfu_report() -> dict:
         jnp.asarray(rng.integers(0, NUM_GROUPS, LN), jnp.int32)
     )
     ln_flops = 2.0 * LN * LN * (DIM + 2) + 14.0 * LN * LN
+    # production route (r5): fused Pallas kernel stripes — the XLA
+    # formulation spends most of a pass round-tripping its materialised
+    # [B, N] matmul intermediates through HBM (375 vs ~95 ms of actual
+    # matmul+epilogue work per sweep, measured)
+    use_pallas = jax.default_backend() == "tpu"
     report["blockwise_stats_65k"] = measure_device(
         lambda f, p, l: _blockwise_similarity_stats(
-            f, p, 1.0, 1.0, l, NUM_GROUPS, jnp.int32(LN), False, block=LBLK
+            f, p, 1.0, 1.0, l, NUM_GROUPS, jnp.int32(LN), False, block=LBLK,
+            use_pallas=use_pallas,
         ),
         (lfeats, lpos, llab), iters=4, dtype="float32", work_items=LN,
         flops_override=ln_flops,
     )
+    report["blockwise_stats_65k"]["use_pallas_stripes"] = use_pallas
     del lfeats, lpos, llab
 
     # the kmeans super-patch stage on its own (timing-only, like the

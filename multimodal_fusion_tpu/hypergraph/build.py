@@ -248,7 +248,11 @@ from functools import partial
 # 23.4 s stats pass at N=33k — and CRASHED the TPU worker process outright
 # at N=65k ("kernel fault"; reproducibly, and reproducibly gone without
 # the scatters).  The reduction formulation costs nbins passes over the
-# stripe on the VPU but keeps the whole pass matmul-bound.
+# stripe on the VPU but keeps the whole pass matmul-bound.  Two r5 cost
+# halvings on top: counting is CUMULATIVE (one >= compare per bin
+# boundary, then adjacent differences) and runs over the HALF-RING window
+# only (``_ring_window`` + ``_ring_hist``: K is bitwise symmetric across
+# stripes, so each unordered pair is counted once and doubled).
 #
 # Counts can reach N^2 ~ 2^40 (x64 is disabled on TPU), so they accumulate
 # as int32 (hi, lo) base-2^15 digit pairs — every intermediate stays
@@ -277,13 +281,34 @@ def _hist_safe_block(n: int, block: int) -> int:
 
 def _count_bins(keybits, valid, lo_key, shift: int, nbins: int):
     """[nbins] int32 counts of ``(keybits - lo_key) >> shift`` over valid
-    in-range elements, as a fused compare+sum (NO scatter — see module
-    comment above).  ``keybits``/``valid`` are flat [B*N]."""
-    rel = keybits - lo_key
-    idx = rel >> shift
-    ok = valid & (rel >= 0) & (idx < nbins)
-    eq = idx[:, None] == jnp.arange(nbins, dtype=jnp.int32)[None, :]
-    return jnp.sum((eq & ok[:, None]).astype(jnp.int32), axis=0)
+    in-range elements, as fused compare+sum reductions (NO scatter — see
+    module comment above).  ``keybits``/``valid`` keep the stripe's NATURAL
+    [B, N] shape — do NOT flatten them.
+
+    Counting is CUMULATIVE over the ``nbins + 1`` bin boundaries (one >=
+    compare + one full reduce each, unrolled so XLA sibling-fuses them over
+    a single read of the stripe), then adjacent boundary counts are
+    differenced.  Invalid elements map to INT32_MIN (below boundary 0);
+    patterns past the top boundary cancel out of the difference, so
+    out-of-range values (NaN/garbage) still land in NO bin.
+
+    Measured r5 (v5e, [1024, 65536] stripe after the Pallas similarity
+    kernel): ~0.7 ms ≈ the VPU compare+add peak.  The r3-r4 formulation —
+    flatten + ``idx[:, None] == arange(nbins)`` broadcast — lowered to a
+    32-LANE (padded to 128) layout and cost ~5 ms/stripe in the same
+    context, which mis-attributed the sweep cost to "the histogram" for
+    two rounds; per-bin equality sums on the 2-D stripe and a row-partial
+    variant also measured ~2.8-3.0 ms vs this form's 2.58 ms incl. the
+    1.88 ms kernel.  An optimization_barrier decoupling changes nothing
+    (the layout, not the fusion, was the problem)."""
+    relm = jnp.where(valid, keybits - lo_key, jnp.int32(-(2**31)))
+    cnt = jnp.stack(
+        [
+            jnp.sum((relm >= (jnp.int32(b) << shift)).astype(jnp.int32))
+            for b in range(nbins + 1)
+        ]
+    )
+    return cnt[:-1] - cnt[1:]
 
 
 def _fold_digits(hi, lo, h):
@@ -291,10 +316,54 @@ def _fold_digits(hi, lo, h):
     return hi + (h >> 15), lo + (h & ((1 << 15) - 1))
 
 
+def _blockwise_use_pallas(allow_pallas: bool, mesh=None) -> bool:
+    """Whether the blockwise stats/median stripes run through the fused
+    Pallas kernel: TPU only (interpret mode is test-only slow), never under
+    a mesh (the scan feeds raw stripes — the GSPMD/Mosaic constraint of
+    ``combined_similarity_auto`` applies), and off when the caller forces
+    the XLA oracle.  Every pass of ONE build must agree (bitwise contract —
+    see ``_similarity_stripe``)."""
+    return bool(allow_pallas) and mesh is None and jax.default_backend() == "tpu"
+
+
+def _similarity_stripe(
+    fb, pb, fp, pp, lambda_h, lambda_g, bf16_exact: bool, use_pallas: bool
+):
+    """One [B, n_pad] similarity stripe for the blockwise scans.
+
+    ``use_pallas`` routes through the fused tiled kernel
+    (``pallas_combined_similarity_rect`` — the same per-stripe workload the
+    shard_map mesh build runs).  Measured r5 at N=65k: the XLA formulation
+    spends most of a sweep round-tripping its materialised [B, N]
+    intermediates (d_h and d_g matmul outputs) through HBM — 375 ms per
+    sweep bf16 where the kernel stripe computes K in VMEM and writes it
+    once.  The flag must be IDENTICAL between the stats pass and every
+    median refine sweep (kernel K and XLA K differ in ulps: direct spatial
+    differences vs norm expansion, bf16 staging); ``_fused_build`` decides
+    it once per build.  Off-TPU it stays False (interpret-mode Pallas is
+    test-only)."""
+    if use_pallas:
+        from multimodal_fusion_tpu.ops.pallas_similarity import (
+            pallas_combined_similarity_rect,
+        )
+
+        # interpret mode off-TPU: production never routes here off-TPU
+        # (_blockwise_use_pallas), but tests drive the kernel stripes on
+        # the CPU mesh this way
+        return pallas_combined_similarity_rect(
+            fb, pb, fp, pp, lambda_h, lambda_g, bf16_exact=bf16_exact,
+            interpret=jax.default_backend() != "tpu",
+        )
+    d_h = pairwise_sq_dists(fb, fp, bf16_exact=bf16_exact)
+    d_g = pairwise_sq_dists(pb, pp)
+    return jnp.exp(-(lambda_h * d_h + lambda_g * d_g))
+
+
 @partial(
     jax.jit,
     static_argnames=(
-        "lambda_h", "lambda_g", "nbins", "padded", "block", "bf16_exact"
+        "lambda_h", "lambda_g", "nbins", "padded", "block", "bf16_exact",
+        "use_pallas",
     ),
 )
 def _median_level_pass(
@@ -306,11 +375,12 @@ def _median_level_pass(
     lo_key: jax.Array,  # [] int32: first bit pattern of the refined range
     shift: jax.Array,  # [] int32: log2 bin width (traced — one compile;
     # measured r5: a STATIC shift is NOT faster — 375.7 ms/sweep either
-    # way at N=65k bf16, the cost is _count_bins' compare+sum itself)
+    # way at N=65k bf16 XLA, the cost is the stripe computation itself)
     nbins: int,
     padded: bool,
     block: int = 1024,
     bf16_exact: bool = False,
+    use_pallas: bool = False,
 ):
     """One bisection level: an ``nbins``-bin histogram of similarity bit
     patterns within ``[lo_key, lo_key + nbins*2^shift)`` — one more
@@ -331,15 +401,16 @@ def _median_level_pass(
         fb = jax.lax.dynamic_slice_in_dim(fp, r0, blk)
         pb = jax.lax.dynamic_slice_in_dim(pp, r0, blk)
         # MUST match _blockwise_similarity_stats.body bit-for-bit (incl. the
-        # bf16_exact dot dtype): _select_key cross-checks refine bin totals
-        # against the stats pass and raises on any divergence
-        d_h = pairwise_sq_dists(fb, fp, bf16_exact=bf16_exact)
-        d_g = pairwise_sq_dists(pb, pp)
-        K_blk = jnp.exp(-(lambda_h * d_h + lambda_g * d_g))
+        # bf16_exact dot dtype and the use_pallas route): _select_key
+        # cross-checks refine bin totals against the stats pass and raises
+        # on any divergence
+        K_blk = _similarity_stripe(
+            fb, pb, fp, pp, lambda_h, lambda_g, bf16_exact, use_pallas
+        )
         row_valid = (r0 + jnp.arange(blk)) < n_eff
         tile_valid = row_valid[:, None] & col_valid[None, :]
-        keybits = jax.lax.bitcast_convert_type(K_blk, jnp.int32).reshape(-1)
-        h = _count_bins(keybits, tile_valid.reshape(-1), lo_key, shift, nbins)
+        keybits = jax.lax.bitcast_convert_type(K_blk, jnp.int32)
+        h = _count_bins(keybits, tile_valid, lo_key, shift, nbins)
         return _fold_digits(chi, clo, h), None
 
     init = (jnp.zeros((nbins,), jnp.int32), jnp.zeros((nbins,), jnp.int32))
@@ -410,11 +481,13 @@ def _exact_median_host(host: Dict, n_eff: int, refine) -> float:
 def _attach_exact_median(
     host, n_eff, feats_j, pos_j, lambda_h, lambda_g, padded,
     bf16_exact: bool = False,
+    use_pallas: bool = False,
 ):
     """Compute the exact blockwise median and stash it in the host dict for
     ``_finalize_host`` (no-op when the build did not run block_stats).
-    ``bf16_exact`` must mirror the flag the stats pass ran with — the refine
-    sweeps recompute the similarities and their bit patterns must match."""
+    ``bf16_exact``/``use_pallas`` must mirror the flags the stats pass ran
+    with — the refine sweeps recompute the similarities and their bit
+    patterns must match."""
     if "med_cnt_hi" not in host:
         return
 
@@ -423,7 +496,7 @@ def _attach_exact_median(
             feats_j, pos_j, lambda_h, lambda_g,
             jnp.asarray(n_eff, jnp.int32), jnp.asarray(lo_key, jnp.int32),
             jnp.asarray(shift, jnp.int32), nbins, padded,
-            bf16_exact=bf16_exact,
+            bf16_exact=bf16_exact, use_pallas=use_pallas,
         )
         return np.asarray(chi).astype(np.int64) * (1 << 15) + np.asarray(clo)
 
@@ -441,6 +514,7 @@ def _blockwise_similarity_stats(
     padded: bool,
     block: int = 1024,
     bf16_exact: bool = False,
+    use_pallas: bool = False,
 ):
     """EXACT [N,N]-similarity statistics without materialising [N,N].
 
@@ -503,11 +577,12 @@ def _blockwise_similarity_stats(
         lb = jax.lax.dynamic_slice_in_dim(lab, r0, block)
         # bf16_exact: the feature dot runs as a single bf16 MXU pass (6x the
         # HIGHEST rate) — lossless for bf16-shipped inputs; the median
-        # refine sweeps (_median_level_pass) use the SAME flag so their
-        # recomputed bit patterns match this histogram exactly
-        d_h = pairwise_sq_dists(fb, fp, bf16_exact=bf16_exact)
-        d_g = pairwise_sq_dists(pb, pp)
-        K_blk = jnp.exp(-(lambda_h * d_h + lambda_g * d_g))  # [B, n_pad]
+        # refine sweeps (_median_level_pass) use the SAME flag (and the same
+        # use_pallas route) so their recomputed bit patterns match this
+        # histogram exactly
+        K_blk = _similarity_stripe(
+            fb, pb, fp, pp, lambda_h, lambda_g, bf16_exact, use_pallas
+        )  # [B, n_pad]
         row_valid = (r0 + jnp.arange(block)) < n_eff
         tile_valid = row_valid[:, None] & col_valid[None, :]
         Kv = jnp.where(tile_valid, K_blk, 0.0)
@@ -523,10 +598,9 @@ def _blockwise_similarity_stats(
             jax.lax.dynamic_slice(K_blk, (0, r0), (block, block))
         )
         diag_all = jax.lax.dynamic_update_slice(diag_all, diag_vals, (r0,))
-        keybits = jax.lax.bitcast_convert_type(K_blk, jnp.int32).reshape(-1)
+        keybits = jax.lax.bitcast_convert_type(K_blk, jnp.int32)
         h = _count_bins(
-            keybits, tile_valid.reshape(-1), jnp.int32(0), _MED_L1_SHIFT,
-            _MED_FANOUT,
+            keybits, tile_valid, jnp.int32(0), _MED_L1_SHIFT, _MED_FANOUT
         )
         hist = _fold_digits(*hist, h)
         return (tsum, tsumsq, tmn, tmx, colsum, diag_all, hist), None
@@ -687,6 +761,7 @@ def _fused_build(
         block_carry = _blockwise_similarity_stats(
             feats, pos, lambda_h, lambda_g, labels_eff, num_super, n_valid,
             padded, bf16_exact=bf16_exact,
+            use_pallas=_blockwise_use_pallas(allow_pallas, mesh),
         )
         s_cc, diag_c = block_carry[4], block_carry[5]
         stat_counts = counts
@@ -1155,6 +1230,7 @@ def process_single_file(
     _attach_exact_median(
         host, n, feats_j, pos_j, lambda_h, lambda_g, padded,
         bf16_exact=upload_dtype == "bfloat16",
+        use_pallas=_blockwise_use_pallas(True, mesh),
     )
     # single-file path delegates to the SAME finalize as the dataset
     # pipeline (schema cannot drift); errors RAISE here instead of being
@@ -1471,6 +1547,7 @@ def process_dataset(
             _attach_exact_median(
                 host, n_patches, feats_j, pos_j, lambda_h, lambda_g,
                 was_padded, bf16_exact=upload_dtype == "bfloat16",
+                use_pallas=_blockwise_use_pallas(True, mesh),
             )
         except Exception as e:
             finalize_futures.append((case_id, None, {"case_id": case_id, "error": str(e)}))
@@ -1632,6 +1709,11 @@ def _process_dataset_batched(
                     np.asarray(feats).astype(_upload_dt(upload_dtype)),
                     pos, lambda_h, lambda_g, was_padded,
                     bf16_exact=upload_dtype == "bfloat16",
+                    # batch builds never run under a mesh; the vmapped
+                    # kernel stripes and this unbatched refine share tile
+                    # shapes, and any bit divergence fails loudly in
+                    # _select_key's total cross-check
+                    use_pallas=_blockwise_use_pallas(True, None),
                 )
             futures.append((
                 order,

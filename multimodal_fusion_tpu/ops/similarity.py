@@ -24,6 +24,18 @@ import jax
 import jax.numpy as jnp
 
 
+# At or below this row width the norm-expansion matmul is replaced by
+# direct per-coordinate broadcast differences (positions are 2-D
+# everywhere in this framework).  The matmul route materialises its [N,M]
+# output to HBM between the dot and the elementwise epilogue — measured r5
+# at 65k stripes, those round-trips (not the counting) dominate the
+# blockwise passes — while the difference form fuses end-to-end, needs no
+# HIGHEST 6-pass dot and no clamp (no cancellation: it is exact-signed
+# arithmetic on coordinates).  The Pallas similarity kernel has used the
+# same formulation since r4 (VERDICT r3 #2).
+_DIRECT_DIFF_MAX_D = 4
+
+
 def pairwise_sq_dists(
     a: jax.Array, b: Optional[jax.Array] = None, *, bf16_exact: bool = False
 ) -> jax.Array:
@@ -33,6 +45,8 @@ def pairwise_sq_dists(
     makes the norm-expansion cancel catastrophically for large-magnitude
     inputs (e.g. slide coordinates up to 5e4 -> negative "distances" ->
     exp(+huge) = inf in the similarity kernels).  Distances clamp at 0.
+    Low-dimensional inputs (D <= 4: positions) skip the expansion entirely
+    and use fused per-coordinate differences — see ``_DIRECT_DIFF_MAX_D``.
 
     ``bf16_exact=True`` marks inputs whose values are EXACTLY
     bf16-representable (the ``--upload_dtype bfloat16`` regime: features
@@ -48,6 +62,12 @@ def pairwise_sq_dists(
     """
     if b is None:
         b = a
+    if 0 < a.shape[-1] <= _DIRECT_DIFF_MAX_D:
+        d = None
+        for p in range(a.shape[-1]):
+            diff = a[:, p, None] - b[None, :, p]
+            d = diff * diff if d is None else d + diff * diff
+        return d
     a_sq = jnp.sum(a * a, axis=-1, keepdims=True)  # [N,1]
     b_sq = jnp.sum(b * b, axis=-1, keepdims=True)  # [M,1]
     if bf16_exact:

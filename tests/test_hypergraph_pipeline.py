@@ -912,6 +912,88 @@ def test_exact_median_host_bisection():
         np.testing.assert_array_equal(cnt_dev, np_counts(keys, lo, shift, nbins))
 
 
+def test_median_level_pass_padded_parities():
+    """``_median_level_pass`` L1 counts vs the production-K numpy oracle
+    across padded/valid-count parities (odd/even n_eff, n_eff == 1) — the
+    padding masks must exclude exactly the invalid rows/columns whatever
+    the parity of the valid count."""
+    import jax.numpy as jnp
+
+    from multimodal_fusion_tpu.hypergraph.build import (
+        _MED_FANOUT,
+        _MED_L1_SHIFT,
+        _median_level_pass,
+    )
+    from multimodal_fusion_tpu.ops.similarity import combined_similarity
+
+    rng = np.random.default_rng(3)
+    for n, blk, n_eff in [(63, 16, 63), (64, 16, 47), (64, 16, 46), (40, 8, 1)]:
+        feats = jnp.asarray(rng.standard_normal((n, 8)) * 0.3, jnp.float32)
+        pos = jnp.asarray(rng.uniform(0, 2, (n, 2)), jnp.float32)
+        K = np.asarray(combined_similarity(feats, pos, 1.0, 1.0))
+        keys = K[:n_eff, :n_eff].reshape(-1).view(np.int32).astype(np.int64)
+        chi, clo = _median_level_pass(
+            feats, pos, 1.0, 1.0, jnp.int32(n_eff), jnp.int32(0),
+            jnp.int32(_MED_L1_SHIFT), _MED_FANOUT, True, block=blk,
+        )
+        got = np.asarray(chi).astype(np.int64) * (1 << 15) + np.asarray(clo)
+        idx = keys >> _MED_L1_SHIFT
+        ok = (keys >= 0) & (idx < _MED_FANOUT)
+        ref = np.bincount(idx[ok], minlength=_MED_FANOUT)[:_MED_FANOUT]
+        np.testing.assert_array_equal(got, ref, err_msg=f"{n},{blk},{n_eff}")
+        assert int(got.sum()) == n_eff * n_eff
+
+
+def test_blockwise_pallas_stripe_route_self_consistent():
+    """The use_pallas blockwise route (r5: kernel stripes instead of the
+    XLA formulation — the XLA passes spend most of a sweep round-tripping
+    materialised [B,N] intermediates through HBM) must be self-consistent:
+    the stats-pass L1 histogram and the refine sweeps recompute bitwise-
+    identical stripes (the loud ``_select_key`` cross-check passes), and
+    the selected median equals ``jnp.median`` of the kernel-built full K
+    bit for bit — kernel tile math is per-element, so values are
+    independent of how rows split into stripes."""
+    import jax.numpy as jnp
+
+    from multimodal_fusion_tpu.hypergraph.build import (
+        _attach_exact_median,
+        _blockwise_similarity_stats,
+    )
+    from multimodal_fusion_tpu.ops.pallas_similarity import (
+        pallas_combined_similarity,
+    )
+
+    rng = np.random.default_rng(7)
+    n, blk, G = 150, 64, 5
+    feats = jnp.asarray(rng.standard_normal((n, 16)) * 0.3, jnp.float32)
+    pos = jnp.asarray(rng.uniform(0, 2, (n, 2)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, G, n), jnp.int32)
+    for bf16 in (False, True):
+        f = feats
+        if bf16:
+            f = f.astype(jnp.bfloat16).astype(jnp.float32)
+        K = pallas_combined_similarity(
+            f, pos, 1.0, 1.0, interpret=True, bf16_exact=bf16
+        )
+        want = np.float32(np.asarray(jnp.median(K)))
+        out = _blockwise_similarity_stats(
+            f, pos, 1.0, 1.0, labels, G, jnp.int32(n), False, block=blk,
+            bf16_exact=bf16, use_pallas=True,
+        )
+        tsum, tsumsq, tmn, tmx, s_cc, diag_c, (chi, clo) = out
+        host = {"med_cnt_hi": np.asarray(chi), "med_cnt_lo": np.asarray(clo)}
+        _attach_exact_median(
+            host, n, f, pos, 1.0, 1.0, False, bf16_exact=bf16,
+            use_pallas=True,
+        )
+        assert np.float32(host["exact_median"]) == want, bf16
+        # float stats agree with the dense kernel K (exact reductions)
+        Kn = np.asarray(K, np.float64)
+        np.testing.assert_allclose(float(tsum), Kn.sum(), rtol=1e-5)
+        assert np.float32(tmn) == np.float32(Kn.min())
+        assert np.float32(tmx) == np.float32(Kn.max())
+
+
 def test_exact_median_refine_mismatch_raises():
     """A refine pass whose totals disagree with the parent bin count must
     fail loudly (silent disagreement would select a wrong median)."""

@@ -27,6 +27,25 @@ def test_pairwise_sq_dists(rng):
     np.testing.assert_allclose(got, _np_sq_dists(a, b), rtol=1e-4, atol=1e-4)
 
 
+def test_pairwise_sq_dists_direct_lowdim(rng):
+    """D <= 4 inputs (positions) use fused per-coordinate differences (r5):
+    no norm-expansion cancellation, so slide-scale coordinates stay
+    accurate, exact zeros on the diagonal, and no [N,M] matmul
+    intermediate round-trips HBM in the blockwise stripe scans."""
+    p = rng.uniform(0, 5e4, (33, 2)).astype(np.float32)
+    got = np.asarray(pairwise_sq_dists(jnp.asarray(p)))
+    p64 = p.astype(np.float64)
+    want = ((p64[:, None, :] - p64[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert (np.diagonal(got) == 0.0).all()
+    assert (got >= 0.0).all()
+    # rectangular + 3-D variant
+    a = rng.standard_normal((7, 3)).astype(np.float32)
+    b = rng.standard_normal((5, 3)).astype(np.float32)
+    got = np.asarray(pairwise_sq_dists(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, _np_sq_dists(a, b), rtol=1e-5, atol=1e-6)
+
+
 def test_morphological_similarity(rng):
     x = rng.standard_normal((12, 16)).astype(np.float32) * 0.3
     lam = 0.7

@@ -55,25 +55,7 @@ class VAETrainer:
             optax.scale_by_adam(),
             optax.add_decayed_weights(weight_decay),
         )
-        # FLAT optimizer state (VERDICT r4 #4): Adam is elementwise, so
-        # running it over ONE raveled [P] vector is bit-identical to the
-        # per-leaf tree form while collapsing ~12 small per-leaf fusion
-        # kernels (each padded to the VPU lane width) into a few
-        # full-bandwidth passes — the VAE step is memory-bound and its
-        # params are many small [h] bias / [h, h'] kernel leaves.
-        # Checkpoints still store the TREE form (_opt_tree/_opt_flat), so
-        # the on-disk format and resume behaviour are unchanged.
-        from jax.flatten_util import ravel_pytree
-
-        leaves = jax.tree.leaves(self.state)
-        if len({getattr(l, "dtype", None) for l in leaves}) == 1 and all(
-            jnp.issubdtype(l.dtype, jnp.floating) for l in leaves
-        ):
-            flat0, self._unravel = ravel_pytree(self.state)
-            self.opt_state = self.tx.init(flat0)
-        else:  # mixed-dtype states: raveling would silently upcast
-            self._unravel = None
-            self.opt_state = self.tx.init(self.state)
+        self.opt_state = self.tx.init(self.state)
         self.base_lr = learning_rate
         self.lr = learning_rate
         self.min_lr = min_lr
@@ -123,35 +105,7 @@ class VAETrainer:
             self.state = replicate(self.mesh, self.state)
             self.opt_state = replicate(self.mesh, self.opt_state)
 
-    # ------------------------------------------------------------------
-    # flat <-> tree optimizer-state conversion (checkpoint format keeps the
-    # tree layout regardless of the in-memory representation)
-
-    def _opt_tree(self, opt_state):
-        if self._unravel is None:
-            return opt_state
-        adam, rest = opt_state
-        return (
-            adam._replace(mu=self._unravel(adam.mu), nu=self._unravel(adam.nu)),
-            rest,
-        )
-
-    def _opt_flat(self, opt_tree):
-        if self._unravel is None:
-            return opt_tree
-        from jax.flatten_util import ravel_pytree
-
-        adam, rest = opt_tree
-        return (
-            adam._replace(
-                mu=ravel_pytree(adam.mu)[0], nu=ravel_pytree(adam.nu)[0]
-            ),
-            rest,
-        )
-
     def _build_steps(self):
-        from jax.flatten_util import ravel_pytree
-
         def update(state, opt_state, x, key, lr):
             def loss_fn(state):
                 m = nnx.merge(self.graphdef, state)
@@ -160,17 +114,9 @@ class VAETrainer:
                 return total, (recon, kld)
 
             (loss, (recon, kld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state)
-            if self._unravel is not None:
-                # one fused Adam pass over the raveled parameter vector
-                # (bit-identical: every optax op here is elementwise)
-                gflat, _ = ravel_pytree(grads)
-                pflat, _ = ravel_pytree(state)
-                updates, opt_state = self.tx.update(gflat, opt_state, pflat)
-                state = self._unravel(pflat - lr * updates)
-            else:
-                updates, opt_state = self.tx.update(grads, opt_state, state)
-                updates = jax.tree.map(lambda u: -lr * u, updates)
-                state = optax.apply_updates(state, updates)
+            updates, opt_state = self.tx.update(grads, opt_state, state)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            state = optax.apply_updates(state, updates)
             return state, opt_state, loss, recon, kld
 
         @partial(jax.jit, donate_argnums=(0, 1))
@@ -390,7 +336,7 @@ class VAETrainer:
         self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
         save_state(
             self.checkpoint_dir / f"{tag}.npz",
-            {"model": self.state, "opt": self._opt_tree(self.opt_state)},
+            {"model": self.state, "opt": self.opt_state},
             extra={
                 "epoch": self.epoch,
                 "global_step": self.global_step,
@@ -411,11 +357,8 @@ class VAETrainer:
         path = self.checkpoint_dir / f"{tag}.npz"
         if not path.exists():
             return False
-        restored, extras = load_state(
-            path, {"model": self.state, "opt": self._opt_tree(self.opt_state)}
-        )
-        self.state = restored["model"]
-        self.opt_state = self._opt_flat(restored["opt"])
+        restored, extras = load_state(path, {"model": self.state, "opt": self.opt_state})
+        self.state, self.opt_state = restored["model"], restored["opt"]
         nnx.update(self.model, self.state)
         self.epoch = int(extras.get("epoch", 0))
         self.global_step = int(extras.get("global_step", 0))

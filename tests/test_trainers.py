@@ -195,62 +195,6 @@ def test_vae_scan_steps_matches_sequential(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
 
 
-def test_vae_flat_optimizer_matches_tree(tmp_path):
-    """The raveled-vector Adam (VERDICT r4 #4 perf work: one fused update
-    pass instead of ~12 per-leaf kernels) must be BITWISE identical to the
-    per-leaf tree form — every optax op involved is elementwise — and its
-    checkpoints must keep the tree on-disk layout (old checkpoints load,
-    resume round-trips the flat state)."""
-    from multimodal_fusion_tpu.data.vae_patches import WSIVAEDataset
-    from multimodal_fusion_tpu.models.vae import VAE
-    from multimodal_fusion_tpu.train.vae import VAETrainer
-
-    root = tmp_path / "data"
-    csv_path = make_synthetic_dataset(
-        root, n_patients=4, seed=3, min_wsi_patches=30, max_wsi_patches=50,
-        feature_dim=16,
-    )
-    ds = WSIVAEDataset(csv_path, root, label_filter="living", preload=True)
-
-    def run(force_tree, ckpt=None):
-        model = VAE(input_dim=16, encoder_hidden=[32, 16], decoder_hidden=[16, 32],
-                    latent_dim=8, rngs=nnx.Rngs(0))
-        tr = VAETrainer(model, learning_rate=1e-3, checkpoint_dir=ckpt)
-        if force_tree:
-            assert tr._unravel is not None  # flat path is the default
-            tr._unravel = None
-            tr.opt_state = tr.tx.init(tr.state)
-            tr._build_steps()
-        out = tr.fit(ds, ds, epochs=2, batch_size=16, verbose=False, resample=False)
-        return out, nnx.state(model), tr
-
-    flat, st_f, tr_f = run(False, ckpt=tmp_path / "ckpt")
-    tree, st_t, _ = run(True)
-    np.testing.assert_array_equal(flat["history"]["train_loss"],
-                                  tree["history"]["train_loss"])
-    np.testing.assert_array_equal(flat["history"]["val_loss"],
-                                  tree["history"]["val_loss"])
-    for a, b in zip(jax.tree.leaves(st_f), jax.tree.leaves(st_t)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-    # checkpoint layout: opt moments stored as TREES (same keys a tree-form
-    # trainer writes), and resume restores the flat in-memory form exactly
-    data = np.load(tmp_path / "ckpt" / "latest.npz")
-    assert any(k.startswith("opt/0/mu/encoder/") for k in data.files), (
-        sorted(k for k in data.files if k.startswith("opt"))[:5]
-    )
-    model2 = VAE(input_dim=16, encoder_hidden=[32, 16], decoder_hidden=[16, 32],
-                 latent_dim=8, rngs=nnx.Rngs(1))
-    tr2 = VAETrainer(model2, checkpoint_dir=tmp_path / "ckpt")
-    assert tr2.resume("latest")
-    np.testing.assert_array_equal(
-        np.asarray(tr2.opt_state[0].mu), np.asarray(tr_f.opt_state[0].mu)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(tr2.opt_state[0].nu), np.asarray(tr_f.opt_state[0].nu)
-    )
-
-
 def test_vae_device_data_matches_host(tmp_path):
     """fit(device_data=True) (patch subsample resident on device, batches as
     row gathers, table re-uploaded on resample) must reproduce the host

@@ -881,6 +881,36 @@ def run_mfu_report() -> dict:
         bytes_override=vae_bytes,
     )
     report["vae_train_step"]["bytes_model"] = "analytic"
+
+    # the PRODUCTION path fuses scan_steps batch updates into one dispatch
+    # (train/vae.py:train_steps_scanned, default-on in cli.train_vae): the
+    # single-step entry above is dominated by fixed per-dispatch overhead
+    # (~0.18 ms total at [256,1024] after the r5 flat-Adam change), so the
+    # fused form is where the roofline fraction is meaningful
+    S = 8
+    xs8 = jax.device_put(
+        jnp.asarray(rng.standard_normal((S, B, DIM)), jnp.float32)
+    )
+    keys8 = jax.device_put(jax.random.split(jax.random.key(2), S))
+
+    def vae_steps_scanned(state, opt_state, xs, keys):
+        def body(carry, inp):
+            s, o = carry
+            x, k = inp
+            s, o, loss, recon, kld = vtr._train_step(
+                s, o, x, k, jnp.float32(1e-3)
+            )
+            return (s, o), loss
+
+        (s, o), losses = jax.lax.scan(body, (state, opt_state), (xs, keys))
+        return s, o, losses
+
+    report["vae_train_step_scanned8"] = measure_device(
+        vae_steps_scanned, (vstate, vopt, xs8, keys8), iters=32,
+        dtype="float32", work_items=S * B, mxu_dtype="bfloat16",
+        bytes_override=S * vae_bytes,
+    )
+    report["vae_train_step_scanned8"]["bytes_model"] = "analytic"
     return report
 
 

@@ -248,11 +248,10 @@ from functools import partial
 # 23.4 s stats pass at N=33k — and CRASHED the TPU worker process outright
 # at N=65k ("kernel fault"; reproducibly, and reproducibly gone without
 # the scatters).  The reduction formulation costs nbins passes over the
-# stripe on the VPU but keeps the whole pass matmul-bound.  Two r5 cost
-# halvings on top: counting is CUMULATIVE (one >= compare per bin
-# boundary, then adjacent differences) and runs over the HALF-RING window
-# only (``_ring_window`` + ``_ring_hist``: K is bitwise symmetric across
-# stripes, so each unordered pair is counted once and doubled).
+# stripe on the VPU but keeps the whole pass matmul-bound; r5 made the
+# counting CUMULATIVE on the stripe's natural 2-D layout (see
+# ``_count_bins``) and routed the stripes themselves through the fused
+# Pallas kernel on TPU (see ``_similarity_stripe``).
 #
 # Counts can reach N^2 ~ 2^40 (x64 is disabled on TPU), so they accumulate
 # as int32 (hi, lo) base-2^15 digit pairs — every intermediate stays
